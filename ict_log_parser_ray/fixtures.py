@@ -1,0 +1,288 @@
+"""Deterministic synthetic `transcripts` fixture generator (FIXTURES.md §1-2).
+
+The reference repo (Sha0S/ICT_log_parser) ships no test corpus, so the
+conformance fixtures are defined here from scratch.  The grammar of the
+``text`` column mirrors the Keysight i3070 datalog record families consumed by
+the reference parser (reference call sites: /root/reference/src/main.rs:1014-1085
+for measurement+limit records, main.rs:1195-1263 for panel/attempt structure):
+
+- ``role=header``  ``{@BTEST|<serial>|<status>|<start YYMMDDHHMMSS>|<board_index>|<panel_serial>}``
+- ``role=analog``  ``{@A-<KIND>|<status>|<measurement sci>|<test_name>}`` +
+  optional ``{@LIM2|ul|ll}`` / ``{@LIM3|nom|ul|ll}`` suffix (TLimit::Lim2/Lim3,
+  main.rs:1030-1085)
+- ``role=digital`` ``{@D-T|<status>|<test_name>}``
+- ``role=status``  ``{@BTEST-END|<status>|<end YYMMDDHHMMSS>}`` — attempt
+  result = this status (last-attempt-wins, main.rs:1205)
+- ``role=chatter`` free text without ``{@`` — must route to parse_error.
+
+Everything is seeded and pure-function deterministic: same (seed, sf) →
+identical tables.  Per-panel RNG streams (``default_rng([seed, panel])``) keep
+panel content independent of panel count, so small sf tables are prefixes of
+large ones in panel space.
+
+One conversation (``conv_id``) = one logfile = one attempt of one board
+position in one panel run.  A failing panel run is retested as a whole
+(new run index, all boards re-emitted) — mirroring "one logfile = one test
+run of one board/panel" in the reference (main.rs:294).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime, timedelta
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+FIXTURE_VERSION = 3
+DEFAULT_SEED = 42
+DEFAULT_ROOT = "/tmp/ict_ray_fixtures"
+
+N_TOOLS = 8
+MISSING_META_TOOL = "ict-05"  # present in transcripts, absent from tool_meta
+ANALOG_KINDS = [("RES", "r"), ("CAP", "c"), ("DIO", "v"), ("IND", "l"), ("JUM", "j")]
+TS_BASE = datetime(2026, 1, 5, 6, 0, 0)  # spans 3 shifts and >24 h
+SPREAD_US = int(30 * 3600 * 1e6)
+
+FAIL_RATE = 0.10
+RETEST_RATE = 0.45  # panel-level retest probability when a board failed
+REFAIL_RATE = 0.30
+CHATTER_RATE = 0.05
+DUP_RATE = 0.01
+MEGA_FACTOR = 60  # mega conversation: ~60x the median attempt length
+
+CHATTER_WORDS = (
+    "operator note fixture probe contact clean vacuum ok warn temp drift "
+    "shift change pallet scan misread retry belt jam reseat"
+).split()
+
+
+def _build_testdefs(seed: int):
+    """120 test definitions: 100 analog (typed, with limits) + 20 digital."""
+    rng = np.random.default_rng([seed, 7001])
+    defs = []
+    for i in range(100):
+        kind, prefix = ANALOG_KINDS[int(rng.integers(0, len(ANALOG_KINDS)))]
+        name = f"{prefix}{100 + i}"
+        if kind == "DIO" and rng.random() < 0.3:
+            name += "%ON"
+        nom = float(10.0 ** rng.uniform(0.0, 4.0))
+        lim_kind = 3 if rng.random() < 0.8 else 2
+        defs.append(
+            dict(name=name, kind=kind, nom=nom, lim=lim_kind, digital=False)
+        )
+    for i in range(20):
+        defs.append(dict(name=f"d{100 + i}", kind="DIG", digital=True))
+    pareto_idx = [int(i) for i in rng.choice(100, size=10, replace=False)]
+    limit_change_names = [defs[pareto_idx[0]]["name"], defs[pareto_idx[1]]["name"]]
+    return defs, pareto_idx, limit_change_names
+
+
+def _fmt_ts(t_us: int) -> str:
+    return (TS_BASE + timedelta(microseconds=t_us)).strftime("%y%m%d%H%M%S")
+
+
+def _abs_us(t_us: int) -> int:
+    """Microseconds since unix epoch for the ts column (timestamp[us], naive)."""
+    return int((TS_BASE - datetime(1970, 1, 1)).total_seconds() * 1e6) + t_us
+
+
+class _Rows:
+    __slots__ = ("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+    def __init__(self):
+        self.conv_id, self.turn_idx, self.role, self.text, self.tool, self.ts = (
+            [], [], [], [], [], [],
+        )
+
+    def add(self, conv_id, turn_idx, role, text, tool, t_us):
+        self.conv_id.append(conv_id)
+        self.turn_idx.append(turn_idx)
+        self.role.append(role)
+        self.text.append(text)
+        self.tool.append(tool)
+        self.ts.append(_abs_us(t_us))
+
+
+def _emit_attempt(rows, conv_id, serial, panel_serial, board_index, tool, t_us,
+                  subset, fail_tests, attempt_pass, prng, defs,
+                  limit_change_names, mid_us):
+    status = "00" if attempt_pass else "01"
+    turn = 0
+    rows.add(conv_id, turn, "header",
+             f"{{@BTEST|{serial}|{status}|{_fmt_ts(t_us)}|{board_index}|{panel_serial}}}",
+             tool, t_us)
+    turn += 1
+    for ti in subset:
+        t_us += int(prng.integers(50_000, 200_000))
+        if prng.random() < CHATTER_RATE:
+            words = " ".join(
+                CHATTER_WORDS[int(w)]
+                for w in prng.integers(0, len(CHATTER_WORDS), size=int(prng.integers(3, 8)))
+            )
+            rows.add(conv_id, turn, "chatter", words, tool, t_us)
+            turn += 1
+            t_us += int(prng.integers(10_000, 50_000))
+        d = defs[ti]
+        failed = d["name"] in fail_tests
+        st = "01" if failed else "00"
+        if d["digital"]:
+            rows.add(conv_id, turn, "digital", f"{{@D-T|{st}|{d['name']}}}", tool, t_us)
+        else:
+            nom = d["nom"]
+            if d["name"] in limit_change_names and t_us > mid_us:
+                nom *= 1.05  # limit change mid-corpus (exercises A6)
+            ul, ll = nom * 1.1, nom * 0.9
+            if failed:
+                meas = nom * (1.2 + prng.uniform(0.0, 0.5))
+            else:
+                meas = nom * (1.0 + prng.uniform(-0.08, 0.08))
+            text = f"{{@A-{d['kind']}|{st}|{meas:+1.4E}|{d['name']}}}"
+            if d["lim"] == 3:
+                text += f"{{@LIM3|{nom:+1.4E}|{ul:+1.4E}|{ll:+1.4E}}}"
+            else:
+                text += f"{{@LIM2|{ul:+1.4E}|{ll:+1.4E}}}"
+            rows.add(conv_id, turn, "analog", text, tool, t_us)
+        turn += 1
+    t_us += int(prng.integers(100_000, 400_000))
+    rows.add(conv_id, turn, "status",
+             f"{{@BTEST-END|{status}|{_fmt_ts(t_us)}}}", tool, t_us)
+    return t_us
+
+
+def n_panels_for_sf(sf: float) -> int:
+    return max(8, int(round(50_000 * sf)))
+
+
+def generate_transcripts_table(sf: float, seed: int = DEFAULT_SEED) -> pa.Table:
+    defs, pareto_idx, limit_change_names = _build_testdefs(seed)
+    pareto_names = [defs[i]["name"] for i in pareto_idx]
+    n_panels = n_panels_for_sf(sf)
+    mid_us = SPREAD_US // 2
+    rows = _Rows()
+
+    for p in range(n_panels):
+        prng = np.random.default_rng([seed, p])
+        boards = int(prng.integers(1, 9))
+        tool = f"ict-{p % N_TOOLS:02d}"
+        t_us = int(p * SPREAD_US / n_panels) + int(prng.integers(0, 3_600_000_000))
+        n_t = int(prng.integers(20, 61))
+        extra = prng.choice(len(defs), size=n_t, replace=False)
+        subset = sorted(set(pareto_idx) | set(int(x) for x in extra))
+        board_failed = {}
+        run = 0
+        while True:
+            any_fail = False
+            for b in range(boards):
+                if run == 0:
+                    fails = prng.random() < FAIL_RATE
+                else:
+                    fails = prng.random() < (REFAIL_RATE if board_failed[b] else 0.02)
+                board_failed[b] = fails
+                if fails:
+                    k = int(prng.integers(1, 4))
+                    fail_tests = set(
+                        pareto_names[int(i)]
+                        for i in prng.choice(len(pareto_names), size=k, replace=False)
+                    )
+                else:
+                    fail_tests = set()
+                mega = p == 0 and b == 0 and run == 0 and sf >= 0.0005
+                sub = subset * MEGA_FACTOR if mega else subset
+                conv_id = f"B{p:04d}-{b:02d}-{run:02d}"
+                serial = f"DMC{p:05d}{b:02d}"
+                t_us = _emit_attempt(
+                    rows, conv_id, serial, f"PNL{p:05d}", b, tool, t_us, sub,
+                    fail_tests, not fails, prng, defs, limit_change_names, mid_us,
+                )
+                any_fail |= fails
+            if any_fail and run < 3 and prng.random() < RETEST_RATE:
+                run += 1
+                t_us += int(prng.integers(300_000_000, 1_800_000_000))  # 5-30 min
+                continue
+            break
+
+    n = len(rows.text)
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(rows.conv_id, pa.string()),
+            "turn_idx": pa.array(rows.turn_idx, pa.int32()),
+            "role": pa.array(rows.role, pa.string()),
+            "text": pa.array(rows.text, pa.string()),
+            "tool": pa.array(rows.tool, pa.string()),
+            "ts": pa.array(rows.ts, pa.timestamp("us")),
+        }
+    )
+    # Exact-duplicate injection (exercises dedup D1, reference main.rs:293-296).
+    drng = np.random.default_rng([seed, 999_983])
+    k = int(DUP_RATE * n)
+    if k:
+        idx = np.sort(drng.choice(n, size=k, replace=False))
+        tbl = pa.concat_tables([tbl, tbl.take(pa.array(idx))]).combine_chunks()
+    return tbl
+
+
+def tool_meta_table(seed: int = DEFAULT_SEED) -> pa.Table:
+    """Broadcast lookup side (ST2/J1; ICT_config Product analog, main.rs:364).
+
+    Covers every transcript tool except MISSING_META_TOOL (enrich must emit
+    nulls for it, not fail) plus one tool absent from transcripts.
+    """
+    tools, stations, products, lines = [], [], [], []
+    for i in list(range(N_TOOLS)) + [99]:
+        t = f"ict-{i:02d}"
+        if t == MISSING_META_TOOL:
+            continue
+        tools.append(t)
+        stations.append(f"ICT-LINE{i % 3 + 1}-{i:02d}")
+        products.append(f"PROD-{'ABC'[i % 3]}")
+        lines.append(f"L{i % 3 + 1}")
+    return pa.table(
+        {
+            "tool": pa.array(tools, pa.string()),
+            "station": pa.array(stations, pa.string()),
+            "product": pa.array(products, pa.string()),
+            "line": pa.array(lines, pa.string()),
+        }
+    )
+
+
+def fixture_dir(sf: float, seed: int = DEFAULT_SEED, root: str = DEFAULT_ROOT) -> str:
+    return os.path.join(root, f"sf{sf:g}_seed{seed}_v{FIXTURE_VERSION}")
+
+
+def ensure_fixture(sf: float, seed: int = DEFAULT_SEED, root: str = DEFAULT_ROOT) -> str:
+    """Idempotently materialize transcripts.parquet + tool_meta.parquet.
+
+    Returns the directory.  Safe to call from multiple entry points; a marker
+    file written last makes partially-written dirs regenerate.
+    """
+    d = fixture_dir(sf, seed, root)
+    marker = os.path.join(d, "_DONE.json")
+    if os.path.exists(marker):
+        return d
+    os.makedirs(d, exist_ok=True)
+    tbl = generate_transcripts_table(sf, seed)
+    # Modest row groups so ray.data.read_parquet can split the file into
+    # multiple blocks for parallel parse even from a single file.
+    pq.write_table(tbl, os.path.join(d, "transcripts.parquet"), row_group_size=32_768)
+    pq.write_table(tool_meta_table(seed), os.path.join(d, "tool_meta.parquet"))
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"sf": sf, "seed": seed, "rows": tbl.num_rows,
+                   "version": FIXTURE_VERSION}, f)
+    os.replace(tmp, marker)
+    return d
+
+
+def sf_from_dir(sf_dir: str, default: float = 0.01) -> float:
+    """Map a driver sf dir like /root/testdata/sf0.01 to the fixture scale."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return default

@@ -1,0 +1,89 @@
+"""Flagship pipeline: read → parse → enrich → rank attempts → route → sinks
++ yield-report aggregates (SURVEY.md §3.1 re-expressed Ray-Data-first).
+
+The reference runs steps 4-5 of its manual-load path as a sequential
+file-by-file parse into a global in-memory store, then six aggregate methods
+over that store (/root/reference/src/main.rs:482-502, 416-429).  Here the
+same lifecycle is one lazy Dataset lineage executed by the streaming
+executor, with the attempt-level shuffle factored out once and reused by
+routing and every aggregate.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+from ..fixtures import ensure_fixture
+from ..sources.transcripts import read_transcripts
+from ..stages.attempts import ranked_attempts
+from ..stages.enrich import enrich_dataset
+from ..stages.parse import parse_dataset
+from ..stages.route import attach_attempt_flags, route_dataset, sink_counts
+from . import reports
+
+
+def build(transcripts_path, tool_meta: pa.Table | None = None,
+          batch_size: int = 65_536, broadcast_threshold: int = 2_000_000,
+          enrich: bool = True, dedup: bool = True, dedup_buckets: int = 64,
+          materialize_intermediates: bool = False):
+    """Construct the lazy pipeline pieces.
+
+    Returns dict with Datasets: parsed, enriched, attempts (ranked),
+    flagged (turns + attempt flags), routed (with sink column).
+    Nothing is executed yet — consume what you need.
+
+    ``materialize_intermediates=True`` pins the parsed turns and the (small)
+    attempt table in the object store so several aggregates can fan out from
+    them without re-running the upstream.  Use for multi-report runs at
+    test/bench scale; at 100 TB prefer the single-pass
+    ``run_to_sinks`` + aggregate-from-sinks flow instead.
+    """
+    raw = read_transcripts(transcripts_path)
+    if dedup:
+        from ..stages.dedup import exact_dedup
+        raw = exact_dedup(raw, keys=("conv_id", "turn_idx"),
+                          num_buckets=dedup_buckets)
+    parsed = parse_dataset(raw, batch_size=batch_size)
+    if enrich and tool_meta is not None:
+        parsed = enrich_dataset(parsed, tool_meta, batch_size=batch_size)
+    if materialize_intermediates:
+        parsed = parsed.materialize()
+    ranked = ranked_attempts(parsed, broadcast_threshold=broadcast_threshold)
+    if materialize_intermediates:
+        ranked = ranked.materialize()
+    flagged = attach_attempt_flags(parsed, ranked,
+                                   broadcast_threshold=broadcast_threshold)
+    if materialize_intermediates:
+        flagged = flagged.materialize()
+    routed = route_dataset(flagged)
+    return {"parsed": parsed, "attempts": ranked, "flagged": flagged,
+            "routed": routed}
+
+
+def run_reports(pipe) -> dict:
+    """Execute the six cached aggregates of the reference's update_stats
+    (main.rs:416-429) over the pipeline."""
+    ranked = pipe["attempts"]
+    flagged = pipe["flagged"]
+    parsed = pipe["parsed"]
+    return {
+        "yields_sb": reports.yields_sb(ranked),
+        "yields_mb": reports.yields_mb(ranked),
+        "pareto_all": reports.failure_pareto(flagged, "all").to_pandas(),
+        "pareto_after_retest": reports.failure_pareto(flagged, "after_retest").to_pandas(),
+        "pareto_first_pass": reports.failure_pareto(flagged, "first_pass").to_pandas(),
+        "hourly": reports.hourly_stats(ranked).to_pandas(),
+        "limit_changes": reports.limit_changes(parsed).to_pandas(),
+        "sink_counts": sink_counts(pipe["routed"]).to_pandas(),
+    }
+
+
+def flagship_for_sf(sf: float, seed: int = 42):
+    """Fixture-backed flagship pipeline at a given scale factor."""
+    import pyarrow.parquet as pq
+
+    d = ensure_fixture(sf, seed)
+    meta = pq.read_table(os.path.join(d, "tool_meta.parquet"))
+    return build(os.path.join(d, "transcripts.parquet"), tool_meta=meta)

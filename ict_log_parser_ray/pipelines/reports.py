@@ -1,0 +1,335 @@
+"""Yield-report aggregates (SURVEY.md §2.5 A1-A10) as Ray Data jobs.
+
+Inputs:
+- ``ranked`` — the attempt-level Dataset from ``stages.attempts.ranked_attempts``
+  (one row per conv_id, with att_rank / is_first / is_final / n_attempts)
+- ``flagged`` — the turn-level parsed Dataset with attempt flags attached
+  (``stages.route.attach_attempt_flags``)
+
+All heavy lifting is pre-aggregated inside ``map_batches`` (partial sums /
+per-batch masks) before any shuffle; the shuffles key on ``test_name``,
+``hour_key``, ``panel_serial`` or ``conv_id`` — never on raw turns without a
+prior reduction.  Results are small tables, safe to return as pyarrow.
+
+Reference semantics being matched:
+- A1 get_yields(): [first, final(after-retest), all] (OK, NOK) tallies —
+  /root/reference/src/main.rs:421, row order proof main.rs:712-748
+- A2 get_mb_yields(): panel OK iff all boards OK — main.rs:422
+- A3 get_failures(FlSettings::{FirstPass,All,AfterRetest}) — main.rs:760-794
+- A4 get_hourly_mb_stats() — main.rs:424, daily_yield.rs:91
+- A5 get_mb_results() (last-attempt-wins rule main.rs:1205)
+- A6 get_tests_w_limit_changes() — main.rs:426 (raw-string limit compare)
+- A7 get_failed_boards() — daily_yield.rs:146-165
+- A8 get_stats_for_test(id) — main.rs:350,1002,1014-1085
+- A9 get_testlist() — main.rs:972
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data.aggregate import Count, Max, Min, Sum, Unique
+
+from ..functions.timecodes import hour_key
+from ..stages.join import attach_lookup
+
+
+
+def _strcol(batch: pa.Table, name: str) -> pa.Array:
+    """Column as string type even when it is all-null (pa.null() typed) —
+    happens when e.g. no BTEST-END record exists anywhere (truncated logs)."""
+    col = batch[name]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_null(col.type):
+        col = pc.cast(col, pa.string())
+    return col
+
+def _pct(ok, nok):
+    tot = ok + nok
+    return round(100.0 * ok / tot, 4) if tot else 0.0
+
+
+# ---------------------------------------------------------------- A1 / A2
+
+def _yield_flags(batch: pa.Table) -> pa.Table:
+    ok = pc.equal(pc.fill_null(_strcol(batch, "att_status"), "unknown"), "pass")
+    i8 = pa.int64()
+    c = pc.cast
+    first = batch["is_first"]
+    final = batch["is_final"]
+    return pa.table({
+        "first_ok": c(pc.and_(first, ok), i8),
+        "first_nok": c(pc.and_(first, pc.invert(ok)), i8),
+        "final_ok": c(pc.and_(final, ok), i8),
+        "final_nok": c(pc.and_(final, pc.invert(ok)), i8),
+        "all_ok": c(ok, i8),
+        "all_nok": c(pc.invert(ok), i8),
+    })
+
+
+def yields_sb(ranked) -> pa.Table:
+    """A1: single-board yields — 3 rows (phase, ok, nok, yield_pct)."""
+    flags = ranked.map_batches(_yield_flags, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    sums = flags.sum(["first_ok", "first_nok", "final_ok", "final_nok",
+                      "all_ok", "all_nok"])
+    rows = []
+    for phase in ("first", "final", "all"):
+        ok, nok = sums[f"sum({phase}_ok)"], sums[f"sum({phase}_nok)"]
+        rows.append({"phase": phase, "ok": ok, "nok": nok,
+                     "yield_pct": _pct(ok, nok)})
+    return pa.Table.from_pylist(rows)
+
+
+def panel_runs(ranked):
+    """Panel-run granularity: one row per (panel_serial, att_rank) with
+    panel_ok iff every board attempt in that run passed (A2 precursor)."""
+    def _prep(b: pa.Table) -> pa.Table:
+        nok = pc.cast(
+            pc.invert(pc.equal(pc.fill_null(_strcol(b, "att_status"), "unknown"), "pass")),
+            pa.int64())
+        return pa.table({
+            "panel_serial": b["panel_serial"],
+            "att_rank": b["att_rank"],
+            "nok_boards": nok,
+            "n_boards": pa.array([1] * b.num_rows, pa.int64()),
+            "start_ts": b["start_ts"],
+            "n_attempts": pc.cast(b["n_attempts"], pa.int64()),
+        })
+
+    pre = ranked.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
+    return pre.groupby(["panel_serial", "att_rank"]).aggregate(
+        Sum("nok_boards", alias_name="nok_boards"),
+        Sum("n_boards", alias_name="n_boards"),
+        Min("start_ts", alias_name="start_ts"),
+        Max("n_attempts", alias_name="n_runs"),
+    )
+
+
+def yields_mb(ranked) -> pa.Table:
+    """A2: multiboard/panel yields — 3 rows (phase, ok, nok, yield_pct).
+
+    A board that is never retested keeps its rank-0 result for later panel
+    runs implicitly in the reference (the panel re-run logfile carries every
+    board), and the fixture re-emits every board per run, so
+    (panel_serial, att_rank) exactly identifies a panel run.
+    """
+    runs = panel_runs(ranked)
+
+    def _flags(b: pa.Table) -> pa.Table:
+        ok = pc.equal(b["nok_boards"], 0)
+        first = pc.equal(b["att_rank"], 0)
+        final = pc.equal(pc.cast(b["att_rank"], pa.int64()),
+                         pc.subtract(pc.cast(b["n_runs"], pa.int64()), 1))
+        c = pc.cast
+        i8 = pa.int64()
+        return pa.table({
+            "first_ok": c(pc.and_(first, ok), i8),
+            "first_nok": c(pc.and_(first, pc.invert(ok)), i8),
+            "final_ok": c(pc.and_(final, ok), i8),
+            "final_nok": c(pc.and_(final, pc.invert(ok)), i8),
+            "all_ok": c(ok, i8),
+            "all_nok": c(pc.invert(ok), i8),
+        })
+
+    flags = runs.map_batches(_flags, batch_format="pyarrow", zero_copy_batch=True)
+    sums = flags.sum(["first_ok", "first_nok", "final_ok", "final_nok",
+                      "all_ok", "all_nok"])
+    rows = []
+    for phase in ("first", "final", "all"):
+        ok, nok = sums[f"sum({phase}_ok)"], sums[f"sum({phase}_nok)"]
+        rows.append({"phase": phase, "ok": ok, "nok": nok,
+                     "yield_pct": _pct(ok, nok)})
+    return pa.Table.from_pylist(rows)
+
+
+# ---------------------------------------------------------------- A3
+
+FL_SETTINGS = ("first_pass", "all", "after_retest")
+
+
+def failure_pareto(flagged, mode: str = "all"):
+    """A3: failure Pareto per test under FlSettings mode.
+
+    Returns Dataset(test_name, total, n_boards) sorted most-frequent-first
+    (O3).  total = failing records; n_boards = distinct failing board serials.
+    """
+    assert mode in FL_SETTINGS
+
+    def _fails(b: pa.Table) -> pa.Table:
+        rt = b["record_type"]
+        is_test = pc.or_(pc.equal(rt, "analog"), pc.equal(rt, "digital"))
+        m = pc.and_(is_test, pc.equal(pc.fill_null(b["status"], "u"), "fail"))
+        if mode == "first_pass":
+            m = pc.and_(m, pc.fill_null(b["is_first"], False))
+        elif mode == "after_retest":
+            m = pc.and_(m, pc.fill_null(b["is_final"], False))
+        t = b.filter(m)
+        return t.select(["test_name", "att_serial"])
+
+    fails = flagged.map_batches(_fails, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    per_board = fails.groupby(["test_name", "att_serial"]).aggregate(
+        Count(alias_name="n"))
+    pareto = per_board.groupby("test_name").aggregate(
+        Sum("n", alias_name="total"), Count(alias_name="n_boards"))
+    return pareto.sort(["total", "test_name"], descending=[True, False])
+
+
+def failures_by_index(flagged, mode: str = "all"):
+    """A3 by_index: failures per (test_name, panel position)."""
+    assert mode in FL_SETTINGS
+
+    def _fails(b: pa.Table) -> pa.Table:
+        rt = b["record_type"]
+        is_test = pc.or_(pc.equal(rt, "analog"), pc.equal(rt, "digital"))
+        m = pc.and_(is_test, pc.equal(pc.fill_null(b["status"], "u"), "fail"))
+        if mode == "first_pass":
+            m = pc.and_(m, pc.fill_null(b["is_first"], False))
+        elif mode == "after_retest":
+            m = pc.and_(m, pc.fill_null(b["is_final"], False))
+        return b.filter(m).select(["test_name", "att_board_index"])
+
+    fails = flagged.map_batches(_fails, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    return fails.groupby(["test_name", "att_board_index"]).aggregate(
+        Count(alias_name="n")).sort(["test_name", "att_board_index"])
+
+
+# ---------------------------------------------------------------- A4
+
+def hourly_stats(ranked):
+    """A4: per-hour panel-attempt throughput: (hour_key, ok, nok)."""
+    def _prep(b: pa.Table) -> pa.Table:
+        ok = pc.equal(pc.fill_null(_strcol(b, "att_status"), "unknown"), "pass")
+        return pa.table({
+            "hour_key": hour_key(b["start_ts"]),
+            "ok": pc.cast(ok, pa.int64()),
+            "nok": pc.cast(pc.invert(ok), pa.int64()),
+        })
+
+    pre = ranked.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
+    return pre.groupby("hour_key").aggregate(
+        Sum("ok", alias_name="ok"), Sum("nok", alias_name="nok")
+    ).sort("hour_key")
+
+
+# ---------------------------------------------------------------- A5
+
+def mb_results(ranked):
+    """A5: per panel: chronological runs with per-board results.
+
+    Dataset(panel_serial, att_rank, start_ts, panel_result, boards) where
+    boards is the list of per-position statuses ordered by board_index and
+    panel_result applies the all-boards-OK rule; the panel's *display* result
+    is its final run's result (last-attempt-wins, main.rs:1205).
+    """
+    def _prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "panel_serial": b["panel_serial"],
+            "att_rank": b["att_rank"],
+            "board_index": b["board_index"],
+            "att_status": pc.fill_null(_strcol(b, "att_status"), "unknown"),
+            "start_ts": b["start_ts"],
+        })
+
+    pre = ranked.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    import pandas as pd
+
+    def _per_run(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("board_index")
+        ok = (g["att_status"] == "pass").all()
+        return pd.DataFrame({
+            "panel_serial": [g["panel_serial"].iloc[0]],
+            "att_rank": [g["att_rank"].iloc[0]],
+            "start_ts": [g["start_ts"].min()],
+            "panel_result": ["pass" if ok else "fail"],
+            "boards": [",".join(g["att_status"].tolist())],
+        })
+
+    return pre.groupby(["panel_serial", "att_rank"]).map_groups(
+        _per_run, batch_format="pandas").sort(["panel_serial", "att_rank"])
+
+
+# ---------------------------------------------------------------- A6
+
+def limit_changes(parsed):
+    """A6: tests whose raw limit signature has >1 distinct value."""
+    def _lims(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(b["record_type"], "analog"),
+                    pc.is_valid(b["lim_sig"]))
+        return b.filter(m).select(["test_name", "lim_sig"])
+
+    lims = parsed.map_batches(_lims, batch_format="pyarrow", zero_copy_batch=True)
+    per_sig = lims.groupby(["test_name", "lim_sig"]).aggregate(
+        Count(alias_name="n"))
+    per_test = per_sig.groupby("test_name").aggregate(
+        Count(alias_name="n_limits"))
+    return per_test.filter(lambda r: r["n_limits"] > 1).sort("test_name")
+
+
+# ---------------------------------------------------------------- A7
+
+def failed_boards(ranked, flagged, broadcast_threshold: int = 2_000_000):
+    """A7: boards failing after retest: (serial, conv_id, end_ts, failed_tests).
+
+    failed_tests = comma-joined sorted failing test names of the final
+    attempt (daily_yield.rs:163 ``board.3.join(", ")``).
+    """
+    def _fail_names(b: pa.Table) -> pa.Table:
+        rt = b["record_type"]
+        is_test = pc.or_(pc.equal(rt, "analog"), pc.equal(rt, "digital"))
+        m = pc.and_(pc.and_(is_test,
+                            pc.equal(pc.fill_null(b["status"], "u"), "fail")),
+                    pc.fill_null(b["is_final"], False))
+        return b.filter(m).select(["conv_id", "test_name"])
+
+    names = flagged.map_batches(_fail_names, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    per_conv = names.groupby("conv_id").aggregate(
+        Unique("test_name", alias_name="names"))
+
+    def _join_names(b: pa.Table) -> pa.Table:
+        joined = [",".join(sorted(x)) if x is not None else ""
+                  for x in b["names"].to_pylist()]
+        return b.drop_columns(["names"]).append_column(
+            "failed_tests", pa.array(joined, pa.string()))
+
+    per_conv = per_conv.map_batches(_join_names, batch_format="pyarrow")
+
+    final_fail = ranked.filter(
+        lambda r: r["is_final"] and r["att_status"] == "fail")
+    out = attach_lookup(final_fail, per_conv, on="conv_id",
+                        broadcast_threshold=broadcast_threshold)
+    return out.map_batches(
+        lambda t: t.select(["serial", "conv_id", "end_ts", "att_status",
+                            "failed_tests"]),
+        batch_format="pyarrow").sort(["serial", "conv_id"])
+
+
+# ---------------------------------------------------------------- A8 / A9
+
+def test_series(parsed, test_name: str):
+    """A8: full time-series of one test across boards, chronological."""
+    def _sel(b: pa.Table) -> pa.Table:
+        m = pc.equal(pc.fill_null(b["test_name"], ""), test_name)
+        return b.filter(m).select(
+            ["conv_id", "ts", "status", "measurement",
+             "lim_nom", "lim_ul", "lim_ll", "ttype"])
+
+    return parsed.map_batches(_sel, batch_format="pyarrow",
+                              zero_copy_batch=True).sort(["ts", "conv_id"])
+
+
+def testlist(parsed):
+    """A9: distinct test names with record counts, name-ordered."""
+    def _sel(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_valid(b["test_name"])).select(
+            ["test_name", "ttype"])
+
+    t = parsed.map_batches(_sel, batch_format="pyarrow", zero_copy_batch=True)
+    return t.groupby("test_name").aggregate(
+        Count(alias_name="n"), Max("ttype", alias_name="ttype")
+    ).sort("test_name")

@@ -1,0 +1,135 @@
+"""Attempt-level metadata: the distributed replacement for the reference's
+in-memory per-board attempt history (ST1/D2; /root/reference/src/main.rs:318,
+first/last-attempt rules main.rs:712-748 and main.rs:1205).
+
+One attempt = one conversation (``conv_id``) = one logfile in the reference.
+Header and BTEST-END rows are a tiny fraction (~2 of ~40 turns) of each
+conversation, so the attempt table is ~20× smaller than the turn table:
+
+1. ``map_batches`` filter to header/btest_end rows (vectorized mask — prunes
+   ~95% of rows before any shuffle);
+2. ``groupby(conv_id)`` Min/Max aggregate → one row per attempt
+   (duplicate-injected rows collapse here for free: exact dedup D1,
+   main.rs:293-296);
+3. rank attempts within a board serial WITHOUT per-group Python:
+   ``groupby(serial)`` Min/Max over a sortable ``start_key`` →
+   join flags back → ``is_first`` / ``is_final`` booleans.
+   (The reference's first-pass yield reads the first attempt, the
+   after-retest yield the last: main.rs:712-748, last-attempt-wins
+   main.rs:1205.  Ordering key = (start_ts, conv_id) — deterministic
+   tie-break, SURVEY.md §2.6 O2.)
+
+Scale note: both shuffles here run over the attempt table (turns/40); keys
+are ``conv_id`` and ``serial``.  A mega-conversation skews only step 1's
+*input*, which is an embarrassingly parallel map — the groupbys see one row
+per (conv, type) after the per-batch pre-filter, so skew never reaches a
+shuffle with heavy groups.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data.aggregate import Count, Max, Min
+
+from .join import attach_lookup
+
+_TS = pa.timestamp("us")
+
+
+def _attempt_rows(batch: pa.Table) -> pa.Table:
+    """Project header/btest_end rows to the attempt-meta columns."""
+    rt = batch["record_type"]
+    mask = pc.or_(pc.equal(rt, "header"), pc.equal(rt, "btest_end"))
+    b = batch.filter(mask)
+    rt = b["record_type"]
+    is_hdr = pc.equal(rt, "header")
+    is_end = pc.equal(rt, "btest_end")
+    null_s = pa.scalar(None, pa.string())
+    null_ts = pa.scalar(None, _TS)
+    return pa.table(
+        {
+            "conv_id": b["conv_id"],
+            "serial": b["serial"],
+            "panel_serial": b["panel_serial"],
+            "board_index": b["board_index"],
+            "tool": b["tool"],
+            "start_ts": pc.if_else(is_hdr, b["start_ts"], null_ts),
+            "end_ts": pc.if_else(is_end, b["start_ts"], null_ts),
+            "att_status": pc.if_else(is_end, b["status"], null_s),
+            "hdr_status": pc.if_else(is_hdr, b["status"], null_s),
+        }
+    )
+
+
+def attempts_from_parsed(parsed_ds):
+    """parsed turns Dataset → attempts Dataset (one row per conv_id)."""
+    rows = parsed_ds.map_batches(_attempt_rows, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    att = rows.groupby("conv_id").aggregate(
+        Max("serial", alias_name="serial"),
+        Max("panel_serial", alias_name="panel_serial"),
+        Max("board_index", alias_name="board_index"),
+        Max("tool", alias_name="tool"),
+        Min("start_ts", alias_name="start_ts"),
+        Max("end_ts", alias_name="end_ts"),
+        Max("att_status", alias_name="att_status"),
+        Max("hdr_status", alias_name="hdr_status"),
+    )
+    return att
+
+
+def _add_start_key(batch: pa.Table) -> pa.Table:
+    # sortable string key: zero-padded epoch micros + conv_id tie-break
+    us = pc.cast(pc.cast(batch["start_ts"], pa.int64()), pa.string())
+    padded = pc.utf8_lpad(us, 20, padding="0")
+    key = pc.binary_join_element_wise(padded, batch["conv_id"], "|")
+    return batch.append_column("start_key", key)
+
+
+def _rank_batch(batch: pa.Table) -> pa.Table:
+    """Ordinal attempt rank from the per-serial sorted key list.
+
+    ``all_keys`` is the per-serial list of attempt start_keys (from the
+    ``Unique`` aggregate); rank = position of this attempt's key in the
+    sorted list.  Vectorized over the flattened list column with numpy
+    searchsorted per row-segment (no Python per element beyond the segment
+    loop; segments are per-attempt and the attempt table is turns/40).
+    """
+    import numpy as np
+
+    keys = batch["start_key"].to_pylist()
+    lists = batch["all_keys"].to_pylist()
+    ranks = np.empty(len(keys), dtype=np.int32)
+    n_att = np.empty(len(keys), dtype=np.int32)
+    for i, (k, lst) in enumerate(zip(keys, lists)):
+        lst = sorted(lst)
+        ranks[i] = lst.index(k)
+        n_att[i] = len(lst)
+    batch = batch.append_column("att_rank", pa.array(ranks, pa.int32()))
+    batch = batch.append_column("n_attempts", pa.array(n_att, pa.int32()))
+    batch = batch.append_column("is_first", pc.equal(batch["att_rank"], 0))
+    batch = batch.append_column(
+        "is_final", pc.equal(batch["att_rank"], pc.subtract(batch["n_attempts"], 1))
+    )
+    return batch.drop_columns(["start_key", "all_keys"])
+
+
+def rank_attempts(attempts_ds, broadcast_threshold: int = 2_000_000):
+    """Attach ``att_rank`` / ``is_first`` / ``is_final`` / ``n_attempts``."""
+    from ray.data.aggregate import Unique
+
+    att = attempts_ds.map_batches(_add_start_key, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    per_serial = att.groupby("serial").aggregate(
+        Unique("start_key", alias_name="all_keys"),
+    )
+    joined = attach_lookup(att, per_serial, on="serial",
+                           broadcast_threshold=broadcast_threshold)
+    return joined.map_batches(_rank_batch, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def ranked_attempts(parsed_ds, broadcast_threshold: int = 2_000_000):
+    return rank_attempts(attempts_from_parsed(parsed_ds),
+                         broadcast_threshold=broadcast_threshold)

@@ -1,0 +1,52 @@
+"""Enrichment stage: tool → station/product/line broadcast lookup (ST2/J1).
+
+The reference loads a small Product config once and consults it per run
+(/root/reference/src/main.rs:31,364,627-629).  Here the small side is
+broadcast: the driver ``ray.put``s the lookup table once; each actor in the
+pool fetches it in ``__init__`` (once per actor, NOT per batch) and does a
+vectorized ``index_in``+``take`` dictionary lookup per batch.  No shuffle.
+
+Unknown tools (present in transcripts, absent from the lookup) yield nulls —
+they must not fail the pipeline (FIXTURES.md §2).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+ENRICH_COLS = ("station", "product", "line")
+
+
+class ToolMetaEnricher:
+    """Actor-pool callable for ``map_batches(ToolMetaEnricher, ...)``."""
+
+    def __init__(self, meta_ref):
+        meta = ray.get(meta_ref) if isinstance(meta_ref, ray.ObjectRef) else meta_ref
+        if isinstance(meta, pa.Table):
+            tbl = meta.combine_chunks()
+        else:  # dict of lists
+            tbl = pa.table(meta)
+        self._tools = tbl["tool"].combine_chunks() if isinstance(tbl["tool"], pa.ChunkedArray) else tbl["tool"]
+        self._cols = {c: tbl[c] for c in ENRICH_COLS}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        idx = pc.index_in(batch["tool"], value_set=self._tools)
+        for name in ENRICH_COLS:
+            batch = batch.append_column(name, pc.take(self._cols[name], idx))
+        return batch
+
+
+def enrich_dataset(ds, tool_meta: pa.Table, concurrency=(1, 8), batch_size: int = 65_536):
+    """Attach station/product/line columns via an actor pool holding the
+    broadcast lookup (setup once per actor in ``__init__``)."""
+    ref = ray.put(tool_meta)
+    return ds.map_batches(
+        ToolMetaEnricher,
+        fn_constructor_kwargs={"meta_ref": ref},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

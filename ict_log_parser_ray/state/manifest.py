@@ -1,0 +1,173 @@
+"""Checkpoint manifest + resumable sharded run (ST4/W2; SURVEY.md §2.3, §4).
+
+The reference's incremental AutoUpdate keeps a single mtime watermark and
+re-pushes anything newer (/root/reference/src/main.rs:205-211,269-273),
+re-running every aggregate afterwards (main.rs:691-694).  At 10^12-turn scale
+the equivalent is a **per-shard manifest diff**:
+
+- the input is a list of shards (parquet files); each completed shard has a
+  manifest entry ``{shard_id, phase, status, rows_in, rows_out, sink_rows,
+  lineage, wall_time_s}`` written atomically (tmp+rename, one JSON file per
+  entry, so concurrent workers and crashes can never corrupt the manifest);
+- a (re)run lists shards, subtracts the completed set, and processes only the
+  remainder — resume-from-failure without reprocessing completed shards;
+- re-processing a shard is idempotent: each shard writes to its own output
+  subdirectory which is replaced wholesale on rewrite (W2: overlap is safe
+  because sinks are overwritten per partition).
+
+Three phases mirror the pipeline's data dependencies:
+
+- ``parse``  (per shard, resumable): parse+enrich → ``records/shard=<id>/``.
+  This is the expensive ~95% of the job and never re-runs for done shards.
+- ``attempts`` (global, cheap): attempt table + ranks from the records
+  output, reading only the header/end columns (columnar pruning) —
+  recomputed on every run like the reference's update_stats, because attempt
+  ranking is cross-shard state.
+- ``route`` (per shard, resumable, keyed by the attempts-table fingerprint):
+  records + broadcast attempt flags → ``sinks/shard=<id>/sink=<name>/``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+
+class Manifest:
+    def __init__(self, root: str):
+        self.root = root
+        self.dir = os.path.join(root, "_manifest")
+        os.makedirs(self.dir, exist_ok=True)
+
+    def entries(self) -> dict:
+        out = {}
+        for fn in sorted(os.listdir(self.dir)):
+            if not fn.endswith(".json"):
+                continue
+            with open(os.path.join(self.dir, fn)) as f:
+                e = json.load(f)
+            out[(e["phase"], e["shard_id"])] = e
+        return out
+
+    def done(self, phase: str, shard_id: str, fingerprint: str | None = None) -> bool:
+        e = self.entries().get((phase, shard_id))
+        if e is None or e.get("status") != "done":
+            return False
+        return fingerprint is None or e.get("fingerprint") == fingerprint
+
+    def record(self, phase: str, shard_id: str, **fields):
+        e = dict(phase=phase, shard_id=shard_id, status="done",
+                 recorded_at=time.time(), **fields)
+        safe = shard_id.replace("/", "_")
+        path = os.path.join(self.dir, f"{phase}__{safe}.json")
+        tmp = path + f".tmp{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(e, f)
+        os.replace(tmp, path)
+
+
+def _replace_dir(path: str):
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+
+
+ATTEMPT_META_COLS = ["conv_id", "record_type", "serial", "panel_serial",
+                     "board_index", "tool", "start_ts", "status"]
+
+
+def run_resumable(transcripts_files: list[str], out_root: str, tool_meta,
+                  dedup_buckets: int = 16, fail_after_shards: int | None = None):
+    """Sharded, manifest-checkpointed parse→enrich→rank→route run.
+
+    ``transcripts_files``: one shard per input parquet file.  Shards must be
+    **conversation-disjoint** (one conversation's turns live in one shard —
+    the natural transcript layout, and the analog of one logfile = one file
+    in the reference): per-shard exact dedup then equals global dedup, and
+    the manifest's processed-exactly-once guarantee is the file-level dedup
+    of the reference (``push_from_file → false``, main.rs:293-296).  Board
+    *attempts* may still span shards freely — attempt ranking is global
+    (phase 2).
+
+    ``fail_after_shards``: test hook — raise after N parse shards to simulate
+    a crash; a subsequent call resumes from the manifest.
+    """
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.attempts import ranked_attempts
+    from ..stages.dedup import exact_dedup
+    from ..stages.enrich import enrich_dataset
+    from ..stages.parse import parse_dataset
+    from ..stages.route import (attach_attempt_flags, route_dataset)
+
+    man = Manifest(out_root)
+    records_root = os.path.join(out_root, "records")
+    sinks_root = os.path.join(out_root, "sinks")
+
+    # ---- phase 1: parse/enrich per shard (resumable) ----
+    parsed_n = 0
+    for i, path in enumerate(transcripts_files):
+        sid = f"{i:05d}"
+        if man.done("parse", sid):
+            continue
+        t0 = time.time()
+        ds = rd.read_parquet(path)
+        rows_in = ds.count()
+        ds = exact_dedup(ds, num_buckets=dedup_buckets)
+        ds = parse_dataset(ds)
+        if tool_meta is not None:
+            ds = enrich_dataset(ds, tool_meta)
+        shard_dir = os.path.join(records_root, f"shard={sid}")
+        _replace_dir(shard_dir)
+        ds.write_parquet(shard_dir)
+        rows_out = sum(
+            pq.ParquetFile(os.path.join(shard_dir, f)).metadata.num_rows
+            for f in os.listdir(shard_dir) if f.endswith(".parquet"))
+        man.record("parse", sid, input_path=path, rows_in=rows_in,
+                   rows_out=rows_out, wall_time_s=round(time.time() - t0, 3),
+                   lineage={"stage": "dedup|parse|enrich", "input": path})
+        parsed_n += 1
+        if fail_after_shards is not None and parsed_n >= fail_after_shards:
+            raise RuntimeError(f"simulated crash after {parsed_n} shards")
+
+    # ---- phase 2: global attempt table (cheap, always recomputed) ----
+    t0 = time.time()
+    records = rd.read_parquet(records_root)
+    ranked = ranked_attempts(records).materialize()
+    att_fp = f"attempts:{ranked.count()}"
+    att_dir = os.path.join(out_root, "attempts")
+    _replace_dir(att_dir)
+    ranked.write_parquet(att_dir)
+    man.record("attempts", "GLOBAL", rows_out=ranked.count(),
+               wall_time_s=round(time.time() - t0, 3), fingerprint=att_fp)
+
+    # ---- phase 3: route per shard (resumable under attempts fingerprint) ----
+    for i, path in enumerate(transcripts_files):
+        sid = f"{i:05d}"
+        if man.done("route", sid, fingerprint=att_fp):
+            continue
+        t0 = time.time()
+        recs = rd.read_parquet(os.path.join(records_root, f"shard={sid}"))
+        flagged = attach_attempt_flags(recs, ranked)
+        routed = route_dataset(flagged)
+        shard_dir = os.path.join(sinks_root, f"shard={sid}")
+        _replace_dir(shard_dir)
+        routed.write_parquet(shard_dir, partition_cols=["sink"])
+        sink_rows = {}
+        for d in os.listdir(shard_dir):
+            if d.startswith("sink="):
+                n = sum(pq.ParquetFile(os.path.join(shard_dir, d, f)).metadata.num_rows
+                        for f in os.listdir(os.path.join(shard_dir, d))
+                        if f.endswith(".parquet"))
+                sink_rows[d.split("=", 1)[1]] = n
+        man.record("route", sid, fingerprint=att_fp, sink_rows=sink_rows,
+                   rows_out=sum(sink_rows.values()),
+                   wall_time_s=round(time.time() - t0, 3),
+                   lineage={"records": f"shard={sid}", "attempts": att_fp})
+
+    return {"manifest": man, "records": records_root, "sinks": sinks_root,
+            "attempts": att_dir}

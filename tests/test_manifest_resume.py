@@ -1,0 +1,107 @@
+"""Kill-and-resume from the checkpoint manifest (FIXTURES.md invariant 5):
+a crashed run resumed from the manifest produces row-identical sink outputs
+to an uninterrupted run, and completed shards are not reprocessed."""
+
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+
+def _split_fixture(fixture, tmpdir, n_shards=3):
+    """Write the fixture transcripts as conv-disjoint shard files.
+
+    Sharding by conv_id hash mirrors the natural transcript layout (one
+    conversation = one logfile lives in one shard) that run_resumable's
+    per-shard dedup contract requires.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    tbl = fixture["table"]
+    bucket = pc.bit_wise_and(pc.cast(pc.multiply(
+        pc.index_in(tbl["conv_id"], value_set=pc.unique(tbl["conv_id"])), 2654435761),
+        pa.int64()), 0x7FFFFFFF)
+    shard = pc.cast(pc.subtract(bucket, pc.multiply(
+        pc.divide(bucket, n_shards), n_shards)), pa.int32())
+    paths = []
+    for i in range(n_shards):
+        part = tbl.filter(pc.equal(shard, i))
+        p = os.path.join(tmpdir, f"shard_{i}.parquet")
+        pq.write_table(part, p)
+        paths.append(p)
+    return paths
+
+
+def _read_sorted(root):
+    import duckdb
+
+    con = duckdb.connect()
+    df = con.sql(
+        f"SELECT * FROM parquet_scan('{root}/**/*.parquet', hive_partitioning=1) "
+        "ORDER BY conv_id, turn_idx, sink"
+    ).df()
+    con.close()
+    return df
+
+
+@pytest.fixture(scope="module")
+def shard_paths(fixture_sf0001, tmp_path_factory):
+    d = tmp_path_factory.mktemp("shards")
+    return _split_fixture(fixture_sf0001, str(d))
+
+
+def test_resume_after_crash_matches_uninterrupted(ray_session, fixture_sf0001,
+                                                  shard_paths, tmp_path_factory):
+    from ict_log_parser_ray.state.manifest import Manifest, run_resumable
+
+    meta = fixture_sf0001["tool_meta"]
+    out_a = str(tmp_path_factory.mktemp("run_uninterrupted"))
+    out_b = str(tmp_path_factory.mktemp("run_crashed"))
+
+    res_a = run_resumable(shard_paths, out_a, meta)
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_resumable(shard_paths, out_b, meta, fail_after_shards=2)
+    # resume: must not reprocess the 2 completed parse shards
+    entries_before = Manifest(out_b).entries()
+    done_parse = [k for k in entries_before if k[0] == "parse"]
+    assert len(done_parse) == 2
+    t_before = {k: entries_before[k]["recorded_at"] for k in done_parse}
+
+    res_b = run_resumable(shard_paths, out_b, meta)
+    entries_after = Manifest(out_b).entries()
+    for k in done_parse:
+        assert entries_after[k]["recorded_at"] == t_before[k], \
+            "completed parse shard was reprocessed on resume"
+
+    df_a = _read_sorted(res_a["sinks"])
+    df_b = _read_sorted(res_b["sinks"])
+    assert df_a.shape == df_b.shape
+    assert (df_a.reset_index(drop=True) == df_b.reset_index(drop=True)).all().all() or \
+        df_a.reset_index(drop=True).equals(df_b.reset_index(drop=True))
+
+
+def test_manifest_metrics(ray_session, fixture_sf0001, shard_paths,
+                          tmp_path_factory):
+    from ict_log_parser_ray.state.manifest import Manifest, run_resumable
+
+    out = str(tmp_path_factory.mktemp("run_metrics"))
+    run_resumable(shard_paths, out, fixture_sf0001["tool_meta"])
+    entries = Manifest(out).entries()
+    golden = fixture_sf0001["golden"]
+
+    # per-partition lineage + row-count metrics exist (A11 / north_rule)
+    parse_entries = [e for (ph, _), e in entries.items() if ph == "parse"]
+    assert all("lineage" in e and "wall_time_s" in e for e in parse_entries)
+    assert sum(e["rows_in"] for e in parse_entries) == golden["n_rows"]
+    # dedup happens during parse phase: rows_out sums to deduped count
+    assert sum(e["rows_out"] for e in parse_entries) == golden["n_deduped"]
+
+    route_entries = [e for (ph, _), e in entries.items() if ph == "route"]
+    sink_totals = {}
+    for e in route_entries:
+        for s, n in e["sink_rows"].items():
+            sink_totals[s] = sink_totals.get(s, 0) + n
+    assert sink_totals == golden["sink_counts"]
