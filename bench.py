@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver-run per round; see BASELINE.md).
+
+Default mode: one fresh local Ray session (num_cpus from $RAY_GRAFT_CPUS,
+default 32), runs the headline transcript pipeline (parse→enrich→rank→route→
+sinks + the six update_stats aggregates) over the deterministic fixture at
+the scale matching $GRAFT_SF_DIR, plus representative driver-table queries,
+and prints ONE JSON line.
+
+--scaling: runs the identical headline job in fresh subprocesses at two
+parallelism levels (8 and 32 CPUs) on the same input and reports both
+throughputs plus scaling efficiency = (tput_32 / tput_8) / 4 — the sandbox
+evidence for the north_rule's N→4N cluster-size criterion.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def _quiet_ray(num_cpus: int):
+    import logging
+    import warnings
+
+    warnings.filterwarnings("ignore")
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level=logging.ERROR)
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    return ray
+
+
+def run_headline(sf: float, out_dir: str) -> dict:
+    """Single-pass flagship: fixture transcripts → routed sinks + reports."""
+    from ict_log_parser_ray import fixtures as fx
+    from ict_log_parser_ray.pipelines.flagship import build, run_reports
+    from ict_log_parser_ray.stages.route import write_sinks
+
+    import pyarrow.parquet as pq
+
+    d = fx.ensure_fixture(sf)  # cached; generation cost not measured
+    n_turns = json.load(open(os.path.join(d, "_DONE.json")))["rows"]
+    meta = pq.read_table(os.path.join(d, "tool_meta.parquet"))
+
+    t0 = time.time()
+    pipe = build(os.path.join(d, "transcripts.parquet"), tool_meta=meta,
+                 materialize_intermediates=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_sinks(pipe["routed"], out_dir)
+    rep = run_reports(pipe)
+    elapsed = time.time() - t0
+    return {
+        "seconds": round(elapsed, 3),
+        "turns": n_turns,
+        "turns_per_sec": round(n_turns / elapsed, 1),
+        "sink_counts": {r["sink"]: int(r["n"])
+                        for r in rep["sink_counts"].to_dict("records")},
+    }
+
+
+def run_queries(sf_dir: str) -> dict:
+    """Representative operator queries over the driver tables + fixture."""
+    from ict_log_parser_ray.pipelines import driver_queries as dq
+
+    names = ["e_hourly", "e_pareto", "q1_lineitem", "d_token_counts",
+             "emb_knn", "d_simhash"]
+    out = {}
+    qmap = dq.build_queries()
+    for n in names:
+        t0 = time.time()
+        res = qmap[n](sf_dir)
+        # consume lazily-returned datasets
+        if hasattr(res, "to_pandas"):
+            res.to_pandas() if not hasattr(res, "count") else res.to_pandas()
+        out[n] = round(time.time() - t0, 3)
+    return out
+
+
+def single_run(num_cpus: int, sf_dir: str, json_out: str | None,
+               queries: bool) -> dict:
+    from ict_log_parser_ray import fixtures as fx
+
+    sf = fx.sf_from_dir(sf_dir, default=0.1)
+    ray = _quiet_ray(num_cpus)
+    head = run_headline(sf, f"/tmp/ict_ray_bench_sinks_{num_cpus}")
+    q = run_queries(sf_dir) if queries else {}
+    ray.shutdown()
+    result = {
+        "metric": "flagship parse→enrich→route→aggregate wall time (sec) over "
+                  f"{head['turns']} transcript turns; turns_per_sec included",
+        "value": head["seconds"],
+        "unit": "sec",
+        "queries": q,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "turns": head["turns"],
+        "turns_per_sec": head["turns_per_sec"],
+    }
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(result, f)
+    return result
+
+
+def scaling(sf_dir: str) -> dict:
+    """Fresh-process runs at 8 and 32 CPUs on the same input."""
+    outs = {}
+    for n in (8, 32):
+        path = f"/tmp/ict_ray_bench_scale_{n}.json"
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--single-run",
+             "--num-cpus", str(n), "--sf-dir", sf_dir, "--json-out", path,
+             "--no-queries"],
+            check=True, env=env, cwd=os.path.dirname(os.path.abspath(__file__)))
+        outs[n] = json.load(open(path))
+    t8, t32 = outs[8]["turns_per_sec"], outs[32]["turns_per_sec"]
+    eff = round((t32 / t8) / 4.0, 4)
+    return {
+        "metric": "scaling efficiency (8→32 CPUs, fresh sessions, same input)",
+        "value": eff,
+        "unit": "efficiency",
+        "queries": {},
+        "sf": outs[32]["sf"],
+        "num_cpus": 32,
+        "turns": outs[32]["turns"],
+        "tput_8cpu": t8,
+        "tput_32cpu": t32,
+        "sec_8cpu": outs[8]["value"],
+        "sec_32cpu": outs[32]["value"],
+        "scaling_efficiency": eff,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--num-cpus", type=int,
+                    default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--single-run", action="store_true")
+    ap.add_argument("--no-queries", action="store_true")
+    ap.add_argument("--json-out", default=None)
+    args = ap.parse_args()
+
+    if args.scaling:
+        result = scaling(args.sf_dir)
+    else:
+        result = single_run(args.num_cpus, args.sf_dir, args.json_out,
+                            queries=not args.no_queries)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

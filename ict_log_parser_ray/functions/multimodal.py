@@ -1,0 +1,98 @@
+"""Multimodal column stages (task brief): image/audio/video as opaque
+``binary`` columns with typed metadata.
+
+The decode kernels themselves are STUBBED (no image/audio libraries in this
+container): ``decode=\"fake\"`` runs a deterministic fake decoder so the
+Ray-side plumbing — schema, batch sizing, actor signature, output layout —
+is real and tested; ``decode=\"real\"`` raises ``NotImplementedError`` at the
+exact point where PIL/libav would be called.
+
+Scale notes baked in: binary payloads make rows heavy → small ``batch_size``
+(default 64) and an actor pool (decoder init is expensive in the real world);
+output keeps payloads OUT of the feature table (features only), so downstream
+aggregates never reship the blobs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("kind", pa.string()),         # image | audio | video
+    ("payload", pa.binary()),      # opaque encoded bytes
+    ("mime", pa.string()),
+    ("width", pa.int32()),         # typed metadata (nullable for audio)
+    ("height", pa.int32()),
+    ("duration_ms", pa.int32()),
+])
+
+
+def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
+    """Deterministic fake media table for tests/benchmarks."""
+    rng = np.random.default_rng(seed)
+    kinds = ["image", "audio", "video"]
+    rows = {k.name: [] for k in MEDIA_SCHEMA}
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = rng.integers(0, 256, size=int(rng.integers(256, 2048)),
+                               dtype=np.uint8).tobytes()
+        rows["media_id"].append(i)
+        rows["kind"].append(kind)
+        rows["payload"].append(payload)
+        rows["mime"].append({"image": "image/png", "audio": "audio/wav",
+                             "video": "video/mp4"}[kind])
+        rows["width"].append(int(rng.integers(32, 1024)) if kind != "audio" else None)
+        rows["height"].append(int(rng.integers(32, 1024)) if kind != "audio" else None)
+        rows["duration_ms"].append(int(rng.integers(1000, 60000)) if kind != "image" else None)
+    return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+class MediaFeatureExtractor:
+    """Actor-pool decode/feature stage.
+
+    __init__ loads the decoder ONCE per actor (stubbed); __call__ maps a
+    small batch of payloads → fixed-width feature vectors + metadata, and
+    DROPS the payload column from the output.
+    """
+
+    def __init__(self, decode: str = "fake", feature_dim: int = 8):
+        if decode not in ("fake", "real"):
+            raise ValueError(decode)
+        self.decode = decode
+        self.feature_dim = feature_dim
+        if decode == "real":
+            # point where PIL / torchaudio / pyav would be imported+loaded
+            raise NotImplementedError(
+                "real media decoding requires image/audio libs not present "
+                "in this environment; use decode='fake'")
+
+    def _fake_features(self, payload: bytes) -> np.ndarray:
+        # deterministic digest → fixed-width pseudo-features
+        d = hashlib.sha256(payload).digest()
+        raw = np.frombuffer(d[: self.feature_dim * 4], dtype=np.uint32)
+        return (raw % 10_000).astype(np.float32) / 10_000.0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        feats = np.stack([self._fake_features(p) for p in payloads])
+        out = batch.drop_columns(["payload"])
+        out = out.append_column(
+            "features", pa.array(list(feats), pa.list_(pa.float32())))
+        out = out.append_column(
+            "payload_bytes",
+            pa.array([len(p) for p in payloads], pa.int64()))
+        return out
+
+
+def extract_media_features(media_ds, concurrency=(1, 4), batch_size: int = 64,
+                           decode: str = "fake"):
+    """Actor-pool map_batches with payload-appropriate small batches."""
+    return media_ds.map_batches(
+        MediaFeatureExtractor,
+        fn_constructor_kwargs={"decode": decode},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)

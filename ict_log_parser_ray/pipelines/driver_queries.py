@@ -1,0 +1,753 @@
+"""Driver-facing query registry: every implemented operator as a
+``queries()`` entry, with a DuckDB ``oracle_sql()`` twin where the semantics
+are SQL-expressible (SURVEY.md §5.3).
+
+Two input families:
+
+- ``t_*`` — the flagship transcript pipeline over the deterministic seeded
+  fixture (FIXTURES.md §1); the oracle SQL reads the SAME parquet file
+  (absolute path) and re-derives the semantics with DuckDB's RE2 regexes and
+  window functions, so parse/rank/route/aggregate all get value-hash checks.
+- ``e_* / q1 / d_* / emb_*`` — the driver's own TPC-H-ish tables (events,
+  lineitem, documents, embeddings) via the pre-registered DuckDB views.
+
+Column names and integer widths match between Ray and SQL (all ints cast to
+int64; floats only where the computation is order-independent or rounded).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .. import fixtures as fx
+from ..sources.transcripts import read_table
+
+# --------------------------------------------------------------------------
+# shared transcript-pipeline cache (one materialized pipeline per sf)
+# --------------------------------------------------------------------------
+
+_PIPE_CACHE: dict = {}
+
+
+def _pipe(sf_dir: str):
+    sf = fx.sf_from_dir(sf_dir)
+    if sf not in _PIPE_CACHE:
+        from .flagship import build
+
+        import pyarrow.parquet as pq
+        d = fx.ensure_fixture(sf)
+        meta = pq.read_table(f"{d}/tool_meta.parquet")
+        _PIPE_CACHE[sf] = build(f"{d}/transcripts.parquet", tool_meta=meta,
+                                materialize_intermediates=True)
+    return _PIPE_CACHE[sf]
+
+
+def _i64(df: pd.DataFrame, cols) -> pd.DataFrame:
+    for c in cols:
+        df[c] = df[c].astype("int64")
+    return df
+
+
+# --------------------------------------------------------------------------
+# SQL fragments for the transcript oracle (DuckDB is RE2 like pyarrow)
+# --------------------------------------------------------------------------
+
+_H = r"^\{@BTEST\|([^|}]+)\|(\d{2})\|(\d{12})\|(\d+)\|([^|}]+)\}"
+_A = (r"^\{@A-([A-Z]+)\|(\d{2})\|([^|}]+)\|([^|}]+)\}"
+      r"(?:\{@LIM2\|([^|}]+)\|([^|}]+)\}"
+      r"|\{@LIM3\|([^|}]+)\|([^|}]+)\|([^|}]+)\})?$")
+_D = r"^\{@D-T\|(\d{2})\|([^|}]+)\}$"
+_E = r"^\{@BTEST-END\|(\d{2})\|(\d{12})\}$"
+
+
+def _dec(expr: str) -> str:
+    return (f"CASE {expr} WHEN '00' THEN 'pass' WHEN '01' THEN 'fail' "
+            f"ELSE 'unknown' END")
+
+
+def _tx_cte(sf: float = 0.01) -> str:
+    path = f"{fx.fixture_dir(sf)}/transcripts.parquet"
+    return f"""
+WITH tx AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                 ORDER BY conv_id) AS _rn
+    FROM read_parquet('{path}')
+  ) WHERE _rn = 1
+),
+hdr AS (
+  SELECT conv_id,
+         regexp_extract(text, '{_H}', 1) AS serial,
+         regexp_extract(text, '{_H}', 5) AS panel_serial,
+         CAST(regexp_extract(text, '{_H}', 4) AS BIGINT) AS board_index,
+         strptime(regexp_extract(text, '{_H}', 3), '%y%m%d%H%M%S') AS start_ts
+  FROM tx WHERE regexp_matches(text, '{_H}')
+),
+endr AS (
+  SELECT conv_id, {_dec(f"regexp_extract(text, '{_E}', 1)")} AS att_status
+  FROM tx WHERE regexp_matches(text, '{_E}')
+),
+attempts AS (
+  SELECT h.conv_id,
+         min(h.start_ts) AS start_ts,
+         max(h.serial) AS serial,
+         max(h.panel_serial) AS panel_serial,
+         max(h.board_index) AS board_index,
+         max(e.att_status) AS att_status
+  FROM hdr h LEFT JOIN endr e ON h.conv_id = e.conv_id
+  GROUP BY h.conv_id
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY serial
+                            ORDER BY start_ts, conv_id) - 1 AS att_rank,
+         count(*) OVER (PARTITION BY serial) AS n_attempts
+  FROM attempts
+),
+tests AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN regexp_matches(text, '{_A}')
+              THEN regexp_extract(text, '{_A}', 4)
+              ELSE regexp_extract(text, '{_D}', 2) END AS test_name,
+         CASE WHEN regexp_matches(text, '{_A}')
+              THEN {_dec(f"regexp_extract(text, '{_A}', 2)")}
+              ELSE {_dec(f"regexp_extract(text, '{_D}', 1)")} END AS status,
+         CASE WHEN regexp_matches(text, '{_A}')
+              THEN regexp_extract(text, '{_A}', 1) ELSE 'DIG' END AS ttype
+  FROM tx WHERE regexp_matches(text, '{_A}') OR regexp_matches(text, '{_D}')
+),
+analog AS (
+  SELECT conv_id, turn_idx,
+         regexp_extract(text, '{_A}', 4) AS test_name,
+         CAST(regexp_extract(text, '{_A}', 3) AS DOUBLE) AS measurement,
+         NULLIF(regexp_extract(text, '{_A}', 7), '') AS nom_s,
+         coalesce(NULLIF(regexp_extract(text, '{_A}', 5), ''),
+                  NULLIF(regexp_extract(text, '{_A}', 8), '')) AS ul_s,
+         coalesce(NULLIF(regexp_extract(text, '{_A}', 6), ''),
+                  NULLIF(regexp_extract(text, '{_A}', 9), '')) AS ll_s
+  FROM tx WHERE regexp_matches(text, '{_A}')
+),
+analog_lims AS (
+  SELECT test_name,
+         coalesce(nom_s, '') || '|' || coalesce(ul_s, '') || '|' ||
+         coalesce(ll_s, '') AS lim_sig
+  FROM analog WHERE ul_s IS NOT NULL OR nom_s IS NOT NULL
+)
+"""
+
+
+_YIELD_SQL_TMPL = """
+SELECT phase, ok, nok FROM (
+  SELECT 'first' AS phase,
+         count(*) FILTER (WHERE {rank} = 0 AND {ok}) AS ok,
+         count(*) FILTER (WHERE {rank} = 0 AND NOT {ok}) AS nok FROM {src}
+  UNION ALL
+  SELECT 'final',
+         count(*) FILTER (WHERE {rank} = {last} AND {ok}),
+         count(*) FILTER (WHERE {rank} = {last} AND NOT {ok}) FROM {src}
+  UNION ALL
+  SELECT 'all', count(*) FILTER (WHERE {ok}),
+         count(*) FILTER (WHERE NOT {ok}) FROM {src}
+)
+"""
+
+
+def _pareto_where(mode: str) -> str:
+    if mode == "first_pass":
+        return "AND r.att_rank = 0"
+    if mode == "after_retest":
+        return "AND r.att_rank = r.n_attempts - 1"
+    return ""
+
+
+def transcript_oracle_sql() -> dict[str, str]:
+    tx = _tx_cte(0.01)
+    ok = "coalesce(att_status, 'unknown') = 'pass'"
+    sql = {}
+
+    sql["t_yields_sb"] = tx + _YIELD_SQL_TMPL.format(
+        src="ranked", rank="att_rank", last="n_attempts - 1", ok=f"({ok})")
+
+    sql["t_yields_mb"] = tx + """
+, runs AS (
+  SELECT panel_serial, att_rank,
+         count(*) FILTER (WHERE coalesce(att_status,'unknown') <> 'pass')
+           AS nok_boards,
+         max(n_attempts) AS n_runs
+  FROM ranked GROUP BY 1, 2
+)
+""" + _YIELD_SQL_TMPL.format(src="runs", rank="att_rank", last="n_runs - 1",
+                             ok="(nok_boards = 0)")
+
+    for mode in ("all", "first_pass", "after_retest"):
+        sql[f"t_pareto_{mode}"] = tx + f"""
+SELECT t.test_name, count(*) AS total,
+       count(DISTINCT r.serial) AS n_boards
+FROM tests t JOIN ranked r ON t.conv_id = r.conv_id
+WHERE t.status = 'fail' {_pareto_where(mode)}
+GROUP BY 1
+"""
+
+    sql["t_hourly"] = tx + """
+SELECT CAST(strftime(start_ts, '%y%m%d%H') AS BIGINT) AS hour_key,
+       count(*) FILTER (WHERE att_status = 'pass') AS ok,
+       count(*) FILTER (WHERE coalesce(att_status,'unknown') <> 'pass') AS nok
+FROM ranked GROUP BY 1
+"""
+
+    sql["t_limit_changes"] = tx + """
+SELECT test_name, count(DISTINCT lim_sig) AS n_limits
+FROM analog_lims GROUP BY 1 HAVING count(DISTINCT lim_sig) > 1
+"""
+
+    sql["t_testlist"] = tx + """
+SELECT test_name, count(*) AS n, max(ttype) AS ttype FROM tests GROUP BY 1
+"""
+
+    sql["t_attempts"] = tx + """
+SELECT conv_id, serial, panel_serial, board_index,
+       CAST(att_rank AS BIGINT) AS att_rank,
+       CAST(n_attempts AS BIGINT) AS n_attempts,
+       coalesce(att_status, 'unknown') AS att_status,
+       strftime(start_ts, '%y%m%d%H%M%S') AS start_s
+FROM ranked
+"""
+
+    sql["t_measurements"] = tx + """
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, test_name, measurement,
+       CAST(nom_s AS DOUBLE) AS lim_nom,
+       CAST(ul_s AS DOUBLE) AS lim_ul,
+       CAST(ll_s AS DOUBLE) AS lim_ll
+FROM analog
+"""
+
+    sql["t_sink_counts"] = tx + f"""
+, statused AS (
+  SELECT t.conv_id, t.text,
+    CASE WHEN regexp_matches(text, '{_H}') THEN {_dec(f"regexp_extract(text, '{_H}', 2)")}
+         WHEN regexp_matches(text, '{_A}') THEN {_dec(f"regexp_extract(text, '{_A}', 2)")}
+         WHEN regexp_matches(text, '{_D}') THEN {_dec(f"regexp_extract(text, '{_D}', 1)")}
+         WHEN regexp_matches(text, '{_E}') THEN {_dec(f"regexp_extract(text, '{_E}', 1)")}
+         ELSE NULL END AS status,
+    (NOT (regexp_matches(text, '{_H}') OR regexp_matches(text, '{_A}')
+          OR regexp_matches(text, '{_D}') OR regexp_matches(text, '{_E}')))
+      AS is_err,
+    regexp_matches(text, '{_A}') AS is_analog
+  FROM tx t
+)
+SELECT sink, count(*) AS n FROM (
+  SELECT CASE
+    WHEN s.is_err THEN 'parse_error'
+    WHEN r.att_rank > 0 THEN 'retest'
+    WHEN s.status = 'fail' THEN 'fail'
+    WHEN s.is_analog THEN 'measurement'
+    ELSE 'pass' END AS sink
+  FROM statused s LEFT JOIN ranked r ON s.conv_id = r.conv_id
+) GROUP BY 1
+"""
+
+    sql["t_text_identity"] = tx + """
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, text FROM tx
+"""
+
+    sql["t_failed_boards"] = tx + """
+, final_fail AS (
+  SELECT conv_id, serial FROM ranked
+  WHERE att_rank = n_attempts - 1 AND att_status = 'fail'
+),
+names AS (
+  SELECT DISTINCT t.conv_id, t.test_name
+  FROM tests t JOIN final_fail f ON t.conv_id = f.conv_id
+  WHERE t.status = 'fail'
+)
+SELECT f.conv_id, f.serial,
+       coalesce((SELECT string_agg(n.test_name, ',' ORDER BY n.test_name)
+                 FROM names n WHERE n.conv_id = f.conv_id), '') AS failed_tests
+FROM final_fail f
+"""
+    return sql
+
+
+# --------------------------------------------------------------------------
+# Ray implementations — transcript queries
+# --------------------------------------------------------------------------
+
+def t_yields_sb(sf_dir):
+    from .reports import yields_sb
+    return yields_sb(_pipe(sf_dir)["attempts"]).select(["phase", "ok", "nok"])
+
+
+def t_yields_mb(sf_dir):
+    from .reports import yields_mb
+    return yields_mb(_pipe(sf_dir)["attempts"]).select(["phase", "ok", "nok"])
+
+
+def _t_pareto(sf_dir, mode):
+    from .reports import failure_pareto
+    df = failure_pareto(_pipe(sf_dir)["flagged"], mode).to_pandas()
+    return _i64(df, ["total", "n_boards"])
+
+
+def t_hourly(sf_dir):
+    from .reports import hourly_stats
+    return _i64(hourly_stats(_pipe(sf_dir)["attempts"]).to_pandas(),
+                ["hour_key", "ok", "nok"])
+
+
+def t_limit_changes(sf_dir):
+    from .reports import limit_changes
+    return _i64(limit_changes(_pipe(sf_dir)["parsed"]).to_pandas(),
+                ["n_limits"])
+
+
+def t_testlist(sf_dir):
+    from .reports import testlist
+    return _i64(testlist(_pipe(sf_dir)["parsed"]).to_pandas(), ["n"])
+
+
+def t_attempts(sf_dir):
+    att = _pipe(sf_dir)["attempts"]
+
+    def fmt(b: pa.Table) -> pa.Table:
+        status = b["att_status"]
+        if isinstance(status, pa.ChunkedArray):
+            status = status.combine_chunks()
+        if pa.types.is_null(status.type):
+            status = pc.cast(status, pa.string())
+        return pa.table({
+            "conv_id": b["conv_id"],
+            "serial": b["serial"],
+            "panel_serial": b["panel_serial"],
+            "board_index": pc.cast(b["board_index"], pa.int64()),
+            "att_rank": pc.cast(b["att_rank"], pa.int64()),
+            "n_attempts": pc.cast(b["n_attempts"], pa.int64()),
+            "att_status": pc.fill_null(status, "unknown"),
+            "start_s": pc.strftime(b["start_ts"], format="%y%m%d%H%M%S"),
+        })
+
+    return att.map_batches(fmt, batch_format="pyarrow")
+
+
+def t_measurements(sf_dir):
+    parsed = _pipe(sf_dir)["parsed"]
+
+    def sel(b: pa.Table) -> pa.Table:
+        m = pc.equal(b["record_type"], "analog")
+        t = b.filter(m)
+        return pa.table({
+            "conv_id": t["conv_id"],
+            "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+            "test_name": t["test_name"],
+            "measurement": t["measurement"],
+            "lim_nom": t["lim_nom"],
+            "lim_ul": t["lim_ul"],
+            "lim_ll": t["lim_ll"],
+        })
+
+    return parsed.map_batches(sel, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def t_sink_counts(sf_dir):
+    from ..stages.route import sink_counts
+    return _i64(sink_counts(_pipe(sf_dir)["routed"]).to_pandas(), ["n"])
+
+
+def t_text_identity(sf_dir):
+    parsed = _pipe(sf_dir)["parsed"]
+
+    def sel(b: pa.Table) -> pa.Table:
+        return pa.table({"conv_id": b["conv_id"],
+                         "turn_idx": pc.cast(b["turn_idx"], pa.int64()),
+                         "text": b["text"]})
+
+    return parsed.map_batches(sel, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def t_failed_boards(sf_dir):
+    from .reports import failed_boards
+    p = _pipe(sf_dir)
+    df = failed_boards(p["attempts"], p["flagged"]).to_pandas()
+    return df[["conv_id", "serial", "failed_tests"]]
+
+
+# --------------------------------------------------------------------------
+# Ray implementations — driver-table queries (events/lineitem/documents/emb)
+# --------------------------------------------------------------------------
+
+def e_hourly(sf_dir):
+    """A4 analog over events: hourly ok (non-error) / nok (error) counts."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        hour = pc.strftime(b["ts"], format="%Y-%m-%d %H:00:00")
+        err = pc.equal(b["event_type"], "error")
+        return pa.table({"hour": hour,
+                         "nok": pc.cast(err, pa.int64()),
+                         "ok": pc.cast(pc.invert(err), pa.int64())})
+
+    pre = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    out = pre.groupby("hour").aggregate(Sum("ok", alias_name="ok"),
+                                        Sum("nok", alias_name="nok"))
+    return _i64(out.to_pandas(), ["ok", "nok"])
+
+
+def e_pareto(sf_dir):
+    """A3/O3 analog: event counts per type, most-frequent-first."""
+    from ray.data.aggregate import Count
+
+    ds = read_table(sf_dir, "events", columns=["event_type"])
+    out = ds.groupby("event_type").aggregate(Count(alias_name="n"))
+    return _i64(out.to_pandas(), ["n"])
+
+
+def e_user_first_last(sf_dir):
+    """D2 analog: per user first/last event_type by (ts, event_id)."""
+    import pandas as pd
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "event_type", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "first_type": [g["event_type"].iloc[0]],
+            "last_type": [g["event_type"].iloc[-1]],
+            "n_events": [len(g)],
+        })
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return _i64(out.to_pandas(), ["user_id", "n_events"])
+
+
+def e_topk(sf_dir):
+    """O3 top-k: 10 highest-value events."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "value"])
+    out = ds.sort(["value", "event_id"], descending=[True, False]).limit(10)
+    return _i64(out.to_pandas(), ["event_id"])
+
+
+def e_window(sf_dir):
+    """M7 time-window filter: purchases in a fixed 2-day window."""
+    import datetime as dt
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "event_type",
+                                               "value"])
+    lo = dt.datetime(2024, 1, 2)
+    hi = dt.datetime(2024, 1, 4)
+
+    def filt(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(pc.greater_equal(b["ts"], pa.scalar(lo)),
+                            pc.less(b["ts"], pa.scalar(hi))),
+                    pc.equal(b["event_type"], "purchase"))
+        t = b.filter(m)
+        return pa.table({"event_id": pc.cast(t["event_id"], pa.int64()),
+                         "value": t["value"]})
+
+    return ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def e_point_lookup(sf_dir):
+    """J3 point lookup: all events of user_id=5."""
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "event_type", "value"])
+
+    def filt(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["user_id"], 5))
+        return pa.table({"event_id": pc.cast(t["event_id"], pa.int64()),
+                         "event_type": t["event_type"],
+                         "value": t["value"]})
+
+    return ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q1_lineitem(sf_dir):
+    """TPC-H Q1-flavored grouped aggregate (exact-arithmetic columns only)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_linestatus", "l_quantity",
+                             "l_shipdate"])
+    import datetime as dt
+
+    def filt(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less_equal(b["l_shipdate"],
+                                      pa.scalar(dt.datetime(1998, 9, 2))))
+
+    pre = ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+    out = pre.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"), Count(alias_name="n"))
+    df = out.to_pandas()
+    df["avg_qty"] = (df["sum_qty"] / df["n"]).round(6)
+    return _i64(df, ["n"])
+
+
+def d_token_counts(sf_dir):
+    """Token counting (BPE-ish regex + whitespace) over documents."""
+    from ..functions.text import analyze_documents
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = analyze_documents(ds)
+
+    def sel(df):
+        return df[["doc_id", "n_tok", "n_ws_tok"]]
+
+    return _i64(out.map_batches(sel, batch_format="pandas").to_pandas(),
+                ["doc_id", "n_tok", "n_ws_tok"])
+
+
+def d_char_stats(sf_dir):
+    """Simple vectorized projection/derivation over documents."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def sel(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(b["doc_id"], pa.int64()),
+            "text_len": pc.cast(pc.utf8_length(b["text"]), pa.int64()),
+            "n_chars": pc.cast(b["n_chars"], pa.int64()),
+        })
+
+    return ds.map_batches(sel, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def d_exact_dups(sf_dir):
+    """D1 exact dedup groups over documents (may legitimately be empty)."""
+    from ..functions.dedup_docs import exact_duplicate_groups
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    df = exact_duplicate_groups(ds).to_pandas()
+    if df.empty or "n" not in df.columns:
+        # empty Datasets lose their schema after filter; rebuild it
+        df = pd.DataFrame({"text": pd.Series(dtype=str),
+                           "n": pd.Series(dtype="int64"),
+                           "keep_doc_id": pd.Series(dtype="int64")})
+    return _i64(df, ["n", "keep_doc_id"])
+
+
+def _load_query_vec(sf_dir):
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    row0 = tbl.slice(0, 1).to_pylist()[0]
+    assert row0["vec_id"] == 0 or True
+    return np.array(row0["embedding"], dtype=np.float32), row0["vec_id"]
+
+
+def emb_knn(sf_dir):
+    """Brute-force cosine top-10 to vec 0's embedding (float64 math to match
+    the DuckDB oracle's double-precision list_cosine_similarity)."""
+    import ray
+
+    q32, _ = _load_query_vec(sf_dir)
+    q = q32.astype(np.float64)
+    qn = q / np.linalg.norm(q)
+    import ray as _r
+    q_ref = _r.put(qn)
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def topk_batch(b: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        emb = b["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        m = emb.flatten().to_numpy(zero_copy_only=False).reshape(len(emb), -1)
+        m = m.astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (m @ qv) / norms
+        k = min(10, len(sims))
+        idx = np.argpartition(-sims, k - 1)[:k] if k else np.array([], int)
+        ids = np.asarray(b["vec_id"].to_pylist())[idx]
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "cosine": pa.array(sims[idx], pa.float64())})
+
+    import ray
+    cand = ds.map_batches(topk_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    tbl = pa.concat_tables(ray.get(cand.materialize().to_arrow_refs()))
+    order = pc.sort_indices(tbl, sort_keys=[("cosine", "descending"),
+                                            ("vec_id", "ascending")])
+    top = tbl.take(order[:10])
+    return pa.table({"vec_id": top["vec_id"],
+                     "rank": pa.array(range(1, top.num_rows + 1), pa.int64())})
+
+
+def emb_knn_ivf(sf_dir):
+    """IVF-bucketed approximate top-10 (rows-only check — approximate)."""
+    from ..functions.similarity import build_ivf, knn_ivf
+
+    q, _ = _load_query_vec(sf_dir)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    model = build_ivf(ds, nlist=8)
+    top = knn_ivf(ds, q, k=10, nlist=8, nprobe=4, model=model)
+    return pa.table({"vec_id": pc.cast(top["vec_id"], pa.int64()),
+                     "rank": pa.array(range(1, top.num_rows + 1), pa.int64())})
+
+
+def d_analysis(sf_dir):
+    """Language-ID / quality / fingerprint (heuristics; rows-only check)."""
+    from ..functions.text import analyze_documents
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def sel(df):
+        out = df[["doc_id", "lang_pred", "fingerprint"]].copy()
+        out["quality"] = df["quality"].round(6)
+        return out
+
+    return analyze_documents(ds).map_batches(sel, batch_format="pandas")
+
+
+def d_minhash_pairs(sf_dir):
+    """MinHash+LSH near-dup pairs over documents (rows-only)."""
+    from ..functions.dedup_docs import minhash_duplicate_pairs
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    df = minhash_duplicate_pairs(ds, threshold=0.6).to_pandas()
+    if len(df):
+        df["jaccard"] = df["jaccard"].round(6)
+        df = _i64(df, ["doc_a", "doc_b"])
+    return df
+
+
+def d_simhash(sf_dir):
+    """SimHash fingerprints over documents (rows-only)."""
+    from ..functions.dedup_docs import simhash_documents
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return _i64(simhash_documents(ds).to_pandas(), ["doc_id", "simhash"])
+
+
+def media_features(sf_dir):
+    """Multimodal plumbing demo: synthetic media → features (rows-only)."""
+    import ray.data as rd
+
+    from ..functions.multimodal import extract_media_features, synth_media_table
+
+    ds = rd.from_arrow(synth_media_table(n=48))
+    out = extract_media_features(ds)
+
+    def sel(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_id": b["media_id"],
+            "kind": b["kind"],
+            "payload_bytes": b["payload_bytes"],
+            "f0": pc.list_element(b["features"], 0),
+        })
+
+    return out.map_batches(sel, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+def build_queries() -> dict:
+    q = {
+        # transcript flagship pipeline
+        "t_yields_sb": t_yields_sb,
+        "t_yields_mb": t_yields_mb,
+        "t_pareto_all": lambda d: _t_pareto(d, "all"),
+        "t_pareto_first_pass": lambda d: _t_pareto(d, "first_pass"),
+        "t_pareto_after_retest": lambda d: _t_pareto(d, "after_retest"),
+        "t_hourly": t_hourly,
+        "t_limit_changes": t_limit_changes,
+        "t_testlist": t_testlist,
+        "t_attempts": t_attempts,
+        "t_measurements": t_measurements,
+        "t_sink_counts": t_sink_counts,
+        "t_text_identity": t_text_identity,
+        "t_failed_boards": t_failed_boards,
+        # driver tables
+        "e_hourly": e_hourly,
+        "e_pareto": e_pareto,
+        "e_user_first_last": e_user_first_last,
+        "e_topk": e_topk,
+        "e_window": e_window,
+        "e_point_lookup": e_point_lookup,
+        "q1_lineitem": q1_lineitem,
+        "d_token_counts": d_token_counts,
+        "d_char_stats": d_char_stats,
+        "d_exact_dups": d_exact_dups,
+        "emb_knn": emb_knn,
+        # rows-only (non-SQL-expressible)
+        "emb_knn_ivf": emb_knn_ivf,
+        "d_analysis": d_analysis,
+        "d_minhash_pairs": d_minhash_pairs,
+        "d_simhash": d_simhash,
+        "media_features": media_features,
+    }
+    return q
+
+
+def build_oracles() -> dict[str, str]:
+    sql = transcript_oracle_sql()
+    sql.update({
+        "e_hourly": """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+       count(*) FILTER (WHERE event_type <> 'error') AS ok,
+       count(*) FILTER (WHERE event_type = 'error') AS nok
+FROM events GROUP BY 1
+""",
+        "e_pareto": "SELECT event_type, count(*) AS n FROM events GROUP BY 1",
+        "e_user_first_last": """
+SELECT user_id, first_type, last_type, n_events FROM (
+  SELECT user_id,
+         first_value(event_type) OVER w AS first_type,
+         last_value(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+         ) AS last_type,
+         count(*) OVER (PARTITION BY user_id) AS n_events,
+         row_number() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+) WHERE rn = 1
+""",
+        "e_topk": """
+SELECT event_id, value FROM events
+ORDER BY value DESC, event_id ASC LIMIT 10
+""",
+        "e_window": """
+SELECT event_id, value FROM events
+WHERE ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-04'
+  AND event_type = 'purchase'
+""",
+        "e_point_lookup": """
+SELECT event_id, event_type, value FROM events WHERE user_id = 5
+""",
+        "q1_lineitem": """
+SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+       count(*) AS n, round(sum(l_quantity) / count(*), 6) AS avg_qty
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2
+""",
+        "d_token_counts": r"""
+SELECT doc_id, len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tok,
+       len(regexp_extract_all(text, '\S+')) AS n_ws_tok
+FROM documents
+""",
+        "d_char_stats": """
+SELECT doc_id, length(text) AS text_len, n_chars FROM documents
+""",
+        "d_exact_dups": """
+SELECT text, count(*) AS n, min(doc_id) AS keep_doc_id
+FROM documents GROUP BY text HAVING count(*) > 1
+""",
+        "emb_knn": """
+WITH q AS (SELECT embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 1)
+SELECT vec_id,
+       CAST(row_number() OVER (
+         ORDER BY list_cosine_similarity(embedding, (SELECT qe FROM q)) DESC,
+                  vec_id ASC) AS BIGINT) AS rank
+FROM embeddings
+ORDER BY rank LIMIT 10
+""",
+    })
+    return sql

@@ -1,0 +1,97 @@
+"""Self-check of the driver contract: run every ``queries()`` entry at
+sf=0.01 and compare row-count, column names, and order-insensitive values
+against its ``oracle_sql()`` twin via DuckDB — the same procedure the driver
+uses for CORRECTNESS_r{N}.json."""
+
+import math
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def contract(ray_session):
+    import __ray_entry__ as e
+
+    return e.queries(), e.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield c
+    c.close()
+
+
+def _to_df(res) -> pd.DataFrame:
+    if isinstance(res, pd.DataFrame):
+        return res
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res.to_pandas()  # ray Dataset
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(9)
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+ORACLE_NAMES = [
+    "t_yields_sb", "t_yields_mb", "t_pareto_all", "t_pareto_first_pass",
+    "t_pareto_after_retest", "t_hourly", "t_limit_changes", "t_testlist",
+    "t_attempts", "t_measurements", "t_sink_counts", "t_text_identity",
+    "t_failed_boards", "e_hourly", "e_pareto", "e_user_first_last", "e_topk",
+    "e_window", "e_point_lookup", "q1_lineitem", "d_token_counts",
+    "d_char_stats", "d_exact_dups", "emb_knn",
+]
+
+
+def test_every_oracle_has_a_query(contract):
+    q, s = contract
+    assert set(s) <= set(q)
+    assert set(ORACLE_NAMES) == set(s)
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_query_matches_oracle(contract, con, name):
+    q, s = contract
+    got = _canon(_to_df(q[name](SF_DIR)))
+    want = _canon(con.sql(s[name]).df())
+    assert list(got.columns) == list(want.columns), \
+        f"{name}: columns {list(got.columns)} != {list(want.columns)}"
+    assert len(got) == len(want), f"{name}: {len(got)} rows != {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=False, rtol=1e-9, atol=1e-9)
+
+
+ROWS_ONLY = ["emb_knn_ivf", "d_analysis", "d_minhash_pairs", "d_simhash",
+             "media_features"]
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(contract, name):
+    q, _ = contract
+    df = _to_df(q[name](SF_DIR))
+    assert df is not None
+    assert len(df.columns) > 0
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as e
+
+    df = e.entry()
+    assert len(df) >= 1
+    assert set(df.columns) == {"sink", "n"}

@@ -1,0 +1,179 @@
+"""Tests for the training-data operators: text analysis, document dedup,
+similarity search, multimodal plumbing."""
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+# ------------------------------------------------------------------ text
+
+def test_text_analyzer_features(ray_session):
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.text import TOKEN_RE, analyze_documents
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    out = analyze_documents(docs).take(50)
+    tok_re = re.compile(TOKEN_RE)
+    for r in out:
+        assert r["n_tok"] == len(tok_re.findall(r["text"]))
+        assert r["n_ws_tok"] == len(r["text"].split())
+        assert 0.0 <= r["quality"] <= 1.0
+        assert 0.0 <= r["punct_ratio"] <= 1.0
+        assert r["lang_pred"] in ("en", "de", "es", "fr", "unk")
+        assert isinstance(r["fingerprint"], int)
+
+
+def test_fingerprint_deterministic_and_discriminative(ray_session):
+    import pandas as pd
+
+    from ict_log_parser_ray.functions.text import TextAnalyzer
+
+    ta = TextAnalyzer()
+    s = pd.Series(["the quick brown fox", "the quick brown fox", "another doc"])
+    fp = ta.fingerprint(s)
+    assert fp[0] == fp[1] != fp[2]
+    # stable across instances/processes (FNV-based, not PYTHONHASHSEED)
+    assert fp[0] == TextAnalyzer().fingerprint(pd.Series(["the quick brown fox"]))[0]
+
+
+# ------------------------------------------------------------------ dedup
+
+def _near_dup_docs():
+    base = ("spark group query row data slow small filter customer line the "
+            "batch value merge sort window hash scan join order table fast")
+    docs = {
+        0: base,
+        1: base,                                 # exact dup of 0
+        2: base.replace("customer", "client"),   # near dup of 0
+        3: "completely different text about gardens flowers and rain",
+        4: "unrelated short doc",
+        5: base.replace("spark", "flink").replace("row", "column"),  # near dup
+    }
+    return pa.table({
+        "doc_id": pa.array(list(docs.keys()), pa.int64()),
+        "text": pa.array(list(docs.values())),
+    })
+
+
+def test_ngram_jaccard_kernel():
+    from ict_log_parser_ray.functions.dedup_docs import ngram_jaccard
+
+    assert ngram_jaccard("abcdef", "abcdef") == 1.0
+    assert ngram_jaccard("abcdef", "zzzzzz") == 0.0
+    mid = ngram_jaccard("the quick brown fox", "the quick brown cat")
+    assert 0.3 < mid < 1.0
+
+
+def test_exact_duplicate_groups(ray_session):
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.dedup_docs import exact_duplicate_groups
+
+    ds = rd.from_arrow(_near_dup_docs())
+    groups = exact_duplicate_groups(ds).take_all()
+    assert len(groups) == 1
+    assert groups[0]["n"] == 2
+    assert groups[0]["keep_doc_id"] == 0
+
+
+def test_minhash_lsh_finds_planted_near_dups(ray_session):
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.dedup_docs import minhash_duplicate_pairs
+
+    ds = rd.from_arrow(_near_dup_docs())
+    pairs = minhash_duplicate_pairs(ds, threshold=0.5).take_all()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (0, 1) in got            # exact dup
+    assert (0, 2) in got or (1, 2) in got   # near dup
+    assert not any(3 in p or 4 in p for p in got)  # unrelated stays out
+
+
+def test_simhash_candidates(ray_session):
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.dedup_docs import (
+        SimHasher, simhash_candidate_pairs)
+
+    ds = rd.from_arrow(_near_dup_docs())
+    pairs = simhash_candidate_pairs(ds, max_hamming=6).take_all()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (0, 1) in got
+    # determinism of the hash itself
+    sh = SimHasher()
+    assert sh.simhash("hello world") == sh.simhash("hello world")
+    assert sh.simhash("hello world") != sh.simhash("goodbye world")
+
+
+# ------------------------------------------------------------- similarity
+
+def test_knn_bruteforce_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.similarity import knn_bruteforce
+
+    emb = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    tbl = pa.concat_tables([pa.Table.from_pylist(emb.take_all())])
+    vecs = np.array([r for r in tbl["embedding"].to_pylist()], dtype=np.float32)
+    ids = np.array(tbl["vec_id"].to_pylist())
+    q = vecs[0]
+
+    got = knn_bruteforce(emb, q, k=10)
+    got_ids = got["vec_id"].to_pylist()
+
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    sims = vn @ qn
+    order = np.lexsort((ids, -sims))[:10]
+    want_ids = ids[order].tolist()
+    assert got_ids == want_ids
+    assert got_ids[0] == 0  # self is nearest
+
+
+def test_knn_ivf_full_probe_equals_exact(ray_session):
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.similarity import (build_ivf,
+                                                         knn_bruteforce,
+                                                         knn_ivf)
+
+    emb = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = np.array(emb.take(1)[0]["embedding"], dtype=np.float32)
+    model = build_ivf(emb, nlist=8)
+    exact = knn_bruteforce(emb, q, k=5)["vec_id"].to_pylist()
+    approx_full = knn_ivf(emb, q, k=5, nlist=8, nprobe=8, model=model)["vec_id"].to_pylist()
+    assert approx_full == exact     # probing all clusters == exact
+    approx = knn_ivf(emb, q, k=5, nlist=8, nprobe=3, model=model)["vec_id"].to_pylist()
+    assert len(set(approx) & set(exact)) >= 3  # decent recall at nprobe=3
+
+
+# ------------------------------------------------------------- multimodal
+
+def test_media_feature_plumbing(ray_session):
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.multimodal import (
+        MediaFeatureExtractor, extract_media_features, synth_media_table)
+
+    tbl = synth_media_table(n=30)
+    out = extract_media_features(rd.from_arrow(tbl)).take_all()
+    assert len(out) == 30
+    for r in out:
+        assert "payload" not in r          # blobs dropped from feature table
+        assert len(r["features"]) == 8
+        assert r["payload_bytes"] > 0
+    # deterministic features
+    f1 = MediaFeatureExtractor()._fake_features(b"abc")
+    f2 = MediaFeatureExtractor()._fake_features(b"abc")
+    assert np.allclose(f1, f2)
+
+
+def test_media_real_decode_is_stubbed():
+    from ict_log_parser_ray.functions.multimodal import MediaFeatureExtractor
+
+    with pytest.raises(NotImplementedError):
+        MediaFeatureExtractor(decode="real")
