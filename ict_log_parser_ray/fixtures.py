@@ -36,7 +36,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-FIXTURE_VERSION = 3
+FIXTURE_VERSION = 4
 DEFAULT_SEED = 42
 DEFAULT_ROOT = "/tmp/ict_ray_fixtures"
 
@@ -254,7 +254,7 @@ def fixture_dir(sf: float, seed: int = DEFAULT_SEED, root: str = DEFAULT_ROOT) -
 
 
 def ensure_fixture(sf: float, seed: int = DEFAULT_SEED, root: str = DEFAULT_ROOT) -> str:
-    """Idempotently materialize transcripts.parquet + tool_meta.parquet.
+    """Idempotently materialize transcripts/ shards + tool_meta.parquet.
 
     Returns the directory.  Safe to call from multiple entry points; a marker
     file written last makes partially-written dirs regenerate.
@@ -265,9 +265,23 @@ def ensure_fixture(sf: float, seed: int = DEFAULT_SEED, root: str = DEFAULT_ROOT
         return d
     os.makedirs(d, exist_ok=True)
     tbl = generate_transcripts_table(sf, seed)
-    # Modest row groups so ray.data.read_parquet can split the file into
-    # multiple blocks for parallel parse even from a single file.
-    pq.write_table(tbl, os.path.join(d, "transcripts.parquet"), row_group_size=32_768)
+    # Sharded multi-file layout: conversation-disjoint shards split on panel
+    # boundaries — the natural transcript layout (one logfile per shard set,
+    # run_resumable's dedup contract) and enough input files that
+    # read_parquet feeds every core at 8 and 32 CPUs alike.
+    shard_dir = os.path.join(d, "transcripts")
+    os.makedirs(shard_dir, exist_ok=True)
+    n_shards = max(8, min(64, int(round(320 * sf))))
+    import pyarrow.compute as pc
+
+    # conv_id prefix B{panel:04d} → panel number; shard = panel % n_shards
+    panel = pc.cast(pc.utf8_slice_codeunits(tbl["conv_id"], 1, 5), pa.int64())
+    shard = pc.cast(pc.subtract(panel, pc.multiply(
+        pc.divide(panel, n_shards), n_shards)), pa.int32())
+    for i in range(n_shards):
+        part = tbl.filter(pc.equal(shard, i))
+        pq.write_table(part, os.path.join(shard_dir, f"shard_{i:04d}.parquet"),
+                       row_group_size=32_768)
     pq.write_table(tool_meta_table(seed), os.path.join(d, "tool_meta.parquet"))
     tmp = marker + ".tmp"
     with open(tmp, "w") as f:

@@ -40,7 +40,7 @@ def _pipe(sf_dir: str):
         import pyarrow.parquet as pq
         d = fx.ensure_fixture(sf)
         meta = pq.read_table(f"{d}/tool_meta.parquet")
-        _PIPE_CACHE[sf] = build(f"{d}/transcripts.parquet", tool_meta=meta,
+        _PIPE_CACHE[sf] = build(f"{d}/transcripts", tool_meta=meta,
                                 materialize_intermediates=True)
     return _PIPE_CACHE[sf]
 
@@ -69,7 +69,7 @@ def _dec(expr: str) -> str:
 
 
 def _tx_cte(sf: float = 0.01) -> str:
-    path = f"{fx.fixture_dir(sf)}/transcripts.parquet"
+    path = f"{fx.fixture_dir(sf)}/transcripts/*.parquet"
     return f"""
 WITH tx AS (
   SELECT conv_id, turn_idx, role, text, tool, ts FROM (
@@ -325,7 +325,12 @@ def t_attempts(sf_dir):
             "att_rank": pc.cast(b["att_rank"], pa.int64()),
             "n_attempts": pc.cast(b["n_attempts"], pa.int64()),
             "att_status": pc.fill_null(status, "unknown"),
-            "start_s": pc.strftime(b["start_ts"], format="%y%m%d%H%M%S"),
+            # second precision: arrow strftime %S appends ".ffffff" for
+            # sub-second timestamp units, duckdb's does not
+            "start_s": pc.strftime(
+                pc.cast(pc.cast(b["start_ts"], pa.timestamp("us")),
+                        pa.timestamp("s")),
+                format="%y%m%d%H%M%S"),
         })
 
     return att.map_batches(fmt, batch_format="pyarrow")

@@ -27,7 +27,8 @@ from . import reports
 def build(transcripts_path, tool_meta: pa.Table | None = None,
           batch_size: int = 65_536, broadcast_threshold: int = 2_000_000,
           enrich: bool = True, dedup: bool = True, dedup_buckets: int = 64,
-          materialize_intermediates: bool = False):
+          materialize_intermediates: bool = False,
+          materialize_flagged: bool | None = None):
     """Construct the lazy pipeline pieces.
 
     Returns dict with Datasets: parsed, enriched, attempts (ranked),
@@ -42,9 +43,11 @@ def build(transcripts_path, tool_meta: pa.Table | None = None,
     """
     raw = read_transcripts(transcripts_path)
     if dedup:
-        from ..stages.dedup import exact_dedup
-        raw = exact_dedup(raw, keys=("conv_id", "turn_idx"),
-                          num_buckets=dedup_buckets)
+        from ..stages.dedup import exact_dedup_sparse
+        key_ds = read_transcripts(transcripts_path,
+                                  columns=["conv_id", "turn_idx"])
+        raw = exact_dedup_sparse(raw, keys=("conv_id", "turn_idx"),
+                                 num_buckets=dedup_buckets, key_ds=key_ds)
     parsed = parse_dataset(raw, batch_size=batch_size)
     if enrich and tool_meta is not None:
         parsed = enrich_dataset(parsed, tool_meta, batch_size=batch_size)
@@ -55,7 +58,9 @@ def build(transcripts_path, tool_meta: pa.Table | None = None,
         ranked = ranked.materialize()
     flagged = attach_attempt_flags(parsed, ranked,
                                    broadcast_threshold=broadcast_threshold)
-    if materialize_intermediates:
+    if materialize_flagged is None:
+        materialize_flagged = materialize_intermediates
+    if materialize_flagged:
         flagged = flagged.materialize()
     routed = route_dataset(flagged)
     return {"parsed": parsed, "attempts": ranked, "flagged": flagged,
@@ -64,19 +69,23 @@ def build(transcripts_path, tool_meta: pa.Table | None = None,
 
 def run_reports(pipe) -> dict:
     """Execute the six cached aggregates of the reference's update_stats
-    (main.rs:416-429) over the pipeline."""
-    ranked = pipe["attempts"]
-    flagged = pipe["flagged"]
-    parsed = pipe["parsed"]
+    (main.rs:416-429) over the pipeline.
+
+    Two execution passes total: one collection of the (small) attempt table
+    for A1/A2/A4, one combined scan of the turn stream for A3/A6/routing —
+    semantics identical to the individual distributed reports (tested
+    against them and the DuckDB oracles)."""
+    small = reports.attempts_report_tables(pipe["attempts"])
+    tm = reports.turn_metrics_combined(pipe["flagged"])
     return {
-        "yields_sb": reports.yields_sb(ranked),
-        "yields_mb": reports.yields_mb(ranked),
-        "pareto_all": reports.failure_pareto(flagged, "all").to_pandas(),
-        "pareto_after_retest": reports.failure_pareto(flagged, "after_retest").to_pandas(),
-        "pareto_first_pass": reports.failure_pareto(flagged, "first_pass").to_pandas(),
-        "hourly": reports.hourly_stats(ranked).to_pandas(),
-        "limit_changes": reports.limit_changes(parsed).to_pandas(),
-        "sink_counts": sink_counts(pipe["routed"]).to_pandas(),
+        "yields_sb": small["yields_sb"],
+        "yields_mb": small["yields_mb"],
+        "pareto_all": tm["paretos"]["all"],
+        "pareto_after_retest": tm["paretos"]["after_retest"],
+        "pareto_first_pass": tm["paretos"]["first_pass"],
+        "hourly": small["hourly"],
+        "limit_changes": tm["limit_changes"],
+        "sink_counts": tm["sink_counts"],
     }
 
 
@@ -86,4 +95,4 @@ def flagship_for_sf(sf: float, seed: int = 42):
 
     d = ensure_fixture(sf, seed)
     meta = pq.read_table(os.path.join(d, "tool_meta.parquet"))
-    return build(os.path.join(d, "transcripts.parquet"), tool_meta=meta)
+    return build(os.path.join(d, "transcripts"), tool_meta=meta)

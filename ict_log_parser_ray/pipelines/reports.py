@@ -177,6 +177,46 @@ def failure_pareto(flagged, mode: str = "all"):
     return pareto.sort(["total", "test_name"], descending=[True, False])
 
 
+def failure_pareto_all_modes(flagged) -> dict:
+    """All three FlSettings Paretos from ONE scan of the turn stream.
+
+    Extracts the failing test records (tiny fraction) once with their
+    first/final flags, pins that small table, and runs the three mode
+    aggregations off it — 1 full pass instead of 3.
+    Returns {mode: pandas DataFrame sorted most-frequent-first}.
+    """
+    def _fails(b: pa.Table) -> pa.Table:
+        rt = b["record_type"]
+        is_test = pc.or_(pc.equal(rt, "analog"), pc.equal(rt, "digital"))
+        m = pc.and_(is_test, pc.equal(pc.fill_null(b["status"], "u"), "fail"))
+        t = b.filter(m)
+        return pa.table({
+            "test_name": t["test_name"],
+            "att_serial": t["att_serial"],
+            "is_first": pc.fill_null(t["is_first"], False),
+            "is_final": pc.fill_null(t["is_final"], False),
+        })
+
+    fails = flagged.map_batches(_fails, batch_format="pyarrow",
+                                zero_copy_batch=True).materialize()
+    out = {}
+    for mode in FL_SETTINGS:
+        sub = fails
+        if mode == "first_pass":
+            sub = fails.filter(lambda r: r["is_first"])
+        elif mode == "after_retest":
+            sub = fails.filter(lambda r: r["is_final"])
+        per_board = sub.groupby(["test_name", "att_serial"]).aggregate(
+            Count(alias_name="n"))
+        pareto = per_board.groupby("test_name").aggregate(
+            Sum("n", alias_name="total"), Count(alias_name="n_boards"))
+        df = pareto.to_pandas()
+        out[mode] = df.sort_values(["total", "test_name"],
+                                   ascending=[False, True],
+                                   kind="stable").reset_index(drop=True)
+    return out
+
+
 def failures_by_index(flagged, mode: str = "all"):
     """A3 by_index: failures per (test_name, panel position)."""
     assert mode in FL_SETTINGS
@@ -204,7 +244,7 @@ def hourly_stats(ranked):
     def _prep(b: pa.Table) -> pa.Table:
         ok = pc.equal(pc.fill_null(_strcol(b, "att_status"), "unknown"), "pass")
         return pa.table({
-            "hour_key": hour_key(b["start_ts"]),
+            "hour_key": hour_key(pc.cast(b["start_ts"], pa.timestamp("us"))),
             "ok": pc.cast(ok, pa.int64()),
             "nok": pc.cast(pc.invert(ok), pa.int64()),
         })
@@ -260,7 +300,11 @@ def limit_changes(parsed):
     def _lims(b: pa.Table) -> pa.Table:
         m = pc.and_(pc.equal(b["record_type"], "analog"),
                     pc.is_valid(b["lim_sig"]))
-        return b.filter(m).select(["test_name", "lim_sig"])
+        t = b.filter(m).select(["test_name", "lim_sig"])
+        # per-batch distinct (partial combine): a batch holds thousands of
+        # records but only ~hundreds of distinct (test, sig) pairs — the
+        # groupby then shuffles pairs, not records
+        return pa.TableGroupBy(t, ["test_name", "lim_sig"]).aggregate([])
 
     lims = parsed.map_batches(_lims, batch_format="pyarrow", zero_copy_batch=True)
     per_sig = lims.groupby(["test_name", "lim_sig"]).aggregate(
@@ -310,6 +354,167 @@ def failed_boards(ranked, flagged, broadcast_threshold: int = 2_000_000):
 
 
 # ---------------------------------------------------------------- A8 / A9
+
+def turn_metrics_combined(flagged) -> dict:
+    """ONE pass over the turn stream → the three turn-level report inputs:
+
+    - fail records (test_name, att_serial, is_first, is_final)  [A3]
+    - distinct (test_name, lim_sig) pairs                        [A6]
+    - per-sink partial counts                                    [routing]
+
+    Each batch contributes three TINY partial tables tagged by ``metric``;
+    the single narrow output is collected once and finished driver-side /
+    via micro-groupbys.  Replaces three separate full scans — the per-batch
+    combine pattern applied across metrics, not just within one.
+    """
+    import numpy as np
+    import ray
+
+    from ..stages.route import add_sink_column
+
+    def _partials(b: pa.Table) -> pa.Table:
+        rt = b["record_type"]
+        is_test = pc.or_(pc.equal(rt, "analog"), pc.equal(rt, "digital"))
+        fail = pc.and_(is_test,
+                       pc.equal(pc.fill_null(b["status"], "u"), "fail"))
+        f = b.filter(fail)
+        fails = pa.table({
+            "metric": pa.array(["fail"] * f.num_rows),
+            "test_name": f["test_name"],
+            "att_serial": f["att_serial"],
+            "is_first": pc.fill_null(f["is_first"], False),
+            "is_final": pc.fill_null(f["is_final"], False),
+            "lim_sig": pa.nulls(f.num_rows, pa.string()),
+            "sink": pa.nulls(f.num_rows, pa.string()),
+            "n": pa.array(np.ones(f.num_rows, np.int64)),
+        })
+
+        lm = pc.and_(pc.equal(rt, "analog"), pc.is_valid(b["lim_sig"]))
+        lt = b.filter(lm).select(["test_name", "lim_sig"])
+        lt = pa.TableGroupBy(lt, ["test_name", "lim_sig"]).aggregate([])
+        lims = pa.table({
+            "metric": pa.array(["lim"] * lt.num_rows),
+            "test_name": lt["test_name"],
+            "att_serial": pa.nulls(lt.num_rows, pa.string()),
+            "is_first": pa.nulls(lt.num_rows, pa.bool_()),
+            "is_final": pa.nulls(lt.num_rows, pa.bool_()),
+            "lim_sig": lt["lim_sig"],
+            "sink": pa.nulls(lt.num_rows, pa.string()),
+            "n": pa.array(np.ones(lt.num_rows, np.int64)),
+        })
+
+        sb = add_sink_column(b)
+        col = sb["sink"]
+        vc = pc.value_counts(col.combine_chunks()
+                             if isinstance(col, pa.ChunkedArray) else col)
+        sinks = pa.table({
+            "metric": pa.array(["sink"] * len(vc)),
+            "test_name": pa.nulls(len(vc), pa.string()),
+            "att_serial": pa.nulls(len(vc), pa.string()),
+            "is_first": pa.nulls(len(vc), pa.bool_()),
+            "is_final": pa.nulls(len(vc), pa.bool_()),
+            "lim_sig": pa.nulls(len(vc), pa.string()),
+            "sink": vc.field("values"),
+            "n": pc.cast(vc.field("counts"), pa.int64()),
+        })
+        return pa.concat_tables([fails, lims, sinks])
+
+    part = flagged.map_batches(_partials, batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+    tbl = pa.concat_tables(ray.get(part.to_arrow_refs())).combine_chunks()
+    df = tbl.to_pandas()
+
+    fails = df[df["metric"] == "fail"]
+    paretos = {}
+    for mode in FL_SETTINGS:
+        sub = fails
+        if mode == "first_pass":
+            sub = fails[fails["is_first"].astype(bool)]
+        elif mode == "after_retest":
+            sub = fails[fails["is_final"].astype(bool)]
+        g = (sub.groupby("test_name")
+             .agg(total=("n", "sum"), n_boards=("att_serial", "nunique"))
+             .reset_index())
+        g["total"] = g["total"].astype("int64")
+        g["n_boards"] = g["n_boards"].astype("int64")
+        paretos[mode] = g.sort_values(["total", "test_name"],
+                                      ascending=[False, True],
+                                      kind="stable").reset_index(drop=True)
+
+    lims = df[df["metric"] == "lim"]
+    nlim = (lims.drop_duplicates(["test_name", "lim_sig"])
+            .groupby("test_name").size().rename("n_limits").reset_index())
+    limit_changes_df = (nlim[nlim["n_limits"] > 1]
+                        .sort_values("test_name").reset_index(drop=True))
+    limit_changes_df["n_limits"] = limit_changes_df["n_limits"].astype("int64")
+
+    sinks = df[df["metric"] == "sink"]
+    sink_df = (sinks.groupby("sink")["n"].sum().rename("n").reset_index()
+               .sort_values("sink").reset_index(drop=True))
+    sink_df["n"] = sink_df["n"].astype("int64")
+
+    return {"paretos": paretos, "limit_changes": limit_changes_df,
+            "sink_counts": sink_df}
+
+
+def attempts_report_tables(ranked, collect_threshold: int = 5_000_000) -> dict:
+    """A1/A2/A4 from the attempt table in ONE collection when it is small.
+
+    The attempt table is turns/40; below ``collect_threshold`` rows it is
+    collected once and the three reports are computed with vectorized
+    pandas — semantics identical to the distributed yields_sb / yields_mb /
+    hourly_stats (tested against them).  Above the threshold the
+    distributed versions run instead.
+    """
+    import pandas as pd
+    import ray
+
+    n = ranked.count()
+    if n > collect_threshold:
+        return {"yields_sb": yields_sb(ranked), "yields_mb": yields_mb(ranked),
+                "hourly": hourly_stats(ranked).to_pandas()}
+
+    import numpy as np
+
+    tbl = pa.concat_tables(ray.get(ranked.materialize().to_arrow_refs()))
+    df = tbl.to_pandas()
+    status_ok = df["att_status"].fillna("unknown") == "pass"
+    first = df["att_rank"] == 0
+    final = df["att_rank"] == df["n_attempts"] - 1
+
+    def _y3(ok, first_m, final_m):
+        rows = []
+        all_m = np.ones(len(ok), bool)
+        for phase, m in (("first", first_m), ("final", final_m),
+                         ("all", all_m)):
+            sel_ok = int((ok & m).sum())
+            sel_nok = int((~ok & m).sum())
+            rows.append({"phase": phase, "ok": sel_ok, "nok": sel_nok,
+                         "yield_pct": _pct(sel_ok, sel_nok)})
+        return pa.Table.from_pylist(rows)
+
+    ys = _y3(status_ok.to_numpy(), first.to_numpy(), final.to_numpy())
+
+    runs = (df.assign(nok_b=(~status_ok).astype(int))
+            .groupby(["panel_serial", "att_rank"], as_index=False)
+            .agg(nok_boards=("nok_b", "sum"), n_runs=("n_attempts", "max")))
+    r_ok = (runs["nok_boards"] == 0).to_numpy()
+    r_first = (runs["att_rank"] == 0).to_numpy()
+    r_final = (runs["att_rank"] == runs["n_runs"] - 1).to_numpy()
+    ym = _y3(r_ok, r_first, r_final)
+
+    st = pd.to_datetime(df["start_ts"], unit="us")
+    hk = ((st.dt.year % 100) * 1_000_000 + st.dt.month * 10_000
+          + st.dt.day * 100 + st.dt.hour)
+    hdf = (pd.DataFrame({"hour_key": hk.astype("int64"),
+                         "ok": status_ok.astype(int),
+                         "nok": (~status_ok).astype(int)})
+           .groupby("hour_key", as_index=False)[["ok", "nok"]].sum()
+           .sort_values("hour_key").reset_index(drop=True))
+    hdf["ok"] = hdf["ok"].astype("int64")
+    hdf["nok"] = hdf["nok"].astype("int64")
+    return {"yields_sb": ys, "yields_mb": ym, "hourly": hdf}
+
 
 def test_series(parsed, test_name: str):
     """A8: full time-series of one test across boards, chronological."""

@@ -46,7 +46,12 @@ def _attempt_rows(batch: pa.Table) -> pa.Table:
     is_hdr = pc.equal(rt, "header")
     is_end = pc.equal(rt, "btest_end")
     null_s = pa.scalar(None, pa.string())
-    null_ts = pa.scalar(None, _TS)
+    null_i = pa.scalar(None, pa.int64())
+    # timestamps carried as int64 epoch-micros through the shuffle: Ray's
+    # groupby reduce handles None-mixed datetimes by falling back to pickled
+    # object blocks (observed), and Min/Max silently downcast timestamp[us]
+    # to [s]; int64 keeps blocks Arrow-native and lossless.
+    ts_us = pc.cast(b["start_ts"], pa.int64())
     return pa.table(
         {
             "conv_id": b["conv_id"],
@@ -54,8 +59,8 @@ def _attempt_rows(batch: pa.Table) -> pa.Table:
             "panel_serial": b["panel_serial"],
             "board_index": b["board_index"],
             "tool": b["tool"],
-            "start_ts": pc.if_else(is_hdr, b["start_ts"], null_ts),
-            "end_ts": pc.if_else(is_end, b["start_ts"], null_ts),
+            "start_ts": pc.if_else(is_hdr, ts_us, null_i),
+            "end_ts": pc.if_else(is_end, ts_us, null_i),
             "att_status": pc.if_else(is_end, b["status"], null_s),
             "hdr_status": pc.if_else(is_hdr, b["status"], null_s),
         }
@@ -81,7 +86,7 @@ def attempts_from_parsed(parsed_ds):
 
 def _add_start_key(batch: pa.Table) -> pa.Table:
     # sortable string key: zero-padded epoch micros + conv_id tie-break
-    us = pc.cast(pc.cast(batch["start_ts"], pa.int64()), pa.string())
+    us = pc.cast(batch["start_ts"], pa.string())
     padded = pc.utf8_lpad(us, 20, padding="0")
     key = pc.binary_join_element_wise(padded, batch["conv_id"], "|")
     return batch.append_column("start_key", key)
@@ -103,8 +108,8 @@ def _rank_batch(batch: pa.Table) -> pa.Table:
     ranks = np.empty(len(keys), dtype=np.int32)
     n_att = np.empty(len(keys), dtype=np.int32)
     for i, (k, lst) in enumerate(zip(keys, lists)):
-        lst = sorted(lst)
-        ranks[i] = lst.index(k)
+        lst = sorted("" if v is None else v for v in lst)
+        ranks[i] = lst.index("" if k is None else k)
         n_att[i] = len(lst)
     batch = batch.append_column("att_rank", pa.array(ranks, pa.int32()))
     batch = batch.append_column("n_attempts", pa.array(n_att, pa.int32()))
@@ -121,6 +126,10 @@ def rank_attempts(attempts_ds, broadcast_threshold: int = 2_000_000):
 
     att = attempts_ds.map_batches(_add_start_key, batch_format="pyarrow",
                                   zero_copy_batch=True)
+    # materialize the (small, turns/40) attempt table once: both the
+    # per-serial aggregate and the join-back read it, and without pinning it
+    # the whole upstream lineage (read→parse→…) executes twice
+    att = att.materialize()
     per_serial = att.groupby("serial").aggregate(
         Unique("start_key", alias_name="all_keys"),
     )

@@ -38,9 +38,19 @@ class ToolMetaEnricher:
         return batch
 
 
-def enrich_dataset(ds, tool_meta: pa.Table, concurrency=(1, 8), batch_size: int = 65_536):
+def enrich_dataset(ds, tool_meta: pa.Table, concurrency=None,
+                   batch_size: int = 65_536):
     """Attach station/product/line columns via an actor pool holding the
-    broadcast lookup (setup once per actor in ``__init__``)."""
+    broadcast lookup (setup once per actor in ``__init__``).
+
+    Pool sizing: Ray fuses the upstream stateless parse stage into this
+    actor pool, so the pool's max IS the pipeline's parse parallelism —
+    size it to the cluster (measured: a fixed max of 8 capped a 32-CPU run
+    at 8 workers and flattened CPU scaling)."""
+    if concurrency is None:
+        ncpu = int(ray.available_resources().get("CPU", 8)
+                   ) if ray.is_initialized() else 8
+        concurrency = (1, max(2, ncpu))
     ref = ray.put(tool_meta)
     return ds.map_batches(
         ToolMetaEnricher,

@@ -60,7 +60,7 @@ def attach_attempt_flags(parsed_ds, ranked_attempts_ds,
         ("att_panel_serial", pa.string()),
         ("att_board_index", pa.int32()),
         ("att_status", pa.string()),
-        ("att_start_ts", pa.timestamp("us")),
+        ("att_start_ts", pa.int64()),
         ("att_rank", pa.int32()),
         ("is_first", pa.bool_()),
         ("is_final", pa.bool_()),
@@ -100,6 +100,20 @@ def write_sinks(routed_ds, out_dir: str):
 
 
 def sink_counts(routed_ds):
-    """Per-sink row counts (the driver-checked routing aggregate)."""
-    from ray.data.aggregate import Count
-    return routed_ds.groupby("sink").aggregate(Count(alias_name="n"))
+    """Per-sink row counts (the driver-checked routing aggregate).
+
+    Pre-aggregated: per-batch value_counts (5 rows/batch) → tiny groupby —
+    never shuffles the turn stream by sink.
+    """
+    from ray.data.aggregate import Sum
+
+    def _partial(b: pa.Table) -> pa.Table:
+        vc = pc.value_counts(b["sink"].combine_chunks()
+                             if isinstance(b["sink"], pa.ChunkedArray)
+                             else b["sink"])
+        return pa.table({"sink": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    partial = routed_ds.map_batches(_partial, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    return partial.groupby("sink").aggregate(Sum("n", alias_name="n"))

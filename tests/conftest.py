@@ -30,7 +30,7 @@ def fixture_sf0001(ray_session):
     d = fx.ensure_fixture(0.001)
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(f"{d}/transcripts.parquet")
+    tbl = pq.read_table(f"{d}/transcripts")
     meta = pq.read_table(f"{d}/tool_meta.parquet")
     golden = parity.run_reference(tbl)
     return {"dir": d, "table": tbl, "tool_meta": meta, "golden": golden}

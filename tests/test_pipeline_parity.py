@@ -10,7 +10,7 @@ def pipeline(fixture_sf0001):
     from ict_log_parser_ray.pipelines import flagship
 
     return flagship.build(
-        f"{fixture_sf0001['dir']}/transcripts.parquet",
+        f"{fixture_sf0001['dir']}/transcripts",
         tool_meta=fixture_sf0001["tool_meta"],
         materialize_intermediates=True,
     )

@@ -1,0 +1,72 @@
+"""The single-pass / collected report fast paths must be value-identical to
+the distributed report implementations (and hence to the parity golden)."""
+
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def pipeline(fixture_sf0001):
+    from ict_log_parser_ray.pipelines import flagship
+
+    return flagship.build(
+        f"{fixture_sf0001['dir']}/transcripts",
+        tool_meta=fixture_sf0001["tool_meta"],
+        materialize_intermediates=True,
+    )
+
+
+def test_turn_metrics_combined_matches_distributed(pipeline, fixture_sf0001):
+    from ict_log_parser_ray.pipelines import reports
+    from ict_log_parser_ray.stages.route import sink_counts
+
+    tm = reports.turn_metrics_combined(pipeline["flagged"])
+
+    for mode in reports.FL_SETTINGS:
+        dist = reports.failure_pareto(pipeline["flagged"], mode).to_pandas()
+        fast = tm["paretos"][mode]
+        pd.testing.assert_frame_equal(
+            fast.sort_values(["test_name"]).reset_index(drop=True),
+            dist.sort_values(["test_name"]).reset_index(drop=True),
+            check_dtype=False)
+        golden = fixture_sf0001["golden"]["paretos"][mode]
+        got = {r["test_name"]: {"total": r["total"], "n_boards": r["n_boards"]}
+               for r in fast.to_dict("records")}
+        assert got == golden
+
+    dist_lim = reports.limit_changes(pipeline["parsed"]).to_pandas()
+    pd.testing.assert_frame_equal(
+        tm["limit_changes"].reset_index(drop=True),
+        dist_lim.reset_index(drop=True), check_dtype=False)
+
+    dist_sink = (sink_counts(pipeline["routed"]).to_pandas()
+                 .sort_values("sink").reset_index(drop=True))
+    pd.testing.assert_frame_equal(tm["sink_counts"], dist_sink,
+                                  check_dtype=False)
+    assert {r["sink"]: r["n"] for r in tm["sink_counts"].to_dict("records")} \
+        == fixture_sf0001["golden"]["sink_counts"]
+
+
+def test_attempts_report_tables_matches_distributed(pipeline, fixture_sf0001):
+    from ict_log_parser_ray.pipelines import reports
+
+    fast = reports.attempts_report_tables(pipeline["attempts"])
+    golden = fixture_sf0001["golden"]
+
+    got_sb = {r["phase"]: (r["ok"], r["nok"])
+              for r in fast["yields_sb"].to_pylist()}
+    assert got_sb == golden["yields_sb"]
+    got_mb = {r["phase"]: (r["ok"], r["nok"])
+              for r in fast["yields_mb"].to_pylist()}
+    assert got_mb == golden["yields_mb"]
+    got_h = {r["hour_key"]: (r["ok"], r["nok"])
+             for r in fast["hourly"].to_dict("records")}
+    assert got_h == golden["hourly"]
+
+    # the distributed versions agree too
+    dist_sb = {r["phase"]: (r["ok"], r["nok"])
+               for r in reports.yields_sb(pipeline["attempts"]).to_pylist()}
+    assert dist_sb == got_sb
+    dist_h = {r["hour_key"]: (r["ok"], r["nok"])
+              for r in reports.hourly_stats(pipeline["attempts"]).take_all()}
+    assert dist_h == got_h
