@@ -44,8 +44,8 @@ def _quiet_ray(num_cpus: int):
 def run_headline(sf: float, out_dir: str) -> dict:
     """Single-pass flagship: fixture transcripts → routed sinks + reports."""
     from ict_log_parser_ray import fixtures as fx
-    from ict_log_parser_ray.pipelines.flagship import build, run_reports
-    from ict_log_parser_ray.stages.route import write_sinks
+    from ict_log_parser_ray.pipelines import reports
+    from ict_log_parser_ray.pipelines.flagship import build
 
     import pyarrow.parquet as pq
 
@@ -53,19 +53,29 @@ def run_headline(sf: float, out_dir: str) -> dict:
     n_turns = json.load(open(os.path.join(d, "_DONE.json")))["rows"]
     meta = pq.read_table(os.path.join(d, "tool_meta.parquet"))
 
+    verbose = os.environ.get("ICT_BENCH_VERBOSE") == "1"
     t0 = time.time()
     pipe = build(os.path.join(d, "transcripts"), tool_meta=meta,
                  materialize_intermediates=True, materialize_flagged=False)
+    t1 = time.time()
     shutil.rmtree(out_dir, ignore_errors=True)
-    write_sinks(pipe["routed"], out_dir)
-    rep = run_reports(pipe)
+    # fused pass: route + sink write + A3/A6/sink metrics in one traversal
+    tm = reports.write_sinks_with_metrics(pipe["flagged"], out_dir)
+    t2 = time.time()
+    small = reports.attempts_report_tables(pipe["attempts"])
     elapsed = time.time() - t0
+    if verbose:
+        import sys
+        print(f"[phases] build+mat={t1-t0:.2f}s fused_write={t2-t1:.2f}s "
+              f"attempt_reports={elapsed-(t2-t0):.2f}s total={elapsed:.2f}s",
+              file=sys.stderr)
+    assert len(small["yields_sb"]) == 3
     return {
         "seconds": round(elapsed, 3),
         "turns": n_turns,
         "turns_per_sec": round(n_turns / elapsed, 1),
         "sink_counts": {r["sink"]: int(r["n"])
-                        for r in rep["sink_counts"].to_dict("records")},
+                        for r in tm["sink_counts"].to_dict("records")},
     }
 
 

@@ -24,6 +24,38 @@ from ..stages.route import attach_attempt_flags, route_dataset, sink_counts
 from . import reports
 
 
+def _split_marked_dups(parsed_all):
+    """Materialized parsed stream with ``is_dup_key`` marks → deduped stream.
+
+    Rows with unique keys stream through a cheap zero-copy filter; the few
+    collision rows (bounded like the dup-hash set) are collected once,
+    deduped vectorized (deterministic key-ordered first-wins; copies are
+    exact duplicates), and unioned back.
+    """
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    def _clean(b: pa.Table) -> pa.Table:
+        return b.filter(pc.invert(b["is_dup_key"])).drop_columns(["is_dup_key"])
+
+    def _dups(b: pa.Table) -> pa.Table:
+        return b.filter(b["is_dup_key"]).drop_columns(["is_dup_key"])
+
+    clean = parsed_all.map_batches(_clean, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    coll = parsed_all.map_batches(_dups, batch_format="pyarrow",
+                                  zero_copy_batch=True).materialize()
+    tbl = pa.concat_tables(ray.get(coll.to_arrow_refs())).combine_chunks()
+    df = (tbl.to_pandas().sort_values(["conv_id", "turn_idx"], kind="stable")
+          .drop_duplicates(subset=["conv_id", "turn_idx"], keep="first"))
+    deduped = rd.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False, schema=tbl.schema))
+    # no re-materialize: `clean` is a cheap filter over pinned blocks that
+    # each consumer fuses into its own first map task
+    return clean.union(deduped)
+
+
 def build(transcripts_path, tool_meta: pa.Table | None = None,
           batch_size: int = 65_536, broadcast_threshold: int = 2_000_000,
           enrich: bool = True, dedup: bool = True, dedup_buckets: int = 64,
@@ -41,21 +73,54 @@ def build(transcripts_path, tool_meta: pa.Table | None = None,
     test/bench scale; at 100 TB prefer the single-pass
     ``run_to_sinks`` + aggregate-from-sinks flow instead.
     """
+    import os as _os
+    import sys as _sys
+    import time as _time
+    _verbose = _os.environ.get("ICT_BENCH_VERBOSE") == "1"
+
+    def _tick(label, t0):
+        if _verbose:
+            print(f"[build] {label}: {_time.time() - t0:.2f}s",
+                  file=_sys.stderr)
+        return _time.time()
+
+    _t = _time.time()
     raw = read_transcripts(transcripts_path)
-    if dedup:
+    dup_ref = None
+    if dedup and materialize_intermediates:
+        # marked-dedup fast path (2 source traversals total): pass A finds
+        # duplicate key-hashes from a column-pruned read; the main pass just
+        # MARKS rows (is_dup_key) so parse/enrich see every row once; the
+        # split + collision dedup happens on the materialized output below.
+        from ..stages.dedup import dup_hash_ref, mark_dup_keys
+        key_ds = read_transcripts(transcripts_path,
+                                  columns=["conv_id", "turn_idx"])
+        dup_ref, _ndup = dup_hash_ref(key_ds, keys=("conv_id", "turn_idx"))
+        if dup_ref is not None:
+            raw = raw.map_batches(
+                lambda b: mark_dup_keys(b, dup_ref, ("conv_id", "turn_idx")),
+                batch_format="pyarrow", zero_copy_batch=True)
+    elif dedup:
+        # streaming path: 3 traversals, never holds collision rows on the
+        # driver inside a lazy lineage
         from ..stages.dedup import exact_dedup_sparse
         key_ds = read_transcripts(transcripts_path,
                                   columns=["conv_id", "turn_idx"])
         raw = exact_dedup_sparse(raw, keys=("conv_id", "turn_idx"),
                                  num_buckets=dedup_buckets, key_ds=key_ds)
+    _t = _tick("dedup pass A", _t)
     parsed = parse_dataset(raw, batch_size=batch_size)
     if enrich and tool_meta is not None:
         parsed = enrich_dataset(parsed, tool_meta, batch_size=batch_size)
     if materialize_intermediates:
         parsed = parsed.materialize()
+        if dup_ref is not None:
+            parsed = _split_marked_dups(parsed)
+    _t = _tick("parse+enrich materialize", _t)
     ranked = ranked_attempts(parsed, broadcast_threshold=broadcast_threshold)
     if materialize_intermediates:
         ranked = ranked.materialize()
+    _t = _tick("attempts+rank", _t)
     flagged = attach_attempt_flags(parsed, ranked,
                                    broadcast_threshold=broadcast_threshold)
     if materialize_flagged is None:

@@ -355,75 +355,61 @@ def failed_boards(ranked, flagged, broadcast_threshold: int = 2_000_000):
 
 # ---------------------------------------------------------------- A8 / A9
 
-def turn_metrics_combined(flagged) -> dict:
-    """ONE pass over the turn stream → the three turn-level report inputs:
-
-    - fail records (test_name, att_serial, is_first, is_final)  [A3]
-    - distinct (test_name, lim_sig) pairs                        [A6]
-    - per-sink partial counts                                    [routing]
-
-    Each batch contributes three TINY partial tables tagged by ``metric``;
-    the single narrow output is collected once and finished driver-side /
-    via micro-groupbys.  Replaces three separate full scans — the per-batch
-    combine pattern applied across metrics, not just within one.
-    """
+def turn_partials_batch(b: pa.Table) -> pa.Table:
+    """Per-batch partial metrics: fail records [A3], distinct lim pairs
+    [A6], per-sink counts [routing] — tagged rows in one narrow table.
+    Expects the ``sink`` column to be present (run after add_sink_column)."""
     import numpy as np
-    import ray
 
-    from ..stages.route import add_sink_column
+    rt = b["record_type"]
+    is_test = pc.or_(pc.equal(rt, "analog"), pc.equal(rt, "digital"))
+    fail = pc.and_(is_test,
+                   pc.equal(pc.fill_null(b["status"], "u"), "fail"))
+    f = b.filter(fail)
+    fails = pa.table({
+        "metric": pa.array(["fail"] * f.num_rows),
+        "test_name": f["test_name"],
+        "att_serial": f["att_serial"],
+        "is_first": pc.fill_null(f["is_first"], False),
+        "is_final": pc.fill_null(f["is_final"], False),
+        "lim_sig": pa.nulls(f.num_rows, pa.string()),
+        "sink": pa.nulls(f.num_rows, pa.string()),
+        "n": pa.array(np.ones(f.num_rows, np.int64)),
+    })
 
-    def _partials(b: pa.Table) -> pa.Table:
-        rt = b["record_type"]
-        is_test = pc.or_(pc.equal(rt, "analog"), pc.equal(rt, "digital"))
-        fail = pc.and_(is_test,
-                       pc.equal(pc.fill_null(b["status"], "u"), "fail"))
-        f = b.filter(fail)
-        fails = pa.table({
-            "metric": pa.array(["fail"] * f.num_rows),
-            "test_name": f["test_name"],
-            "att_serial": f["att_serial"],
-            "is_first": pc.fill_null(f["is_first"], False),
-            "is_final": pc.fill_null(f["is_final"], False),
-            "lim_sig": pa.nulls(f.num_rows, pa.string()),
-            "sink": pa.nulls(f.num_rows, pa.string()),
-            "n": pa.array(np.ones(f.num_rows, np.int64)),
-        })
+    lm = pc.and_(pc.equal(rt, "analog"), pc.is_valid(b["lim_sig"]))
+    lt = b.filter(lm).select(["test_name", "lim_sig"])
+    lt = pa.TableGroupBy(lt, ["test_name", "lim_sig"]).aggregate([])
+    lims = pa.table({
+        "metric": pa.array(["lim"] * lt.num_rows),
+        "test_name": lt["test_name"],
+        "att_serial": pa.nulls(lt.num_rows, pa.string()),
+        "is_first": pa.nulls(lt.num_rows, pa.bool_()),
+        "is_final": pa.nulls(lt.num_rows, pa.bool_()),
+        "lim_sig": lt["lim_sig"],
+        "sink": pa.nulls(lt.num_rows, pa.string()),
+        "n": pa.array(np.ones(lt.num_rows, np.int64)),
+    })
 
-        lm = pc.and_(pc.equal(rt, "analog"), pc.is_valid(b["lim_sig"]))
-        lt = b.filter(lm).select(["test_name", "lim_sig"])
-        lt = pa.TableGroupBy(lt, ["test_name", "lim_sig"]).aggregate([])
-        lims = pa.table({
-            "metric": pa.array(["lim"] * lt.num_rows),
-            "test_name": lt["test_name"],
-            "att_serial": pa.nulls(lt.num_rows, pa.string()),
-            "is_first": pa.nulls(lt.num_rows, pa.bool_()),
-            "is_final": pa.nulls(lt.num_rows, pa.bool_()),
-            "lim_sig": lt["lim_sig"],
-            "sink": pa.nulls(lt.num_rows, pa.string()),
-            "n": pa.array(np.ones(lt.num_rows, np.int64)),
-        })
+    col = b["sink"]
+    vc = pc.value_counts(col.combine_chunks()
+                         if isinstance(col, pa.ChunkedArray) else col)
+    sinks = pa.table({
+        "metric": pa.array(["sink"] * len(vc)),
+        "test_name": pa.nulls(len(vc), pa.string()),
+        "att_serial": pa.nulls(len(vc), pa.string()),
+        "is_first": pa.nulls(len(vc), pa.bool_()),
+        "is_final": pa.nulls(len(vc), pa.bool_()),
+        "lim_sig": pa.nulls(len(vc), pa.string()),
+        "sink": vc.field("values"),
+        "n": pc.cast(vc.field("counts"), pa.int64()),
+    })
+    return pa.concat_tables([fails, lims, sinks])
 
-        sb = add_sink_column(b)
-        col = sb["sink"]
-        vc = pc.value_counts(col.combine_chunks()
-                             if isinstance(col, pa.ChunkedArray) else col)
-        sinks = pa.table({
-            "metric": pa.array(["sink"] * len(vc)),
-            "test_name": pa.nulls(len(vc), pa.string()),
-            "att_serial": pa.nulls(len(vc), pa.string()),
-            "is_first": pa.nulls(len(vc), pa.bool_()),
-            "is_final": pa.nulls(len(vc), pa.bool_()),
-            "lim_sig": pa.nulls(len(vc), pa.string()),
-            "sink": vc.field("values"),
-            "n": pc.cast(vc.field("counts"), pa.int64()),
-        })
-        return pa.concat_tables([fails, lims, sinks])
 
-    part = flagged.map_batches(_partials, batch_format="pyarrow",
-                               zero_copy_batch=True).materialize()
-    tbl = pa.concat_tables(ray.get(part.to_arrow_refs())).combine_chunks()
-    df = tbl.to_pandas()
-
+def finish_turn_metrics(df) -> dict:
+    """Driver-side finish of collected turn partials → paretos / limit
+    changes / sink counts (tiny inputs, vectorized pandas)."""
     fails = df[df["metric"] == "fail"]
     paretos = {}
     for mode in FL_SETTINGS:
@@ -455,6 +441,61 @@ def turn_metrics_combined(flagged) -> dict:
 
     return {"paretos": paretos, "limit_changes": limit_changes_df,
             "sink_counts": sink_df}
+
+
+def turn_metrics_combined(flagged) -> dict:
+    """ONE pass over the turn stream → A3 paretos (3 modes) + A6 limit
+    changes + per-sink counts.  Per-batch partial combine; collected output
+    is tiny (tagged partial rows), finished driver-side."""
+    import ray
+
+    from ..stages.route import add_sink_column
+
+    def _partials(b: pa.Table) -> pa.Table:
+        return turn_partials_batch(add_sink_column(b))
+
+    part = flagged.map_batches(_partials, batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+    tbl = pa.concat_tables(ray.get(part.to_arrow_refs())).combine_chunks()
+    return finish_turn_metrics(tbl.to_pandas())
+
+
+def write_sinks_with_metrics(flagged, out_dir: str) -> dict:
+    """Fused single pass: route + hive-partitioned sink write + turn
+    metrics.  Each map task writes its batch's per-sink parquet files as a
+    side effect (unique file names; idempotent at the directory level —
+    callers replace ``out_dir`` wholesale, as run_resumable does per shard)
+    and RETURNS only the tiny partial-metrics table, so routing, writing
+    and the A3/A6/sink aggregates cost one traversal of the turn stream.
+    """
+    import os
+    import uuid
+
+    import pyarrow.parquet as _pq
+    import ray
+
+    from ..stages.route import SINKS, add_sink_column
+
+    os.makedirs(out_dir, exist_ok=True)
+    for s in SINKS:
+        os.makedirs(os.path.join(out_dir, f"sink={s}"), exist_ok=True)
+
+    def _write_and_partial(b: pa.Table) -> pa.Table:
+        sb = add_sink_column(b)
+        col = sb["sink"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        for s in pc.unique(col).to_pylist():
+            part = sb.filter(pc.equal(sb["sink"], s)).drop_columns(["sink"])
+            fn = os.path.join(out_dir, f"sink={s}",
+                              f"part-{uuid.uuid4().hex}.parquet")
+            _pq.write_table(part, fn)
+        return turn_partials_batch(sb)
+
+    part = flagged.map_batches(_write_and_partial, batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+    tbl = pa.concat_tables(ray.get(part.to_arrow_refs())).combine_chunks()
+    return finish_turn_metrics(tbl.to_pandas())
 
 
 def attempts_report_tables(ranked, collect_threshold: int = 5_000_000) -> dict:

@@ -139,6 +139,96 @@ def rank_attempts(attempts_ds, broadcast_threshold: int = 2_000_000):
                               zero_copy_batch=True)
 
 
-def ranked_attempts(parsed_ds, broadcast_threshold: int = 2_000_000):
-    return rank_attempts(attempts_from_parsed(parsed_ds),
-                         broadcast_threshold=broadcast_threshold)
+def _attempt_rows_partial(batch: pa.Table) -> pa.Table:
+    """_attempt_rows + per-batch combine: one row per conv_id IN THIS BATCH
+    (arrow C++ hash aggregate).  A conversation spans ~1 batch, so the
+    global combine sees ~#convs rows instead of 2×#convs header/end rows."""
+    t = _attempt_rows(batch)
+    g = pa.TableGroupBy(t, "conv_id").aggregate([
+        ("serial", "max"), ("panel_serial", "max"), ("board_index", "max"),
+        ("tool", "max"), ("start_ts", "min"), ("end_ts", "max"),
+        ("att_status", "max"), ("hdr_status", "max"),
+    ])
+    # arrow names aggregates "<col>_<fn>"; strip the suffix, keep the key
+    return g.rename_columns(
+        [n if n == "conv_id" else n.rsplit("_", 1)[0]
+         for n in g.column_names])
+
+
+_RANKED_SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("serial", pa.string()),
+    ("panel_serial", pa.string()),
+    ("board_index", pa.int64()),
+    ("tool", pa.string()),
+    ("start_ts", pa.int64()),
+    ("end_ts", pa.int64()),
+    ("att_status", pa.string()),
+    ("hdr_status", pa.string()),
+    ("att_rank", pa.int32()),
+    ("n_attempts", pa.int32()),
+    ("is_first", pa.bool_()),
+    ("is_final", pa.bool_()),
+])
+
+
+def _finish_rank_pandas(tbl: pa.Table):
+    """Driver-side finish: final per-conv combine (arrow C++ hash aggregate —
+    null-safe for string columns, unlike pandas object max) + vectorized
+    rank within serial.  Ordering key = (start_ts, conv_id) with nulls
+    FIRST to match the distributed start_key="" convention.
+    """
+    g = pa.TableGroupBy(tbl, "conv_id").aggregate([
+        ("serial", "max"), ("panel_serial", "max"), ("board_index", "max"),
+        ("tool", "max"), ("start_ts", "min"), ("end_ts", "max"),
+        ("att_status", "max"), ("hdr_status", "max"),
+    ])
+    g = g.rename_columns([n if n == "conv_id" else n.rsplit("_", 1)[0]
+                          for n in g.column_names])
+    agg = g.to_pandas()
+    agg = agg.sort_values(["serial", "start_ts", "conv_id"], kind="stable",
+                          na_position="first")
+    grp = agg.groupby("serial", sort=False, dropna=False)
+    agg["att_rank"] = grp.cumcount().astype("int32")
+    agg["n_attempts"] = grp["conv_id"].transform("size").astype("int32")
+    agg["is_first"] = agg["att_rank"] == 0
+    agg["is_final"] = agg["att_rank"] == agg["n_attempts"] - 1
+    return agg.reset_index(drop=True)
+
+
+def ranked_attempts(parsed_ds, broadcast_threshold: int = 2_000_000,
+                    collect_threshold: int = 5_000_000):
+    """parsed turns → ranked attempts.
+
+    Fast path (attempt table ≤ collect_threshold rows): per-batch arrow
+    partial combine → one driver-side vectorized finish — no Ray groupby,
+    whose per-group reduce overhead dominates at ~all-distinct keys
+    (measured 9.6s for 82k groups vs ~1.5s for this path).  Large scale:
+    the distributed groupby + Unique-rank path below.
+    """
+    import ray
+    import ray.data as rd
+
+    partial = parsed_ds.map_batches(_attempt_rows_partial,
+                                    batch_format="pyarrow",
+                                    zero_copy_batch=True).materialize()
+    n = partial.count()
+    if n > collect_threshold:
+        att = partial.groupby("conv_id").aggregate(
+            Max("serial", alias_name="serial"),
+            Max("panel_serial", alias_name="panel_serial"),
+            Max("board_index", alias_name="board_index"),
+            Max("tool", alias_name="tool"),
+            Min("start_ts", alias_name="start_ts"),
+            Max("end_ts", alias_name="end_ts"),
+            Max("att_status", alias_name="att_status"),
+            Max("hdr_status", alias_name="hdr_status"),
+        )
+        return rank_attempts(att, broadcast_threshold=broadcast_threshold)
+
+    tbl = pa.concat_tables(ray.get(partial.to_arrow_refs())).combine_chunks()
+    out = _finish_rank_pandas(tbl)
+    cols = {}
+    for f in _RANKED_SCHEMA:
+        cols[f.name] = pa.array(out[f.name], f.type, from_pandas=True)
+    return rd.from_arrow(pa.table(cols))

@@ -51,10 +51,54 @@ def exact_dedup(ds, keys=("conv_id", "turn_idx"), num_buckets: int = 64):
 
 
 def _key_hash(batch: pa.Table, keys) -> "object":
-    from pandas.util import hash_pandas_object
+    """64-bit row hash of the key columns (polars hash_rows — ~4× faster
+    than pandas hash_pandas_object; deterministic within a run)."""
+    try:
+        import polars as pl
 
-    df = batch.select(keys).to_pandas()
-    return hash_pandas_object(df, index=False).to_numpy().astype("int64")
+        return (pl.from_arrow(batch.select(keys)).hash_rows(seed=42)
+                .to_numpy().astype("int64"))
+    except Exception:
+        from pandas.util import hash_pandas_object
+
+        df = batch.select(keys).to_pandas()
+        return hash_pandas_object(df, index=False).to_numpy().astype("int64")
+
+
+def dup_hash_ref(ds, keys=("conv_id", "turn_idx")):
+    """Pass A of sparse dedup as a standalone: distributed 8B/row key-hash
+    projection, duplicate detection via one np.unique on the driver.
+
+    Returns (ObjectRef to the pa.Array of duplicate key-hashes, count) —
+    (None, 0) when no key occurs twice.  Bounded by hash volume (8B/row);
+    see exact_dedup_sparse for the scale discussion.
+    """
+    import numpy as np
+    import ray
+
+    keys = list(keys)
+
+    def key_hash_only(batch: pa.Table) -> pa.Table:
+        return pa.table({"kh": pa.array(_key_hash(batch, keys), pa.int64())})
+
+    hashed = ds.map_batches(key_hash_only, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    hash_tbl = pa.concat_tables(ray.get(hashed.to_arrow_refs()))
+    hv = hash_tbl["kh"].to_numpy()
+    uniq, cnt = np.unique(hv, return_counts=True)
+    dups = uniq[cnt > 1]
+    if len(dups) == 0:
+        return None, 0
+    return ray.put(pa.array(dups, pa.int64())), len(dups)
+
+
+def mark_dup_keys(batch: pa.Table, dup_ref, keys) -> pa.Table:
+    """Append ``is_dup_key`` bool column (hash-set membership)."""
+    import ray
+
+    kh = pa.array(_key_hash(batch, list(keys)), pa.int64())
+    return batch.append_column(
+        "is_dup_key", pc.is_in(kh, value_set=ray.get(dup_ref)))
 
 
 def exact_dedup_sparse(ds, keys=("conv_id", "turn_idx"), num_buckets: int = 16,

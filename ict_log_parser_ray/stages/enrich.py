@@ -50,6 +50,11 @@ def enrich_dataset(ds, tool_meta: pa.Table, concurrency=None,
     if concurrency is None:
         ncpu = int(ray.available_resources().get("CPU", 8)
                    ) if ray.is_initialized() else 8
+        # autoscaling pool up to the cluster size: a FIXED pool of N pays
+        # ~N actor-process spawns up front (measured slower end-to-end than
+        # autoscaling at every size tried), and a pool reserving every CPU
+        # starves the read/write operators; (1, N) lets Ray grow the pool
+        # only while the stage is actually backlogged
         concurrency = (1, max(2, ncpu))
     ref = ray.put(tool_meta)
     return ds.map_batches(
