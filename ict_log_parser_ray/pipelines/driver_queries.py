@@ -83,7 +83,8 @@ hdr AS (
          regexp_extract(text, '{_H}', 1) AS serial,
          regexp_extract(text, '{_H}', 5) AS panel_serial,
          CAST(regexp_extract(text, '{_H}', 4) AS BIGINT) AS board_index,
-         strptime(regexp_extract(text, '{_H}', 3), '%y%m%d%H%M%S') AS start_ts
+         strptime(regexp_extract(text, '{_H}', 3), '%y%m%d%H%M%S') AS start_ts,
+         tool
   FROM tx WHERE regexp_matches(text, '{_H}')
 ),
 endr AS (
@@ -96,6 +97,7 @@ attempts AS (
          max(h.serial) AS serial,
          max(h.panel_serial) AS panel_serial,
          max(h.board_index) AS board_index,
+         max(h.tool) AS tool,
          max(e.att_status) AS att_status
   FROM hdr h LEFT JOIN endr e ON h.conv_id = e.conv_id
   GROUP BY h.conv_id
@@ -267,6 +269,24 @@ SELECT f.conv_id, f.serial,
        coalesce((SELECT string_agg(n.test_name, ',' ORDER BY n.test_name)
                  FROM names n WHERE n.conv_id = f.conv_id), '') AS failed_tests
 FROM final_fail f
+"""
+
+    sql["t_export_long"] = tx + """
+SELECT t.conv_id, r.serial, CAST(r.att_rank AS BIGINT) AS att_rank,
+       r.att_status, t.test_name, t.status, a.measurement
+FROM tests t JOIN ranked r ON t.conv_id = r.conv_id
+LEFT JOIN analog a ON t.conv_id = a.conv_id AND t.turn_idx = a.turn_idx
+"""
+
+    sql["t_product_hourly"] = tx + f"""
+SELECT coalesce(m.product, r.tool) AS product,
+       CAST(strftime(r.start_ts, '%y%m%d%H') AS BIGINT) AS hour_key,
+       count(*) FILTER (WHERE r.att_status = 'pass') AS ok,
+       count(*) FILTER (WHERE coalesce(r.att_status,'unknown') <> 'pass') AS nok
+FROM ranked r
+LEFT JOIN read_parquet('{fx.fixture_dir(0.01)}/tool_meta.parquet') m
+  ON r.tool = m.tool
+GROUP BY 1, 2
 """
     return sql
 
@@ -649,6 +669,47 @@ def media_features(sf_dir):
     return out.map_batches(sel, batch_format="pyarrow")
 
 
+
+
+def t_export_long(sf_dir):
+    from .export import ExportSettings, export_long
+
+    ds = export_long(_pipe(sf_dir)["flagged"], ExportSettings())
+
+    def fmt(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": b["conv_id"],
+            "serial": b["serial"],
+            "att_rank": pc.cast(b["att_rank"], pa.int64()),
+            "att_status": b["att_status"],
+            "test_name": b["test_name"],
+            "status": b["status"],
+            "measurement": b["measurement"],
+        })
+
+    return ds.map_batches(fmt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def t_product_hourly(sf_dir):
+    import pyarrow.parquet as pq
+
+    from .daily_report import product_hourly
+
+    sf = fx.sf_from_dir(sf_dir)
+    d = fx.ensure_fixture(sf)
+    meta = pq.read_table(f"{d}/tool_meta.parquet")
+    lut = dict(zip(meta["tool"].to_pylist(), meta["product"].to_pylist()))
+    out = product_hourly(_pipe(sf_dir)["attempts"], lut)
+    return _i64(out.to_pandas(), ["hour_key", "ok", "nok"])
+
+
+def e_sample(sf_dir):
+    """Seeded reproducible sample over events (rows-only: sampling is not
+    SQL-deterministic across engines)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type"])
+    return _i64(ds.random_sample(0.1, seed=42).to_pandas(), ["event_id"])
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -667,6 +728,8 @@ def build_queries() -> dict:
         "t_attempts": t_attempts,
         "t_measurements": t_measurements,
         "t_sink_counts": t_sink_counts,
+        "t_export_long": t_export_long,
+        "t_product_hourly": t_product_hourly,
         "t_text_identity": t_text_identity,
         "t_failed_boards": t_failed_boards,
         # driver tables
@@ -682,6 +745,7 @@ def build_queries() -> dict:
         "d_exact_dups": d_exact_dups,
         "emb_knn": emb_knn,
         # rows-only (non-SQL-expressible)
+        "e_sample": e_sample,
         "emb_knn_ivf": emb_knn_ivf,
         "d_analysis": d_analysis,
         "d_minhash_pairs": d_minhash_pairs,

@@ -24,35 +24,57 @@ from ..stages.route import attach_attempt_flags, route_dataset, sink_counts
 from . import reports
 
 
-def _split_marked_dups(parsed_all):
-    """Materialized parsed stream with ``is_dup_key`` marks → deduped stream.
+def _dedup_pinned(parsed_all, keys=("conv_id", "turn_idx")):
+    """Exact dedup entirely over PINNED parsed blocks — zero extra source
+    reads (the expensive read+parse ran exactly once to materialize).
 
-    Rows with unique keys stream through a cheap zero-copy filter; the few
-    collision rows (bounded like the dup-hash set) are collected once,
-    deduped vectorized (deterministic key-ordered first-wins; copies are
-    exact duplicates), and unioned back.
+    1. narrow key-hash scan of the pinned blocks → duplicate-hash set via
+       one driver np.unique (8 B/row; see stages.dedup for the scale bound);
+    2. no dups → stream through untouched;
+    3. else: rows with unique keys pass a cheap membership filter that each
+       consumer fuses into its first map task; the few collision rows are
+       collected once, deduped vectorized (deterministic key-ordered
+       first-wins; copies are exact duplicates), and unioned back.
     """
     import pyarrow.compute as pc
     import ray
     import ray.data as rd
 
+    import numpy as np
+
+    # duplicate-hash set from the precomputed kh column: zero-copy narrow
+    # scan, one driver np.unique
+    khs = parsed_all.map_batches(lambda b: b.select(["kh"]),
+                                 batch_format="pyarrow",
+                                 zero_copy_batch=True).materialize()
+    hv = pa.concat_tables(ray.get(khs.to_arrow_refs()))["kh"].to_numpy()
+    uniq, cnt = np.unique(hv, return_counts=True)
+    dups = uniq[cnt > 1]
+    if len(dups) == 0:
+        return parsed_all.map_batches(
+            lambda b: b.drop_columns(["kh"]), batch_format="pyarrow",
+            zero_copy_batch=True)
+    dup_ref = ray.put(pa.array(dups, pa.int64()))
+
+    keys = list(keys)
+
     def _clean(b: pa.Table) -> pa.Table:
-        return b.filter(pc.invert(b["is_dup_key"])).drop_columns(["is_dup_key"])
+        m = pc.invert(pc.is_in(b["kh"], value_set=ray.get(dup_ref)))
+        return b.filter(m).drop_columns(["kh"])
 
     def _dups(b: pa.Table) -> pa.Table:
-        return b.filter(b["is_dup_key"]).drop_columns(["is_dup_key"])
+        return b.filter(pc.is_in(b["kh"], value_set=ray.get(dup_ref))
+                        ).drop_columns(["kh"])
 
     clean = parsed_all.map_batches(_clean, batch_format="pyarrow",
                                    zero_copy_batch=True)
     coll = parsed_all.map_batches(_dups, batch_format="pyarrow",
                                   zero_copy_batch=True).materialize()
     tbl = pa.concat_tables(ray.get(coll.to_arrow_refs())).combine_chunks()
-    df = (tbl.to_pandas().sort_values(["conv_id", "turn_idx"], kind="stable")
-          .drop_duplicates(subset=["conv_id", "turn_idx"], keep="first"))
+    df = (tbl.to_pandas().sort_values(keys, kind="stable")
+          .drop_duplicates(subset=keys, keep="first"))
     deduped = rd.from_arrow(
         pa.Table.from_pandas(df, preserve_index=False, schema=tbl.schema))
-    # no re-materialize: `clean` is a cheap filter over pinned blocks that
-    # each consumer fuses into its own first map task
     return clean.union(deduped)
 
 
@@ -85,38 +107,43 @@ def build(transcripts_path, tool_meta: pa.Table | None = None,
         return _time.time()
 
     _t = _time.time()
-    raw = read_transcripts(transcripts_path)
-    dup_ref = None
-    if dedup and materialize_intermediates:
-        # marked-dedup fast path (2 source traversals total): pass A finds
-        # duplicate key-hashes from a column-pruned read; the main pass just
-        # MARKS rows (is_dup_key) so parse/enrich see every row once; the
-        # split + collision dedup happens on the materialized output below.
-        from ..stages.dedup import dup_hash_ref, mark_dup_keys
-        key_ds = read_transcripts(transcripts_path,
-                                  columns=["conv_id", "turn_idx"])
-        dup_ref, _ndup = dup_hash_ref(key_ds, keys=("conv_id", "turn_idx"))
-        if dup_ref is not None:
-            raw = raw.map_batches(
-                lambda b: mark_dup_keys(b, dup_ref, ("conv_id", "turn_idx")),
-                batch_format="pyarrow", zero_copy_batch=True)
-    elif dedup:
-        # streaming path: 3 traversals, never holds collision rows on the
-        # driver inside a lazy lineage
+    # Split the read into ~4 blocks per CPU: Ray otherwise coalesces small
+    # shard files into ~128MB read tasks, capping EVERY downstream fused
+    # stage at that task count (measured: identical wall at 8 and 32 CPUs).
+    import ray as _ray
+    ncpu = int(_ray.available_resources().get("CPU", 8)) \
+        if _ray.is_initialized() else 8
+    num_blocks = max(64, ncpu * 4)
+    raw = read_transcripts(transcripts_path, override_num_blocks=num_blocks)
+    if dedup and not materialize_intermediates:
+        # streaming path: 3 source traversals, never holds collision rows on
+        # the driver inside a lazy lineage
         from ..stages.dedup import exact_dedup_sparse
         key_ds = read_transcripts(transcripts_path,
-                                  columns=["conv_id", "turn_idx"])
+                                  columns=["conv_id", "turn_idx"],
+                                  override_num_blocks=num_blocks)
         raw = exact_dedup_sparse(raw, keys=("conv_id", "turn_idx"),
                                  num_buckets=dedup_buckets, key_ds=key_ds)
-    _t = _tick("dedup pass A", _t)
     parsed = parse_dataset(raw, batch_size=batch_size)
     if enrich and tool_meta is not None:
         parsed = enrich_dataset(parsed, tool_meta, batch_size=batch_size)
     if materialize_intermediates:
+        # read+parse exactly ONCE; dedup runs afterwards as cheap scans of
+        # the pinned blocks (parse/enrich over duplicate copies is harmless:
+        # copies are exact and collapse in the split below).  The dedup key
+        # hash is computed here, fused into the same pass.
+        if dedup:
+            from ..stages.dedup import add_key_hash_column
+            parsed = parsed.map_batches(add_key_hash_column,
+                                        batch_format="pyarrow",
+                                        zero_copy_batch=True)
         parsed = parsed.materialize()
-        if dup_ref is not None:
-            parsed = _split_marked_dups(parsed)
-    _t = _tick("parse+enrich materialize", _t)
+        _t = _tick("parse+enrich materialize", _t)
+        if dedup:
+            parsed = _dedup_pinned(parsed)
+        _t = _tick("dedup over pinned blocks", _t)
+    else:
+        _t = _tick("parse+enrich (lazy)", _t)
     ranked = ranked_attempts(parsed, broadcast_threshold=broadcast_threshold)
     if materialize_intermediates:
         ranked = ranked.materialize()

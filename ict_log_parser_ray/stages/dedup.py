@@ -52,7 +52,17 @@ def exact_dedup(ds, keys=("conv_id", "turn_idx"), num_buckets: int = 64):
 
 def _key_hash(batch: pa.Table, keys) -> "object":
     """64-bit row hash of the key columns (polars hash_rows — ~4× faster
-    than pandas hash_pandas_object; deterministic within a run)."""
+    than pandas hash_pandas_object; deterministic within a run).
+
+    POLARS_MAX_THREADS is pinned to 1 before the first polars import: each
+    Ray worker runs many hash tasks concurrently, and polars' default
+    all-cores pool oversubscribes the node badly.
+    """
+    import os
+    import sys
+
+    if "polars" not in sys.modules:
+        os.environ.setdefault("POLARS_MAX_THREADS", "1")
     try:
         import polars as pl
 
@@ -63,6 +73,15 @@ def _key_hash(batch: pa.Table, keys) -> "object":
 
         df = batch.select(keys).to_pandas()
         return hash_pandas_object(df, index=False).to_numpy().astype("int64")
+
+
+def add_key_hash_column(batch: pa.Table, keys=("conv_id", "turn_idx"),
+                        col: str = "kh") -> pa.Table:
+    """Append the 64-bit key hash as a column — computed once in the pass
+    that already touches every byte (parse), so later dedup scans/filters
+    are zero-copy column reads instead of re-hashing per consumer."""
+    return batch.append_column(
+        col, pa.array(_key_hash(batch, list(keys)), pa.int64()))
 
 
 def dup_hash_ref(ds, keys=("conv_id", "turn_idx")):

@@ -53,7 +53,7 @@ ORACLE_NAMES = [
     "t_yields_sb", "t_yields_mb", "t_pareto_all", "t_pareto_first_pass",
     "t_pareto_after_retest", "t_hourly", "t_limit_changes", "t_testlist",
     "t_attempts", "t_measurements", "t_sink_counts", "t_text_identity",
-    "t_failed_boards", "e_hourly", "e_pareto", "e_user_first_last", "e_topk",
+    "t_failed_boards", "t_export_long", "t_product_hourly", "e_hourly", "e_pareto", "e_user_first_last", "e_topk",
     "e_window", "e_point_lookup", "q1_lineitem", "d_token_counts",
     "d_char_stats", "d_exact_dups", "emb_knn",
 ]
@@ -77,7 +77,7 @@ def test_query_matches_oracle(contract, con, name):
                                   check_exact=False, rtol=1e-9, atol=1e-9)
 
 
-ROWS_ONLY = ["emb_knn_ivf", "d_analysis", "d_minhash_pairs", "d_simhash",
+ROWS_ONLY = ["e_sample", "emb_knn_ivf", "d_analysis", "d_minhash_pairs", "d_simhash",
              "media_features"]
 
 
