@@ -278,6 +278,15 @@ FROM tests t JOIN ranked r ON t.conv_id = r.conv_id
 LEFT JOIN analog a ON t.conv_id = a.conv_id AND t.turn_idx = a.turn_idx
 """
 
+    sql["t_test_series"] = tx + """
+SELECT a.conv_id, CAST(a.turn_idx AS BIGINT) AS turn_idx, a.test_name,
+       a.measurement, CAST(a.nom_s AS DOUBLE) AS lim_nom,
+       CAST(a.ul_s AS DOUBLE) AS lim_ul, CAST(a.ll_s AS DOUBLE) AS lim_ll
+FROM analog a
+JOIN (SELECT test_name FROM tests GROUP BY 1 ORDER BY count(*) DESC, test_name
+      LIMIT 1) top ON a.test_name = top.test_name
+"""
+
     sql["t_product_hourly"] = tx + f"""
 SELECT coalesce(m.product, r.tool) AS product,
        CAST(strftime(r.start_ts, '%y%m%d%H') AS BIGINT) AS hour_key,
@@ -690,6 +699,38 @@ def t_export_long(sf_dir):
     return ds.map_batches(fmt, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def t_test_series(sf_dir):
+    """A8: time-series of the most-frequent test, with measurements+limits.
+
+    The "most frequent test" is derived from the data on both sides so the
+    query needs no hardcoded name."""
+    from .reports import testlist
+
+    pipe = _pipe(sf_dir)
+    tl = testlist(pipe["parsed"]).to_pandas()
+    top = (tl.sort_values(["n", "test_name"], ascending=[False, True])
+           ["test_name"].iloc[0])
+
+    parsed = pipe["parsed"]
+
+    def sel(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(b["record_type"], "analog"),
+                    pc.equal(pc.fill_null(b["test_name"], ""), top))
+        t = b.filter(m)
+        return pa.table({
+            "conv_id": t["conv_id"],
+            "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+            "test_name": t["test_name"],
+            "measurement": t["measurement"],
+            "lim_nom": t["lim_nom"],
+            "lim_ul": t["lim_ul"],
+            "lim_ll": t["lim_ll"],
+        })
+
+    return parsed.map_batches(sel, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def t_product_hourly(sf_dir):
     import pyarrow.parquet as pq
 
@@ -730,6 +771,7 @@ def build_queries() -> dict:
         "t_sink_counts": t_sink_counts,
         "t_export_long": t_export_long,
         "t_product_hourly": t_product_hourly,
+        "t_test_series": t_test_series,
         "t_text_identity": t_text_identity,
         "t_failed_boards": t_failed_boards,
         # driver tables

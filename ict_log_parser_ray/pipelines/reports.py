@@ -367,7 +367,7 @@ def turn_partials_batch(b: pa.Table) -> pa.Table:
                    pc.equal(pc.fill_null(b["status"], "u"), "fail"))
     f = b.filter(fail)
     fails = pa.table({
-        "metric": pa.array(["fail"] * f.num_rows),
+        "metric": pa.array(["fail"] * f.num_rows, pa.string()),
         "test_name": f["test_name"],
         "att_serial": f["att_serial"],
         "is_first": pc.fill_null(f["is_first"], False),
@@ -381,7 +381,7 @@ def turn_partials_batch(b: pa.Table) -> pa.Table:
     lt = b.filter(lm).select(["test_name", "lim_sig"])
     lt = pa.TableGroupBy(lt, ["test_name", "lim_sig"]).aggregate([])
     lims = pa.table({
-        "metric": pa.array(["lim"] * lt.num_rows),
+        "metric": pa.array(["lim"] * lt.num_rows, pa.string()),
         "test_name": lt["test_name"],
         "att_serial": pa.nulls(lt.num_rows, pa.string()),
         "is_first": pa.nulls(lt.num_rows, pa.bool_()),
@@ -395,7 +395,7 @@ def turn_partials_batch(b: pa.Table) -> pa.Table:
     vc = pc.value_counts(col.combine_chunks()
                          if isinstance(col, pa.ChunkedArray) else col)
     sinks = pa.table({
-        "metric": pa.array(["sink"] * len(vc)),
+        "metric": pa.array(["sink"] * len(vc), pa.string()),
         "test_name": pa.nulls(len(vc), pa.string()),
         "att_serial": pa.nulls(len(vc), pa.string()),
         "is_first": pa.nulls(len(vc), pa.bool_()),

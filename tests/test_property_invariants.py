@@ -1,0 +1,85 @@
+"""Property/randomized tests (SURVEY.md §5.4): run the full Ray pipeline on
+fixtures generated with DIFFERENT seeds and assert the FIXTURES.md §5
+invariants against the sequential parity reference each time."""
+
+import pyarrow.parquet as pq
+import pytest
+
+from ict_log_parser_ray import fixtures as fx
+from ict_log_parser_ray import parity
+
+
+@pytest.mark.parametrize("seed", [7, 1234])
+def test_invariants_hold_across_seeds(ray_session, seed, tmp_path_factory):
+    from ict_log_parser_ray.pipelines import flagship, reports
+
+    d = fx.ensure_fixture(0.001, seed=seed)
+    tbl = pq.read_table(f"{d}/transcripts")
+    golden = parity.run_reference(tbl)
+    meta = pq.read_table(f"{d}/tool_meta.parquet")
+
+    pipe = flagship.build(f"{d}/transcripts", tool_meta=meta,
+                          materialize_intermediates=True)
+
+    # invariant 1+6: sinks partition the deduped rows; dups never count
+    tm = reports.turn_metrics_combined(pipe["flagged"])
+    got_sinks = {r["sink"]: r["n"] for r in tm["sink_counts"].to_dict("records")}
+    assert got_sinks == golden["sink_counts"]
+    assert sum(got_sinks.values()) == golden["n_deduped"]
+
+    # invariant 3: yield identities
+    small = reports.attempts_report_tables(pipe["attempts"])
+    ys = {r["phase"]: (r["ok"], r["nok"]) for r in small["yields_sb"].to_pylist()}
+    assert ys == golden["yields_sb"]
+    assert ys["first"][0] <= ys["final"][0] + ys["final"][1]
+    assert ys["first"][0] + ys["first"][1] == ys["final"][0] + ys["final"][1]
+    assert ys["all"][0] + ys["all"][1] == golden["n_attempts"]
+
+    # invariant 4: pareto mode ordering
+    for t, v in tm["paretos"]["after_retest"].set_index("test_name").iterrows():
+        assert v["total"] <= golden["paretos"]["all"][t]["total"]
+    got_all = {r["test_name"]: {"total": r["total"], "n_boards": r["n_boards"]}
+               for r in tm["paretos"]["all"].to_dict("records")}
+    assert got_all == golden["paretos"]["all"]
+
+
+def test_fixture_has_skew_and_dups(fixture_sf0001):
+    """Guard: the fixture must keep exercising the skew (mega conversation)
+    and dedup paths — regressions here would silently weaken every test."""
+    import pyarrow.compute as pc
+
+    tbl = fixture_sf0001["table"]
+    counts = tbl.group_by("conv_id").aggregate([("turn_idx", "count")])
+    n = counts.column("turn_idx_count").to_pylist()
+    mega, median = max(n), sorted(n)[len(n) // 2]
+    assert mega > 20 * median, "mega conversation missing from fixture"
+    # injected exact duplicates exist
+    assert fixture_sf0001["golden"]["n_rows"] > fixture_sf0001["golden"]["n_deduped"]
+
+
+def test_mega_conversation_flows_through(fixture_sf0001, ray_session):
+    """The skewed conversation must appear exactly once in the attempt table
+    and its turns must all be routed (no straggler-driven loss)."""
+    import pyarrow.compute as pc
+
+    from ict_log_parser_ray.pipelines import flagship
+
+    tbl = fixture_sf0001["table"]
+    counts = tbl.group_by("conv_id").aggregate([("turn_idx", "count")])
+    idx = pc.index(counts["turn_idx_count"],
+                   pc.max(counts["turn_idx_count"]).as_py() or 0)
+    mega_conv = counts["conv_id"].to_pylist()[
+        counts["turn_idx_count"].to_pylist().index(
+            max(counts["turn_idx_count"].to_pylist()))]
+
+    pipe = flagship.build(f"{fixture_sf0001['dir']}/transcripts",
+                          tool_meta=fixture_sf0001["tool_meta"],
+                          materialize_intermediates=True)
+    att = [r for r in pipe["attempts"].take_all() if r["conv_id"] == mega_conv]
+    assert len(att) == 1
+    routed = pipe["flagged"].filter(
+        lambda r: r["conv_id"] == mega_conv).count()
+    dedup_mega = len({
+        (r["conv_id"], r["turn_idx"])
+        for r in tbl.filter(pc.equal(tbl["conv_id"], mega_conv)).to_pylist()})
+    assert routed == dedup_mega
