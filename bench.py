@@ -41,6 +41,31 @@ def _quiet_ray(num_cpus: int):
     return ray
 
 
+def run_headline_streaming(sf: float, out_dir: str) -> dict:
+    """Fully streaming flagship (no intermediate materialize) — see
+    pipelines/streaming.py."""
+    from ict_log_parser_ray import fixtures as fx
+    from ict_log_parser_ray.pipelines.streaming import run_streaming
+
+    import pyarrow.parquet as pq
+
+    d = fx.ensure_fixture(sf)
+    n_turns = json.load(open(os.path.join(d, "_DONE.json")))["rows"]
+    meta = pq.read_table(os.path.join(d, "tool_meta.parquet"))
+
+    t0 = time.time()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    res = run_streaming(os.path.join(d, "transcripts"), meta, out_dir)
+    elapsed = time.time() - t0
+    return {
+        "seconds": round(elapsed, 3),
+        "turns": n_turns,
+        "turns_per_sec": round(n_turns / elapsed, 1),
+        "sink_counts": {r["sink"]: int(r["n"]) for r in
+                        res["reports"]["sink_counts"].to_dict("records")},
+    }
+
+
 def run_headline(sf: float, out_dir: str) -> dict:
     """Single-pass flagship: fixture transcripts → routed sinks + reports."""
     from ict_log_parser_ray import fixtures as fx
@@ -113,7 +138,10 @@ def single_run(num_cpus: int, sf_dir: str, json_out: str | None,
     sf = fx.sf_from_dir(sf_dir, default=0.1)
     ray = _quiet_ray(num_cpus)
     _warmup(num_cpus)
-    head = run_headline(sf, f"/tmp/ict_ray_bench_sinks_{num_cpus}")
+    if os.environ.get("ICT_BENCH_STREAMING") == "1":
+        head = run_headline_streaming(sf, f"/tmp/ict_ray_bench_sinks_{num_cpus}")
+    else:
+        head = run_headline(sf, f"/tmp/ict_ray_bench_sinks_{num_cpus}")
     q = run_queries(sf_dir) if queries else {}
     ray.shutdown()
     result = {

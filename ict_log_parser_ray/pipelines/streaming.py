@@ -1,0 +1,243 @@
+"""Fully streaming flagship: NO intermediate materialization.
+
+The materialized flagship (`flagship.build(materialize_intermediates=True)`)
+pins the parsed stream in the object store so many consumers can fan out;
+that copy is memory-bandwidth-bound and does not CPU-scale.  At 100 TB it
+would also mean object-store spilling of the whole corpus.  This variant
+trades one extra read+parse (pure CPU — scales with cores/nodes) for zero
+big materializations:
+
+- **pass 1** (read → parse → enrich → kh): emits only a narrow tagged
+  stream of per-batch attempt partials + dedup key hashes (≈ 20 B/row);
+  collected once; driver finishes attempt ranking (vectorized) and finds
+  duplicate keys (np.unique).  Attempt aggregation is duplicate-immune
+  (min/max over exact copies), so it needs no dedup.
+- **pass 2** (read → parse → enrich → kh → flags → route → write): drops
+  every copy of a duplicate key, writes the per-sink parquet as a map-task
+  side effect, and returns per-batch turn metrics.  The dropped collision
+  rows travel back in the same return stream as arrow-IPC blobs (bounded
+  by 2×dup-rate); the driver dedupes the keepers, routes them locally with
+  the same code, appends one keeper file per sink, and merges their
+  metrics before finishing.
+
+Both passes stream under backpressure; peak memory is O(batch), not O(data).
+Scale bound: the driver-collected narrow streams (hashes, attempt partials,
+collision keepers) — beyond those budgets use the materialized build with
+the distributed fallbacks, or the manifest-sharded run.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from ..sources.transcripts import read_transcripts
+from ..stages.attempts import (_RANKED_SCHEMA, _attempt_rows_partial,
+                               _finish_rank_pandas)
+from ..stages.dedup import add_key_hash_column
+from ..stages.enrich import enrich_dataset
+from ..stages.parse import parse_dataset
+from ..stages.route import SINKS, add_sink_column, attach_attempt_flags
+from .reports import finish_turn_metrics, turn_partials_batch
+
+_P1_SCHEMA = pa.schema([
+    ("kind", pa.string()),       # 'kh' | 'att'
+    ("kh", pa.int64()),
+    ("conv_id", pa.string()),
+    ("serial", pa.string()),
+    ("panel_serial", pa.string()),
+    ("board_index", pa.int64()),
+    ("tool", pa.string()),
+    ("start_ts", pa.int64()),
+    ("end_ts", pa.int64()),
+    ("att_status", pa.string()),
+    ("hdr_status", pa.string()),
+])
+
+
+def _pass1_batch(b: pa.Table) -> pa.Table:
+    att = _attempt_rows_partial(b)
+    n_a = att.num_rows
+    n_k = b.num_rows
+    cols = {
+        "kind": pa.concat_arrays([
+            pa.array(["kh"] * n_k, pa.string()),
+            pa.array(["att"] * n_a, pa.string())]),
+        "kh": pa.concat_arrays([
+            b["kh"].combine_chunks() if isinstance(b["kh"], pa.ChunkedArray)
+            else b["kh"],
+            pa.nulls(n_a, pa.int64())]),
+    }
+    for f in _P1_SCHEMA:
+        if f.name in ("kind", "kh"):
+            continue
+        col = att[f.name]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = pc.cast(col, f.type)
+        cols[f.name] = pa.concat_arrays(
+            [pa.nulls(n_k, f.type), col.combine_chunks()
+             if isinstance(col, pa.ChunkedArray) else col])
+    return pa.table(cols, schema=_P1_SCHEMA)
+
+
+def _build_source(transcripts_path, tool_meta, batch_size, num_blocks):
+    ds = read_transcripts(transcripts_path, override_num_blocks=num_blocks)
+    ds = parse_dataset(ds, batch_size=batch_size)
+    if tool_meta is not None:
+        ds = enrich_dataset(ds, tool_meta, batch_size=batch_size)
+    return ds.map_batches(add_key_hash_column, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def run_streaming(transcripts_path, tool_meta: pa.Table | None, out_dir: str,
+                  batch_size: int = 65_536, num_blocks: int | None = None):
+    """Two-pass streaming flagship → dict with ranked attempts (Dataset),
+    sink dir, and the finished report tables."""
+    ncpu = int(ray.available_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    if num_blocks is None:
+        num_blocks = max(64, ncpu * 4)
+
+    # ---------------- pass 1: attempt partials + key hashes ----------------
+    p1 = _build_source(transcripts_path, tool_meta, batch_size, num_blocks)
+    narrow = p1.map_batches(_pass1_batch, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    tbl = pa.concat_tables(ray.get(narrow.to_arrow_refs())).combine_chunks()
+
+    kh_rows = tbl.filter(pc.equal(tbl["kind"], "kh"))
+    hv = kh_rows["kh"].to_numpy()
+    uniq, cnt = np.unique(hv, return_counts=True)
+    dups = uniq[cnt > 1]
+    dup_ref = ray.put(pa.array(dups, pa.int64())) if len(dups) else None
+
+    att_partial = (tbl.filter(pc.equal(tbl["kind"], "att"))
+                   .drop_columns(["kind", "kh"]))
+    ranked_tbl_pd = _finish_rank_pandas(att_partial)
+    cols = {f.name: pa.array(ranked_tbl_pd[f.name], f.type, from_pandas=True)
+            for f in _RANKED_SCHEMA}
+    ranked_tbl = pa.table(cols)
+    ranked = rd.from_arrow(ranked_tbl)
+
+    # broadcast flag table for pass 2 (conv_id → attempt flags)
+    from ..stages.route import ATTEMPT_ATTACH_COLS
+    flag_cols = {"conv_id": ranked_tbl["conv_id"]}
+    for src, dst in ATTEMPT_ATTACH_COLS.items():
+        flag_cols[dst] = ranked_tbl[src]
+    flags_ref = ray.put(pa.table(flag_cols))
+
+    # ---------------- pass 2: route + write + metrics ----------------
+    os.makedirs(out_dir, exist_ok=True)
+    for s in SINKS:
+        os.makedirs(os.path.join(out_dir, f"sink={s}"), exist_ok=True)
+
+    def _attach_flags_local(b: pa.Table) -> pa.Table:
+        flags = ray.get(flags_ref)
+        keys = flags["conv_id"]
+        idx = pc.index_in(b["conv_id"], value_set=keys)
+        for name in flags.column_names:
+            if name == "conv_id":
+                continue
+            b = b.append_column(name, pc.take(flags[name], idx))
+        return b
+
+    def _route_batch(sb: pa.Table) -> None:
+        col = sb["sink"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        for s in pc.unique(col).to_pylist():
+            part = sb.filter(pc.equal(sb["sink"], s)).drop_columns(["sink"])
+            fn = os.path.join(out_dir, f"sink={s}",
+                              f"part-{uuid.uuid4().hex}.parquet")
+            pq.write_table(part, fn)
+
+    def _pass2_batch(b: pa.Table) -> pa.Table:
+        coll_blob = None
+        if dup_ref is not None:
+            m = pc.is_in(b["kh"], value_set=ray.get(dup_ref))
+            coll = b.filter(m)
+            b = b.filter(pc.invert(m))
+            if coll.num_rows:
+                sink = io.BytesIO()
+                with pa.ipc.new_stream(sink, coll.schema) as w:
+                    w.write_table(coll)
+                coll_blob = sink.getvalue()
+        b = b.drop_columns(["kh"])
+        b = _attach_flags_local(b)
+        sb = add_sink_column(b)
+        _route_batch(sb)
+        out = turn_partials_batch(sb)
+        out = out.append_column("collision_ipc",
+                                pa.nulls(out.num_rows, pa.binary()))
+        if coll_blob is not None:
+            extra = pa.table({
+                "metric": pa.array(["collision"], pa.string()),
+                "test_name": pa.nulls(1, pa.string()),
+                "att_serial": pa.nulls(1, pa.string()),
+                "is_first": pa.nulls(1, pa.bool_()),
+                "is_final": pa.nulls(1, pa.bool_()),
+                "lim_sig": pa.nulls(1, pa.string()),
+                "sink": pa.nulls(1, pa.string()),
+                "n": pa.array([0], pa.int64()),
+                "collision_ipc": pa.array([coll_blob], pa.binary()),
+            })
+            out = pa.concat_tables([out, extra])
+        return out
+
+    p2 = _build_source(transcripts_path, tool_meta, batch_size, num_blocks)
+    part = p2.map_batches(_pass2_batch, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    ptbl = pa.concat_tables(ray.get(part.to_arrow_refs())).combine_chunks()
+
+    # ---------------- driver: collision keepers ----------------
+    metrics_tbl = ptbl.filter(pc.invert(pc.equal(ptbl["metric"], "collision")))
+    blobs = ptbl.filter(pc.equal(ptbl["metric"], "collision"))["collision_ipc"]
+    keeper_partials = None
+    if len(blobs):
+        colls = []
+        for blob in blobs.to_pylist():
+            with pa.ipc.open_stream(blob) as r:
+                colls.append(r.read_all())
+        coll_all = pa.concat_tables(colls).combine_chunks()
+        df = (coll_all.to_pandas()
+              .sort_values(["conv_id", "turn_idx"], kind="stable")
+              .drop_duplicates(subset=["conv_id", "turn_idx"], keep="first"))
+        keepers = pa.Table.from_pandas(df, preserve_index=False,
+                                       schema=coll_all.schema)
+        keepers = keepers.drop_columns(["kh"])
+        keepers = _attach_flags_local(keepers)
+        sk = add_sink_column(keepers)
+        _route_batch(sk)  # one keeper file per sink
+        keeper_partials = turn_partials_batch(sk)
+
+    mdf = metrics_tbl.drop_columns(["collision_ipc"]).to_pandas()
+    if keeper_partials is not None:
+        import pandas as pd
+        mdf = pd.concat([mdf, keeper_partials.to_pandas()], ignore_index=True)
+    metrics = finish_turn_metrics(mdf)
+
+    from .reports import attempts_report_tables
+    small = attempts_report_tables(ranked)
+
+    return {
+        "attempts": ranked,
+        "sinks": out_dir,
+        "reports": {
+            "yields_sb": small["yields_sb"],
+            "yields_mb": small["yields_mb"],
+            "hourly": small["hourly"],
+            "pareto_all": metrics["paretos"]["all"],
+            "pareto_after_retest": metrics["paretos"]["after_retest"],
+            "pareto_first_pass": metrics["paretos"]["first_pass"],
+            "limit_changes": metrics["limit_changes"],
+            "sink_counts": metrics["sink_counts"],
+        },
+    }

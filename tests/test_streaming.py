@@ -1,0 +1,74 @@
+"""The fully streaming flagship must produce identical reports and sink
+contents to the materialized flagship / parity reference."""
+
+import os
+
+import duckdb
+import pytest
+
+
+@pytest.fixture(scope="module")
+def streamed(fixture_sf0001, tmp_path_factory):
+    from ict_log_parser_ray.pipelines.streaming import run_streaming
+
+    out = str(tmp_path_factory.mktemp("stream_sinks"))
+    res = run_streaming(f"{fixture_sf0001['dir']}/transcripts",
+                        fixture_sf0001["tool_meta"], out)
+    return res
+
+
+def test_streaming_sink_counts(streamed, fixture_sf0001):
+    got = {r["sink"]: r["n"]
+           for r in streamed["reports"]["sink_counts"].to_dict("records")}
+    assert got == fixture_sf0001["golden"]["sink_counts"]
+
+
+def test_streaming_yields_and_hourly(streamed, fixture_sf0001):
+    golden = fixture_sf0001["golden"]
+    ys = {r["phase"]: (r["ok"], r["nok"])
+          for r in streamed["reports"]["yields_sb"].to_pylist()}
+    assert ys == golden["yields_sb"]
+    ym = {r["phase"]: (r["ok"], r["nok"])
+          for r in streamed["reports"]["yields_mb"].to_pylist()}
+    assert ym == golden["yields_mb"]
+    hh = {r["hour_key"]: (r["ok"], r["nok"])
+          for r in streamed["reports"]["hourly"].to_dict("records")}
+    assert hh == golden["hourly"]
+
+
+def test_streaming_paretos_and_limits(streamed, fixture_sf0001):
+    golden = fixture_sf0001["golden"]
+    for mode in ("all", "first_pass", "after_retest"):
+        got = {r["test_name"]: {"total": r["total"], "n_boards": r["n_boards"]}
+               for r in streamed["reports"][f"pareto_{mode}"].to_dict("records")}
+        assert got == golden["paretos"][mode]
+    assert (streamed["reports"]["limit_changes"]["test_name"].tolist()
+            == golden["limit_changes"])
+
+
+def test_streaming_sink_files_row_identical_to_materialized(
+        streamed, fixture_sf0001, tmp_path_factory):
+    """Written sink rows (keys + sink label) match the materialized
+    flagship's routed output exactly."""
+    from ict_log_parser_ray.pipelines import flagship
+    from ict_log_parser_ray.pipelines.reports import write_sinks_with_metrics
+
+    pipe = flagship.build(f"{fixture_sf0001['dir']}/transcripts",
+                          tool_meta=fixture_sf0001["tool_meta"],
+                          materialize_intermediates=True,
+                          materialize_flagged=False)
+    mat_out = str(tmp_path_factory.mktemp("mat_sinks"))
+    write_sinks_with_metrics(pipe["flagged"], mat_out)
+
+    con = duckdb.connect()
+    q = ("SELECT conv_id, turn_idx, sink FROM parquet_scan('{}/**/*.parquet',"
+         " hive_partitioning=1) ORDER BY conv_id, turn_idx, sink")
+    a = con.sql(q.format(streamed["sinks"])).df()
+    b = con.sql(q.format(mat_out)).df()
+    con.close()
+    assert a.equals(b)
+
+
+def test_streaming_attempts_match_parity(streamed, fixture_sf0001):
+    golden = fixture_sf0001["golden"]
+    assert streamed["attempts"].count() == golden["n_attempts"]
