@@ -108,31 +108,64 @@ def run_resumable(transcripts_files: list[str], out_root: str, tool_meta,
     records_root = os.path.join(out_root, "records")
     sinks_root = os.path.join(out_root, "sinks")
 
-    # ---- phase 1: parse/enrich per shard (resumable) ----
+    # ---- phase 1: parse/enrich per shard (resumable, group-parallel) ----
+    # Pending shards are processed in GROUPS: one streaming Dataset pass per
+    # group (all shards of the group read/parse/write concurrently — the
+    # old one-Dataset-per-shard loop serialized the cluster), staged to a
+    # scratch dir and committed per shard atomically, so a crash mid-group
+    # loses only that group's work and granularity stays per-shard.
+    group_size = max(1, int(fail_after_shards or 8))
+    pending = [(i, p) for i, p in enumerate(transcripts_files)
+               if not man.done("parse", f"{i:05d}")]
     parsed_n = 0
-    for i, path in enumerate(transcripts_files):
-        sid = f"{i:05d}"
-        if man.done("parse", sid):
-            continue
+    for g in range(0, len(pending), group_size):
+        group = pending[g:g + group_size]
         t0 = time.time()
-        ds = rd.read_parquet(path)
-        rows_in = ds.count()
-        ds = exact_dedup(ds, num_buckets=dedup_buckets)
+        paths = [p for _, p in group]
+        sid_by_path = {os.path.abspath(p): f"{i:05d}" for i, p in group}
+        ds = rd.read_parquet(paths, include_paths=True)
+
+        def _shard_col(b):
+            import pyarrow as pa
+            sids = [sid_by_path[os.path.abspath(p)]
+                    for p in b["path"].to_pylist()]
+            return b.drop_columns(["path"]).append_column(
+                "shard_id", pa.array(sids, pa.string()))
+
+        ds = ds.map_batches(_shard_col, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        rows_in_total = ds.count()
+        ds = exact_dedup(ds, keys=("conv_id", "turn_idx"),
+                         num_buckets=dedup_buckets)
         ds = parse_dataset(ds)
         if tool_meta is not None:
             ds = enrich_dataset(ds, tool_meta)
-        shard_dir = os.path.join(records_root, f"shard={sid}")
-        _replace_dir(shard_dir)
-        ds.write_parquet(shard_dir)
-        rows_out = sum(
-            pq.ParquetFile(os.path.join(shard_dir, f)).metadata.num_rows
-            for f in os.listdir(shard_dir) if f.endswith(".parquet"))
-        man.record("parse", sid, input_path=path, rows_in=rows_in,
-                   rows_out=rows_out, wall_time_s=round(time.time() - t0, 3),
-                   lineage={"stage": "dedup|parse|enrich", "input": path})
-        parsed_n += 1
-        if fail_after_shards is not None and parsed_n >= fail_after_shards:
-            raise RuntimeError(f"simulated crash after {parsed_n} shards")
+        staging = os.path.join(out_root, "_staging")
+        _replace_dir(staging)
+        ds.write_parquet(staging, partition_cols=["shard_id"])
+        wall = round(time.time() - t0, 3)
+        for i, path in group:
+            sid = f"{i:05d}"
+            src = os.path.join(staging, f"shard_id={sid}")
+            shard_dir = os.path.join(records_root, f"shard={sid}")
+            _replace_dir(shard_dir)
+            rows_out = 0
+            if os.path.isdir(src):
+                for f in os.listdir(src):
+                    os.replace(os.path.join(src, f),
+                               os.path.join(shard_dir, f))
+                    rows_out += pq.ParquetFile(
+                        os.path.join(shard_dir, f)).metadata.num_rows
+            rows_in = pq.ParquetFile(path).metadata.num_rows
+            man.record("parse", sid, input_path=path, rows_in=rows_in,
+                       rows_out=rows_out, wall_time_s=wall,
+                       group_rows_in=rows_in_total,
+                       lineage={"stage": "dedup|parse|enrich", "input": path})
+            parsed_n += 1
+            if fail_after_shards is not None and parsed_n >= fail_after_shards:
+                shutil.rmtree(staging, ignore_errors=True)
+                raise RuntimeError(f"simulated crash after {parsed_n} shards")
+        shutil.rmtree(staging, ignore_errors=True)
 
     # ---- phase 2: global attempt table (cheap, always recomputed) ----
     t0 = time.time()
@@ -145,29 +178,56 @@ def run_resumable(transcripts_files: list[str], out_root: str, tool_meta,
     man.record("attempts", "GLOBAL", rows_out=ranked.count(),
                wall_time_s=round(time.time() - t0, 3), fingerprint=att_fp)
 
-    # ---- phase 3: route per shard (resumable under attempts fingerprint) ----
-    for i, path in enumerate(transcripts_files):
-        sid = f"{i:05d}"
-        if man.done("route", sid, fingerprint=att_fp):
-            continue
+    # ---- phase 3: route per shard (resumable under attempts fingerprint,
+    #      group-parallel like phase 1) ----
+    pending = [i for i in range(len(transcripts_files))
+               if not man.done("route", f"{i:05d}", fingerprint=att_fp)]
+    for g in range(0, len(pending), group_size):
+        group = pending[g:g + group_size]
         t0 = time.time()
-        recs = rd.read_parquet(os.path.join(records_root, f"shard={sid}"))
+        rec_files = []
+        for i in group:
+            sd = os.path.join(records_root, f"shard={i:05d}")
+            if os.path.isdir(sd):
+                rec_files.extend(os.path.join(sd, f) for f in os.listdir(sd)
+                                 if f.endswith(".parquet"))
+        recs = rd.read_parquet(rec_files, include_paths=True)
+
+        def _shard_col3(b):
+            import pyarrow as pa
+            sids = [os.path.basename(os.path.dirname(p)).split("=", 1)[1]
+                    for p in b["path"].to_pylist()]
+            return b.drop_columns(["path"]).append_column(
+                "shard_id", pa.array(sids, pa.string()))
+
+        recs = recs.map_batches(_shard_col3, batch_format="pyarrow",
+                                zero_copy_batch=True)
         flagged = attach_attempt_flags(recs, ranked)
         routed = route_dataset(flagged)
-        shard_dir = os.path.join(sinks_root, f"shard={sid}")
-        _replace_dir(shard_dir)
-        routed.write_parquet(shard_dir, partition_cols=["sink"])
-        sink_rows = {}
-        for d in os.listdir(shard_dir):
-            if d.startswith("sink="):
-                n = sum(pq.ParquetFile(os.path.join(shard_dir, d, f)).metadata.num_rows
+        staging = os.path.join(out_root, "_staging_route")
+        _replace_dir(staging)
+        routed.write_parquet(staging, partition_cols=["shard_id", "sink"])
+        wall = round(time.time() - t0, 3)
+        for i in group:
+            sid = f"{i:05d}"
+            src = os.path.join(staging, f"shard_id={sid}")
+            shard_dir = os.path.join(sinks_root, f"shard={sid}")
+            _replace_dir(shard_dir)
+            sink_rows = {}
+            if os.path.isdir(src):
+                for d in os.listdir(src):
+                    os.replace(os.path.join(src, d),
+                               os.path.join(shard_dir, d))
+                    n = sum(pq.ParquetFile(
+                        os.path.join(shard_dir, d, f)).metadata.num_rows
                         for f in os.listdir(os.path.join(shard_dir, d))
                         if f.endswith(".parquet"))
-                sink_rows[d.split("=", 1)[1]] = n
-        man.record("route", sid, fingerprint=att_fp, sink_rows=sink_rows,
-                   rows_out=sum(sink_rows.values()),
-                   wall_time_s=round(time.time() - t0, 3),
-                   lineage={"records": f"shard={sid}", "attempts": att_fp})
+                    sink_rows[d.split("=", 1)[1]] = n
+            man.record("route", sid, fingerprint=att_fp, sink_rows=sink_rows,
+                       rows_out=sum(sink_rows.values()),
+                       wall_time_s=wall,
+                       lineage={"records": f"shard={sid}", "attempts": att_fp})
+        shutil.rmtree(staging, ignore_errors=True)
 
     return {"manifest": man, "records": records_root, "sinks": sinks_root,
             "attempts": att_dir}
