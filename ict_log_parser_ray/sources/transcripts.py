@@ -43,3 +43,64 @@ def read_transcripts(path, columns=None, window=None, override_num_blocks=None):
 def read_table(sf_dir: str, name: str, columns=None):
     """One of the driver's TPC-H-ish tables."""
     return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def write_date_partitioned(ds, root: str):
+    """Write transcripts hive-partitioned by day: ``root/dt=YYYY_MM_DD/``.
+
+    The distributed analog of the reference's ``%Y_%m_%d`` archive subfolders
+    (move_file_to_subdir, /root/reference/src/main.rs:95-106,128): the date
+    lives in the PATH so date-range scans never open out-of-range files.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def add_dt(b: pa.Table) -> pa.Table:
+        dt = pc.strftime(b["ts"], format="%Y_%m_%d")
+        return b.append_column("dt", dt)
+
+    ds.map_batches(add_dt, batch_format="pyarrow",
+                   zero_copy_batch=True).write_parquet(
+        root, partition_cols=["dt"])
+
+
+def read_transcripts_dates(root: str, start, end, columns=None):
+    """S2 date-pruned scan over a ``dt=YYYY_MM_DD``-partitioned layout.
+
+    Mirrors ``get_logs_in_path_t`` (/root/reference/src/main.rs:59-93):
+    descend only into partitions whose name parses as a date within
+    [start, end) — directory-level pruning, no data read outside the
+    window — then apply the residual row-level ``ts`` filter.
+    """
+    import os
+    from datetime import datetime
+
+    import pyarrow.compute as pc
+
+    keep = []
+    for d in sorted(os.listdir(root)):
+        if not d.startswith("dt="):
+            continue
+        try:
+            day = datetime.strptime(d.split("=", 1)[1], "%Y_%m_%d")
+        except ValueError:
+            continue  # is_dir_in_t: non-date dirs are skipped (main.rs:59-68)
+        if start.date() <= day.date() < end.date() or \
+                day.date() == start.date():
+            keep.append(os.path.join(root, d))
+    files = []
+    for kd in keep:
+        files.extend(os.path.join(kd, f) for f in sorted(os.listdir(kd))
+                     if f.endswith(".parquet"))
+    if not files:
+        import pyarrow as pa
+        return rd.from_arrow(pa.schema(
+            [(c, pa.string()) for c in (columns or TRANSCRIPT_COLUMNS)]
+        ).empty_table())
+    ds = rd.read_parquet(files, columns=columns)
+
+    def _win(t):
+        m = pc.and_(pc.greater_equal(t["ts"], start), pc.less(t["ts"], end))
+        return t.filter(m)
+
+    return ds.map_batches(_win, batch_format="pyarrow", zero_copy_batch=True)
