@@ -115,9 +115,8 @@ def run_queries(sf_dir: str) -> dict:
     for n in names:
         t0 = time.time()
         res = qmap[n](sf_dir)
-        # consume lazily-returned datasets
-        if hasattr(res, "to_pandas"):
-            res.to_pandas() if not hasattr(res, "count") else res.to_pandas()
+        if hasattr(res, "to_pandas"):  # consume lazily-returned datasets
+            res.to_pandas()
         out[n] = round(time.time() - t0, 3)
     return out
 
@@ -138,6 +137,12 @@ def single_run(num_cpus: int, sf_dir: str, json_out: str | None,
     sf = fx.sf_from_dir(sf_dir, default=0.1)
     ray = _quiet_ray(num_cpus)
     _warmup(num_cpus)
+    # warm the OS page cache with one untimed narrow read so both scaling
+    # levels measure compute+shuffle, not the first cold disk read
+    import ray.data as rd
+    d = fx.ensure_fixture(sf)
+    rd.read_parquet(os.path.join(d, "transcripts"),
+                    columns=["turn_idx"]).count()
     if os.environ.get("ICT_BENCH_STREAMING") == "1":
         head = run_headline_streaming(sf, f"/tmp/ict_ray_bench_sinks_{num_cpus}")
     else:

@@ -111,15 +111,6 @@ def dup_hash_ref(ds, keys=("conv_id", "turn_idx")):
     return ray.put(pa.array(dups, pa.int64())), len(dups)
 
 
-def mark_dup_keys(batch: pa.Table, dup_ref, keys) -> pa.Table:
-    """Append ``is_dup_key`` bool column (hash-set membership)."""
-    import ray
-
-    kh = pa.array(_key_hash(batch, list(keys)), pa.int64())
-    return batch.append_column(
-        "is_dup_key", pc.is_in(kh, value_set=ray.get(dup_ref)))
-
-
 def exact_dedup_sparse(ds, keys=("conv_id", "turn_idx"), num_buckets: int = 16,
                        key_ds=None):
     """Collision-only exact dedup — the low-dup-rate fast path.
