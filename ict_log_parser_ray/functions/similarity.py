@@ -110,6 +110,43 @@ def ivf_assign(emb_ds, model: _KMeans, vec_col: str = "embedding"):
                               zero_copy_batch=True)
 
 
+def embedding_near_dup_pairs(emb_ds, threshold: float = 0.95, nlist: int = 16,
+                             id_col: str = "vec_id", vec_col: str = "embedding",
+                             model: "_KMeans | None" = None, cap: int = 2000):
+    """Embedding-cosine near-duplicate detection (task brief dedup method).
+
+    Candidate generation = IVF cluster co-membership (vectors in different
+    clusters are far by construction at high thresholds); verification =
+    exact pairwise cosine inside each cluster via one numpy matmul per
+    group.  Returns Dataset(id_a, id_b, cosine) with cosine ≥ threshold.
+    ``cap`` bounds the per-cluster pairwise matrix (degenerate-embedding
+    guard, like the LSH bucket cap).
+    """
+    import pandas as pd
+
+    if model is None:
+        model = build_ivf(emb_ds, nlist=nlist, vec_col=vec_col)
+    assigned = ivf_assign(emb_ds, model, vec_col=vec_col)
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        n = min(len(g), cap)
+        g = g.iloc[:n]
+        m = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in g[vec_col]])
+        m = _normalize(m)
+        sims = m @ m.T
+        ids = g[id_col].to_numpy()
+        ia, ib = np.triu_indices(n, k=1)
+        mask = sims[ia, ib] >= threshold
+        a, b = ids[ia[mask]], ids[ib[mask]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi,
+                             "cosine": sims[ia[mask], ib[mask]]})
+
+    return assigned.groupby("cluster").map_groups(verify,
+                                                  batch_format="pandas")
+
+
 def knn_ivf(emb_ds, query: np.ndarray, k: int = 10, nlist: int = 16,
             nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
             model: _KMeans | None = None):

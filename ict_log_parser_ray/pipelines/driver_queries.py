@@ -624,6 +624,23 @@ def emb_knn_ivf(sf_dir):
                      "rank": pa.array(range(1, top.num_rows + 1), pa.int64())})
 
 
+def emb_near_dups(sf_dir):
+    """Embedding-cosine near-dup pairs over embeddings (rows-only; may be
+    legitimately empty on well-separated random vectors)."""
+    from ..functions.similarity import embedding_near_dup_pairs
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    df = embedding_near_dup_pairs(ds, threshold=0.9, nlist=8).to_pandas()
+    if df.empty or "id_a" not in df.columns:
+        df = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                           "id_b": pd.Series(dtype="int64"),
+                           "cosine": pd.Series(dtype="float64")})
+    else:
+        df["cosine"] = df["cosine"].round(6)
+        df = _i64(df, ["id_a", "id_b"])
+    return df
+
+
 def d_analysis(sf_dir):
     """Language-ID / quality / fingerprint (heuristics; rows-only check)."""
     from ..functions.text import analyze_documents
@@ -789,6 +806,7 @@ def build_queries() -> dict:
         # rows-only (non-SQL-expressible)
         "e_sample": e_sample,
         "emb_knn_ivf": emb_knn_ivf,
+        "emb_near_dups": emb_near_dups,
         "d_analysis": d_analysis,
         "d_minhash_pairs": d_minhash_pairs,
         "d_simhash": d_simhash,

@@ -77,7 +77,7 @@ def test_query_matches_oracle(contract, con, name):
                                   check_exact=False, rtol=1e-9, atol=1e-9)
 
 
-ROWS_ONLY = ["e_sample", "emb_knn_ivf", "d_analysis", "d_minhash_pairs", "d_simhash",
+ROWS_ONLY = ["e_sample", "emb_knn_ivf", "emb_near_dups", "d_analysis", "d_minhash_pairs", "d_simhash",
              "media_features"]
 
 

@@ -151,6 +151,30 @@ def test_knn_ivf_full_probe_equals_exact(ray_session):
     assert len(set(approx) & set(exact)) >= 3  # decent recall at nprobe=3
 
 
+def test_embedding_near_dup_pairs(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.similarity import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(20, 16)).astype(np.float32)
+    # plant near-dups: vec 20 ≈ vec 0, vec 21 ≈ vec 1
+    dups = np.vstack([base[0] + 0.01 * rng.normal(size=16),
+                      base[1] + 0.01 * rng.normal(size=16)]).astype(np.float32)
+    vecs = np.vstack([base, dups])
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    pairs = embedding_near_dup_pairs(rd.from_arrow(tbl), threshold=0.98,
+                                     nlist=4).take_all()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 20) in got and (1, 21) in got
+    assert all(r["cosine"] >= 0.98 for r in pairs)
+
+
 # ------------------------------------------------------------- multimodal
 
 def test_media_feature_plumbing(ray_session):
