@@ -49,8 +49,8 @@ from ..stages.route import SINKS, add_sink_column, attach_attempt_flags
 from .reports import finish_turn_metrics, turn_partials_batch
 
 _P1_SCHEMA = pa.schema([
-    ("kind", pa.string()),       # 'kh' | 'att'
-    ("kh", pa.int64()),
+    ("kind", pa.string()),       # 'hashes' | 'att'
+    ("hash_blob", pa.binary()),  # raw int64 bytes of this batch's key hashes
     ("conv_id", pa.string()),
     ("serial", pa.string()),
     ("panel_serial", pa.string()),
@@ -64,28 +64,32 @@ _P1_SCHEMA = pa.schema([
 
 
 def _pass1_batch(b: pa.Table) -> pa.Table:
+    """Attempt partial rows + ONE blob row carrying the batch's key hashes
+    as raw bytes — the driver reads blobs zero-copy with np.frombuffer.
+    (Shipping hashes as 14M arrow ROWS cost ~15s of driver-side
+    concat/filter; as blobs the whole dup-set phase is ~2s.)"""
     att = _attempt_rows_partial(b)
     n_a = att.num_rows
-    n_k = b.num_rows
+    kh = b["kh"]
+    if isinstance(kh, pa.ChunkedArray):
+        kh = kh.combine_chunks()
+    blob = kh.to_numpy().astype(np.int64).tobytes()
     cols = {
-        "kind": pa.concat_arrays([
-            pa.array(["kh"] * n_k, pa.string()),
-            pa.array(["att"] * n_a, pa.string())]),
-        "kh": pa.concat_arrays([
-            b["kh"].combine_chunks() if isinstance(b["kh"], pa.ChunkedArray)
-            else b["kh"],
-            pa.nulls(n_a, pa.int64())]),
+        "kind": pa.concat_arrays([pa.array(["hashes"], pa.string()),
+                                  pa.array(["att"] * n_a, pa.string())]),
+        "hash_blob": pa.concat_arrays([pa.array([blob], pa.binary()),
+                                       pa.nulls(n_a, pa.binary())]),
     }
     for f in _P1_SCHEMA:
-        if f.name in ("kind", "kh"):
+        if f.name in ("kind", "hash_blob"):
             continue
         col = att[f.name]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         col = pc.cast(col, f.type)
-        cols[f.name] = pa.concat_arrays(
-            [pa.nulls(n_k, f.type), col.combine_chunks()
-             if isinstance(col, pa.ChunkedArray) else col])
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        cols[f.name] = pa.concat_arrays([pa.nulls(1, f.type), col])
     return pa.table(cols, schema=_P1_SCHEMA)
 
 
@@ -102,6 +106,17 @@ def run_streaming(transcripts_path, tool_meta: pa.Table | None, out_dir: str,
                   batch_size: int = 65_536, num_blocks: int | None = None):
     """Two-pass streaming flagship → dict with ranked attempts (Dataset),
     sink dir, and the finished report tables."""
+    import sys
+    import time as _time
+    _verbose = os.environ.get("ICT_BENCH_VERBOSE") == "1"
+
+    def _tick(label, t0):
+        if _verbose:
+            print(f"[stream] {label}: {_time.time() - t0:.2f}s",
+                  file=sys.stderr)
+        return _time.time()
+
+    _t = _time.time()
     ncpu = int(ray.available_resources().get("CPU", 8)) \
         if ray.is_initialized() else 8
     if num_blocks is None:
@@ -111,16 +126,22 @@ def run_streaming(transcripts_path, tool_meta: pa.Table | None, out_dir: str,
     p1 = _build_source(transcripts_path, tool_meta, batch_size, num_blocks)
     narrow = p1.map_batches(_pass1_batch, batch_format="pyarrow",
                             zero_copy_batch=True).materialize()
-    tbl = pa.concat_tables(ray.get(narrow.to_arrow_refs())).combine_chunks()
-
-    kh_rows = tbl.filter(pc.equal(tbl["kind"], "kh"))
-    hv = kh_rows["kh"].to_numpy()
+    _t = _tick("pass1 (parse+partials+hashes)", _t)
+    blocks = ray.get(narrow.to_arrow_refs())
+    hash_arrays = []
+    att_blocks = []
+    for blk in blocks:
+        m = pc.equal(blk["kind"], "hashes")
+        for blob in blk.filter(m)["hash_blob"].to_pylist():
+            hash_arrays.append(np.frombuffer(blob, dtype=np.int64))
+        att_blocks.append(blk.filter(pc.invert(m))
+                          .drop_columns(["kind", "hash_blob"]))
+    hv = np.concatenate(hash_arrays) if hash_arrays else np.array([], np.int64)
     uniq, cnt = np.unique(hv, return_counts=True)
     dups = uniq[cnt > 1]
     dup_ref = ray.put(pa.array(dups, pa.int64())) if len(dups) else None
 
-    att_partial = (tbl.filter(pc.equal(tbl["kind"], "att"))
-                   .drop_columns(["kind", "kh"]))
+    att_partial = pa.concat_tables(att_blocks).combine_chunks()
     ranked_tbl_pd = _finish_rank_pandas(att_partial)
     cols = {f.name: pa.array(ranked_tbl_pd[f.name], f.type, from_pandas=True)
             for f in _RANKED_SCHEMA}
@@ -133,6 +154,7 @@ def run_streaming(transcripts_path, tool_meta: pa.Table | None, out_dir: str,
     for src, dst in ATTEMPT_ATTACH_COLS.items():
         flag_cols[dst] = ranked_tbl[src]
     flags_ref = ray.put(pa.table(flag_cols))
+    _t = _tick("driver rank+dupset", _t)
 
     # ---------------- pass 2: route + write + metrics ----------------
     os.makedirs(out_dir, exist_ok=True)
@@ -195,6 +217,7 @@ def run_streaming(transcripts_path, tool_meta: pa.Table | None, out_dir: str,
     p2 = _build_source(transcripts_path, tool_meta, batch_size, num_blocks)
     part = p2.map_batches(_pass2_batch, batch_format="pyarrow",
                           zero_copy_batch=True).materialize()
+    _t = _tick("pass2 (parse+route+write)", _t)
     ptbl = pa.concat_tables(ray.get(part.to_arrow_refs())).combine_chunks()
 
     # ---------------- driver: collision keepers ----------------
@@ -224,8 +247,10 @@ def run_streaming(transcripts_path, tool_meta: pa.Table | None, out_dir: str,
         mdf = pd.concat([mdf, keeper_partials.to_pandas()], ignore_index=True)
     metrics = finish_turn_metrics(mdf)
 
+    _t = _tick("driver keepers+metrics", _t)
     from .reports import attempts_report_tables
     small = attempts_report_tables(ranked)
+    _t = _tick("attempt reports", _t)
 
     return {
         "attempts": ranked,
