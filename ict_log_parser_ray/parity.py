@@ -174,6 +174,7 @@ def run_reference(tbl) -> dict:
 
     # A4 hourly (attempt granularity, keyed by packed YYMMDDHH of start)
     hourly = defaultdict(lambda: [0, 0])
+    by_hour = defaultdict(list)
     for a in attempts.values():
         s = a["start"]
         key = (s.year % 100) * 1_000_000 + s.month * 10_000 + s.day * 100 + s.hour
@@ -181,6 +182,14 @@ def run_reference(tbl) -> dict:
             hourly[key][0] += 1
         else:
             hourly[key][1] += 1
+        by_hour[key].append(a)
+    # A4 full shape: ordered per-hour result chain (daily_yield.rs:91)
+    hourly_chain = {}
+    for key, lst in by_hour.items():
+        lst.sort(key=lambda a: (a["start"], a["serial"]))
+        hourly_chain[key] = ";".join(
+            f"{a['att_status'] or 'unknown'},{a['start'].strftime('%M:%S')},"
+            f"{a['serial']}" for a in lst)
 
     # A6 limit changes (raw-string signatures)
     sigs = defaultdict(set)
@@ -208,6 +217,7 @@ def run_reference(tbl) -> dict:
         sink_counts=dict(sink_counts),
         yields_sb=ys, yields_mb=ym, paretos=paretos,
         hourly={k: tuple(v) for k, v in hourly.items()},
+        hourly_chain=hourly_chain,
         limit_changes=limit_changes, failed_boards=failed_boards,
         testlist=testlist, n_attempts=len(attempts),
     )

@@ -133,6 +133,32 @@ def board_report(flagged, serial: str) -> str:
     return "\n".join(out)
 
 
+def board_report_w_index(flagged, serial: str, board_index: int) -> str:
+    """J3 variant: one board position only (get_report_for_SB_w_index,
+    log_info_window.rs:26-60)."""
+    def _sel(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(pc.fill_null(b["att_serial"], ""), serial),
+                    pc.equal(pc.fill_null(b["att_board_index"], -1),
+                             board_index))
+        return b.filter(m).select(
+            ["conv_id", "att_rank", "att_status", "record_type", "test_name",
+             "status", "measurement", "ts"])
+
+    rows = flagged.map_batches(_sel, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+    if rows.empty:
+        return f"No logs for DMC {serial!r} at position {board_index}"
+    out = [f"Report for DMC {serial} position {board_index}"]
+    for (rank, conv), g in sorted(
+            rows.groupby(["att_rank", "conv_id"]), key=lambda kv: kv[0]):
+        out.append(f"  attempt {rank} ({conv}): {g['att_status'].iloc[0]}")
+        fails = g[(g["status"] == "fail")
+                  & g["record_type"].isin(["analog", "digital"])]
+        for _, r in fails.sort_values("ts").iterrows():
+            out.append(f"    FAIL {r['test_name']}")
+    return "\n".join(out)
+
+
 def board_report_nok(flagged, serial: str) -> str:
     """J3 variant: first failing attempt only (get_report_for_SB_NOK)."""
     def _sel(b: pa.Table) -> pa.Table:

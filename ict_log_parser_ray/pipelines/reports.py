@@ -255,6 +255,46 @@ def hourly_stats(ranked):
     ).sort("hour_key")
 
 
+def hourly_chain(ranked):
+    """A4 full shape: per hour, the chronologically ordered chain of panel
+    results ``(result, mmss, serial)`` alongside the OK/NOK tallies
+    (reference daily_yield.rs:91 ``Vec<(time, ok, nok, Vec<(result, mmss,
+    DMC)>)>``; consumption main.rs:1155-1187).
+
+    The chain is a report-edge collection (bounded: one entry per attempt
+    in the hour); the groupby keys on hour_key.
+    """
+    import pandas as pd
+
+    def _prep(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b["start_ts"], pa.timestamp("us"))
+        status = pc.fill_null(_strcol(b, "att_status"), "unknown")
+        mmss = pc.strftime(pc.cast(ts, pa.timestamp("s")), format="%M:%S")
+        return pa.table({
+            "hour_key": hour_key(ts),
+            "start_ts": b["start_ts"],
+            "serial": b["serial"],
+            "att_status": status,
+            "mmss": mmss,
+        })
+
+    pre = ranked.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _per_hour(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["start_ts", "serial"])
+        ok = int((g["att_status"] == "pass").sum())
+        chain = ";".join(f"{r.att_status},{r.mmss},{r.serial}"
+                         for r in g.itertuples())
+        return pd.DataFrame({
+            "hour_key": [g["hour_key"].iloc[0]],
+            "ok": [ok], "nok": [len(g) - ok],
+            "chain": [chain],
+        })
+
+    return pre.groupby("hour_key").map_groups(
+        _per_hour, batch_format="pandas").sort("hour_key")
+
+
 # ---------------------------------------------------------------- A5
 
 def mb_results(ranked):

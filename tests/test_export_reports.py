@@ -165,3 +165,31 @@ def test_failures_by_index(pipeline, fixture_sf0001):
         v["total"] for v in fixture_sf0001["golden"]["paretos"]["all"].values())
     assert total == golden_total
     assert all(r["att_board_index"] >= 0 for r in rows)
+
+
+# ------------------------------------------------------------------- A4 chain
+
+def test_hourly_chain(pipeline, fixture_sf0001):
+    from ict_log_parser_ray.pipelines.reports import hourly_chain
+
+    rows = hourly_chain(pipeline["attempts"]).take_all()
+    golden = fixture_sf0001["golden"]
+    got = {r["hour_key"]: (r["ok"], r["nok"]) for r in rows}
+    assert got == golden["hourly"]
+    chains = {r["hour_key"]: r["chain"] for r in rows}
+    assert chains == golden["hourly_chain"]
+
+
+def test_board_report_w_index(pipeline, fixture_sf0001):
+    from ict_log_parser_ray.pipelines.export import board_report_w_index
+
+    fb = fixture_sf0001["golden"]["failed_boards"]
+    if not fb:
+        pytest.skip("no failing boards in fixture")
+    conv, info = next(iter(fb.items()))
+    # board index is the 2-digit field inside conv B{panel}-{board}-{run}
+    bidx = int(conv.split("-")[1])
+    rep = board_report_w_index(pipeline["flagged"], info["serial"], bidx)
+    assert info["serial"] in rep and f"position {bidx}" in rep
+    missing = board_report_w_index(pipeline["flagged"], info["serial"], 99)
+    assert "No logs" in missing
