@@ -200,6 +200,16 @@ SELECT CAST(strftime(start_ts, '%y%m%d%H') AS BIGINT) AS hour_key,
 FROM ranked GROUP BY 1
 """
 
+    sql["t_hourly_chain"] = tx + """
+SELECT CAST(strftime(start_ts, '%y%m%d%H') AS BIGINT) AS hour_key,
+       count(*) FILTER (WHERE att_status = 'pass') AS ok,
+       count(*) FILTER (WHERE coalesce(att_status,'unknown') <> 'pass') AS nok,
+       string_agg(coalesce(att_status,'unknown') || ',' ||
+                  strftime(start_ts, '%M:%S') || ',' || serial, ';'
+                  ORDER BY start_ts, serial) AS chain
+FROM ranked GROUP BY 1
+"""
+
     sql["t_limit_changes"] = tx + """
 SELECT test_name, count(DISTINCT lim_sig) AS n_limits
 FROM analog_lims GROUP BY 1 HAVING count(DISTINCT lim_sig) > 1
@@ -324,6 +334,12 @@ def t_hourly(sf_dir):
     from .reports import hourly_stats
     return _i64(hourly_stats(_pipe(sf_dir)["attempts"]).to_pandas(),
                 ["hour_key", "ok", "nok"])
+
+
+def t_hourly_chain(sf_dir):
+    from .reports import hourly_chain
+    df = hourly_chain(_pipe(sf_dir)["attempts"]).to_pandas()
+    return _i64(df, ["hour_key", "ok", "nok"])
 
 
 def t_limit_changes(sf_dir):
@@ -781,6 +797,7 @@ def build_queries() -> dict:
         "t_pareto_first_pass": lambda d: _t_pareto(d, "first_pass"),
         "t_pareto_after_retest": lambda d: _t_pareto(d, "after_retest"),
         "t_hourly": t_hourly,
+        "t_hourly_chain": t_hourly_chain,
         "t_limit_changes": t_limit_changes,
         "t_testlist": t_testlist,
         "t_attempts": t_attempts,
