@@ -610,12 +610,18 @@ def test_series(parsed, test_name: str):
 
 
 def testlist(parsed):
-    """A9: distinct test names with record counts, name-ordered."""
+    """A9: distinct test names with record counts, name-ordered.
+
+    This groupby ships raw test-record rows keyed by test_name — a SKEWED
+    key (the seeded Pareto tests appear in ~every attempt), so it uses the
+    salted two-phase aggregation (north_rule: salted repartition before the
+    groupby shuffle)."""
+    from ..stages.skew import salted_sum_counts
+
     def _sel(b: pa.Table) -> pa.Table:
         return b.filter(pc.is_valid(b["test_name"])).select(
             ["test_name", "ttype"])
 
     t = parsed.map_batches(_sel, batch_format="pyarrow", zero_copy_batch=True)
-    return t.groupby("test_name").aggregate(
-        Count(alias_name="n"), Max("ttype", alias_name="ttype")
-    ).sort("test_name")
+    return salted_sum_counts(t, ["test_name"], max_cols=["ttype"]
+                             ).sort("test_name")

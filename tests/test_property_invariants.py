@@ -83,3 +83,23 @@ def test_mega_conversation_flows_through(fixture_sf0001, ray_session):
         (r["conv_id"], r["turn_idx"])
         for r in tbl.filter(pc.equal(tbl["conv_id"], mega_conv)).to_pylist()})
     assert routed == dedup_mega
+
+
+def test_salted_aggregate_equals_plain_groupby(ray_session, fixture_sf0001):
+    """The salted two-phase aggregation must be value-identical to a plain
+    groupby (it only changes the partitioning, never the result)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max
+
+    from ict_log_parser_ray.stages.skew import salted_sum_counts
+
+    tbl = fixture_sf0001["table"].select(["role", "tool"])
+    ds = rd.from_arrow(tbl)
+    salted = {(r["role"], r["tool"]): r["n"]
+              for r in salted_sum_counts(ds, ["role"], n_salt=8,
+                                         max_cols=["tool"]).take_all()}
+    plain = {(r["role"], r["tool"]): r["n"]
+             for r in ds.groupby("role").aggregate(
+                 Count(alias_name="n"),
+                 Max("tool", alias_name="tool")).take_all()}
+    assert salted == plain
