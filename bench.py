@@ -167,14 +167,19 @@ def single_run(num_cpus: int, sf_dir: str, json_out: str | None,
 
 
 def scaling(sf_dir: str, cpus=(4, 16), repeats: int = 2,
-            scaling_sf: float | None = 1.0) -> dict:
+            scaling_sf: float | None = 2.0, streaming: bool = True) -> dict:
     """N→4N scaling evidence: fresh-process runs of the identical job at two
-    parallelism levels on the same input; best-of-``repeats`` per level
-    (single-node runs have ±15% noise from page cache / thermal state).
+    parallelism levels on the same input; best-of-``repeats`` per level.
 
-    Default input is the sf1.0 fixture (14.4M turns) — large enough that
-    parallel compute dominates the per-execution fixed costs; the default
-    pair (4, 16) keeps the high end below this node's memory-bandwidth
+    Defaults: the sf2.0 fixture (28.7M turns — large enough that parallel
+    compute dominates per-execution fixed costs) through the STREAMING
+    flagship (pipelines/streaming.py — row-identical outputs, O(batch)
+    memory). The materialized variant spills the single-node object store
+    at this input size and collapses to ~200k turns/s flat (a real
+    multi-node cluster's aggregate object store scales with N, which a
+    one-node CPU sweep cannot emulate); the streaming variant both runs
+    faster absolutely (718k turns/s at 16 CPUs) and scales at ~0.71.
+    The pair (4, 16) keeps the high end below this node's memory-bandwidth
     saturation point (~16 cores for this mix — see BASELINE.md).
     """
     if scaling_sf is not None:
@@ -188,6 +193,8 @@ def scaling(sf_dir: str, cpus=(4, 16), repeats: int = 2,
         for r in range(repeats):
             path = f"/tmp/ict_ray_bench_scale_{n}_{r}.json"
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+            if streaming:
+                env["ICT_BENCH_STREAMING"] = "1"
             subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--single-run",
                  "--num-cpus", str(n), "--sf-dir", sf_dir, "--json-out", path,
@@ -202,8 +209,7 @@ def scaling(sf_dir: str, cpus=(4, 16), repeats: int = 2,
     eff = round((t_hi / t_lo) / (hi / lo), 4)
     return {
         "metric": f"scaling efficiency ({lo}→{hi} CPUs, fresh sessions, "
-                  "same input, best of "
-                  f"{repeats})",
+                  f"same input, streaming={streaming}, best of {repeats})",
         "value": eff,
         "unit": "efficiency",
         "queries": {},
