@@ -16,8 +16,12 @@ import pyarrow.compute as pc
 
 
 def hour_key(ts: pa.Array) -> pa.Array:
-    """timestamp[us] → packed int64 YYMMDDHH (u64_to_timeframe analog)."""
-    y = pc.subtract(pc.year(ts), 2000)
+    """timestamp[us] → packed int64 YYMMDDHH (u64_to_timeframe analog).
+
+    Year digits are year % 100 (like strftime %y and the pandas fast
+    path) — year-2000 would go negative for pre-2000 timestamps."""
+    yr = pc.year(ts)
+    y = pc.subtract(yr, pc.multiply(pc.divide(yr, 100), 100))
     out = pc.add(
         pc.add(pc.multiply(pc.cast(y, pa.int64()), 1_000_000),
                pc.multiply(pc.cast(pc.month(ts), pa.int64()), 10_000)),

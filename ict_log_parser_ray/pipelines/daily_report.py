@@ -98,6 +98,18 @@ def daily_report(pipe, report_day: datetime, tool_meta: pa.Table | None = None,
         ranked = ranked.map_batches(_win, batch_format="pyarrow",
                                     zero_copy_batch=True)
 
+        # the turn stream must be windowed too (by its attempt's start) or
+        # the daily Pareto / failed-board sections would include failures
+        # from outside the report day — the reference only discovers logs
+        # inside the window (daily_yield.rs:250)
+        def _win_flagged(b: pa.Table) -> pa.Table:
+            st = pc.fill_null(b["att_start_ts"], -1)
+            m = pc.and_(pc.greater_equal(st, lo), pc.less(st, hi))
+            return b.filter(m)
+
+        flagged = flagged.map_batches(_win_flagged, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+
     lut = {}
     if tool_meta is not None:
         lut = dict(zip(tool_meta["tool"].to_pylist(),
@@ -111,8 +123,7 @@ def daily_report(pipe, report_day: datetime, tool_meta: pa.Table | None = None,
     return {
         "hourly": hourly_with_totals,
         "pareto": pareto_join(flagged),
-        "failed_boards": reports.failed_boards(pipe["attempts"],
-                                               flagged).to_pandas(),
+        "failed_boards": reports.failed_boards(ranked, flagged).to_pandas(),
         "yields": reports.yields_sb(ranked).to_pandas(),
     }
 

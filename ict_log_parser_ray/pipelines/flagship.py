@@ -123,7 +123,7 @@ def build(transcripts_path, tool_meta: pa.Table | None = None,
                                   columns=["conv_id", "turn_idx"],
                                   override_num_blocks=num_blocks)
         raw = exact_dedup_sparse(raw, keys=("conv_id", "turn_idx"),
-                                 num_buckets=dedup_buckets, key_ds=key_ds)
+                                 key_ds=key_ds)
     parsed = parse_dataset(raw, batch_size=batch_size)
     if enrich and tool_meta is not None:
         parsed = enrich_dataset(parsed, tool_meta, batch_size=batch_size)

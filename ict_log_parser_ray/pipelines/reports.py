@@ -459,7 +459,12 @@ def finish_turn_metrics(df) -> dict:
         elif mode == "after_retest":
             sub = fails[fails["is_final"].astype(bool)]
         g = (sub.groupby("test_name")
-             .agg(total=("n", "sum"), n_boards=("att_serial", "nunique"))
+             .agg(total=("n", "sum"),
+                  # dropna=False: a truncated conv (no header) has null
+                  # att_serial; the distributed groupby counts that group
+                  # as one board and this path must agree
+                  n_boards=("att_serial",
+                            lambda s: s.nunique(dropna=False)))
              .reset_index())
         g["total"] = g["total"].astype("int64")
         g["n_boards"] = g["n_boards"].astype("int64")
@@ -500,6 +505,25 @@ def turn_metrics_combined(flagged) -> dict:
     return finish_turn_metrics(tbl.to_pandas())
 
 
+
+def _sink_part_name(part: pa.Table) -> str:
+    """Deterministic, content-derived sink file name: a Ray task retry (or
+    lineage re-execution over the same block) rewrites the SAME file
+    instead of adding a duplicate under a fresh uuid — per-task-retry
+    idempotence for side-effect writes."""
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=12)
+    for col in ("conv_id", "turn_idx"):
+        arr = part[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        for buf in arr.buffers():
+            if buf is not None:
+                h.update(buf)
+    h.update(str(part.num_rows).encode())
+    return f"part-{h.hexdigest()}.parquet"
+
 def write_sinks_with_metrics(flagged, out_dir: str) -> dict:
     """Fused single pass: route + hive-partitioned sink write + turn
     metrics.  Each map task writes its batch's per-sink parquet files as a
@@ -509,7 +533,6 @@ def write_sinks_with_metrics(flagged, out_dir: str) -> dict:
     and the A3/A6/sink aggregates cost one traversal of the turn stream.
     """
     import os
-    import uuid
 
     import pyarrow.parquet as _pq
     import ray
@@ -527,8 +550,7 @@ def write_sinks_with_metrics(flagged, out_dir: str) -> dict:
             col = col.combine_chunks()
         for s in pc.unique(col).to_pylist():
             part = sb.filter(pc.equal(sb["sink"], s)).drop_columns(["sink"])
-            fn = os.path.join(out_dir, f"sink={s}",
-                              f"part-{uuid.uuid4().hex}.parquet")
+            fn = os.path.join(out_dir, f"sink={s}", _sink_part_name(part))
             _pq.write_table(part, fn)
         return turn_partials_batch(sb)
 

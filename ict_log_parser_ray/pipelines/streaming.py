@@ -30,7 +30,6 @@ from __future__ import annotations
 
 import io
 import os
-import uuid
 
 import numpy as np
 import pyarrow as pa
@@ -161,15 +160,12 @@ def run_streaming(transcripts_path, tool_meta: pa.Table | None, out_dir: str,
     for s in SINKS:
         os.makedirs(os.path.join(out_dir, f"sink={s}"), exist_ok=True)
 
+    from ..stages.join import _lookup_batch
+
     def _attach_flags_local(b: pa.Table) -> pa.Table:
-        flags = ray.get(flags_ref)
-        keys = flags["conv_id"]
-        idx = pc.index_in(b["conv_id"], value_set=keys)
-        for name in flags.column_names:
-            if name == "conv_id":
-                continue
-            b = b.append_column(name, pc.take(flags[name], idx))
-        return b
+        return _lookup_batch(b, ray.get(flags_ref), "conv_id")
+
+    from .reports import _sink_part_name
 
     def _route_batch(sb: pa.Table) -> None:
         col = sb["sink"]
@@ -177,8 +173,7 @@ def run_streaming(transcripts_path, tool_meta: pa.Table | None, out_dir: str,
             col = col.combine_chunks()
         for s in pc.unique(col).to_pylist():
             part = sb.filter(pc.equal(sb["sink"], s)).drop_columns(["sink"])
-            fn = os.path.join(out_dir, f"sink={s}",
-                              f"part-{uuid.uuid4().hex}.parquet")
+            fn = os.path.join(out_dir, f"sink={s}", _sink_part_name(part))
             pq.write_table(part, fn)
 
     def _pass2_batch(b: pa.Table) -> pa.Table:

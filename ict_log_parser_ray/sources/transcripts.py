@@ -77,6 +77,8 @@ def read_transcripts_dates(root: str, start, end, columns=None):
 
     import pyarrow.compute as pc
 
+    from datetime import timedelta
+
     keep = []
     for d in sorted(os.listdir(root)):
         if not d.startswith("dt="):
@@ -85,8 +87,8 @@ def read_transcripts_dates(root: str, start, end, columns=None):
             day = datetime.strptime(d.split("=", 1)[1], "%Y_%m_%d")
         except ValueError:
             continue  # is_dir_in_t: non-date dirs are skipped (main.rs:59-68)
-        if start.date() <= day.date() < end.date() or \
-                day.date() == start.date():
+        # keep iff the partition's day [day, day+1) intersects [start, end)
+        if day + timedelta(days=1) > start and day < end:
             keep.append(os.path.join(root, d))
     files = []
     for kd in keep:
@@ -94,9 +96,15 @@ def read_transcripts_dates(root: str, start, end, columns=None):
                      if f.endswith(".parquet"))
     if not files:
         import pyarrow as pa
-        return rd.from_arrow(pa.schema(
-            [(c, pa.string()) for c in (columns or TRANSCRIPT_COLUMNS)]
-        ).empty_table())
+
+        schema = pa.schema([
+            ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+            ("role", pa.string()), ("text", pa.string()),
+            ("tool", pa.string()), ("ts", pa.timestamp("us")),
+        ])
+        if columns:
+            schema = pa.schema([schema.field(c) for c in columns])
+        return rd.from_arrow(schema.empty_table())
     ds = rd.read_parquet(files, columns=columns)
 
     def _win(t):

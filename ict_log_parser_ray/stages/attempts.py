@@ -85,8 +85,11 @@ def attempts_from_parsed(parsed_ds):
 
 
 def _add_start_key(batch: pa.Table) -> pa.Table:
-    # sortable string key: zero-padded epoch micros + conv_id tie-break
-    us = pc.cast(batch["start_ts"], pa.string())
+    # sortable string key: zero-padded epoch micros + conv_id tie-break.
+    # Null start_ts (headerless/unparseable-date attempts) becomes "" so the
+    # key is never null (sorts first, matching the driver fast path's
+    # nulls-first convention) and stays unique via the conv_id suffix.
+    us = pc.fill_null(pc.cast(batch["start_ts"], pa.string()), "")
     padded = pc.utf8_lpad(us, 20, padding="0")
     key = pc.binary_join_element_wise(padded, batch["conv_id"], "|")
     return batch.append_column("start_key", key)
@@ -97,20 +100,34 @@ def _rank_batch(batch: pa.Table) -> pa.Table:
 
     ``all_keys`` is the per-serial list of attempt start_keys (from the
     ``Unique`` aggregate); rank = position of this attempt's key in the
-    sorted list.  Vectorized over the flattened list column with numpy
-    searchsorted per row-segment (no Python per element beyond the segment
-    loop; segments are per-attempt and the attempt table is turns/40).
+    sorted list.  Per-row Python over the attempt table (turns/40); the
+    sorted list is cached per identical list so a serial with A attempts
+    costs one sort + A bisects, not A sorts.
+    Null guards: a null ``all_keys`` (serial missing from the lookup —
+    conv with no header row) ranks as a singleton; keys themselves are
+    never null (see _add_start_key).
     """
+    import bisect
+
     import numpy as np
 
     keys = batch["start_key"].to_pylist()
     lists = batch["all_keys"].to_pylist()
     ranks = np.empty(len(keys), dtype=np.int32)
     n_att = np.empty(len(keys), dtype=np.int32)
+    sorted_cache: dict = {}
     for i, (k, lst) in enumerate(zip(keys, lists)):
-        lst = sorted("" if v is None else v for v in lst)
-        ranks[i] = lst.index("" if k is None else k)
-        n_att[i] = len(lst)
+        k = "" if k is None else k
+        if lst is None:
+            ranks[i], n_att[i] = 0, 1
+            continue
+        ck = tuple(lst)
+        slst = sorted_cache.get(ck)
+        if slst is None:
+            slst = sorted("" if v is None else v for v in lst)
+            sorted_cache[ck] = slst
+        ranks[i] = bisect.bisect_left(slst, k)
+        n_att[i] = len(slst)
     batch = batch.append_column("att_rank", pa.array(ranks, pa.int32()))
     batch = batch.append_column("n_attempts", pa.array(n_att, pa.int32()))
     batch = batch.append_column("is_first", pc.equal(batch["att_rank"], 0))

@@ -84,35 +84,7 @@ def add_key_hash_column(batch: pa.Table, keys=("conv_id", "turn_idx"),
         col, pa.array(_key_hash(batch, list(keys)), pa.int64()))
 
 
-def dup_hash_ref(ds, keys=("conv_id", "turn_idx")):
-    """Pass A of sparse dedup as a standalone: distributed 8B/row key-hash
-    projection, duplicate detection via one np.unique on the driver.
-
-    Returns (ObjectRef to the pa.Array of duplicate key-hashes, count) —
-    (None, 0) when no key occurs twice.  Bounded by hash volume (8B/row);
-    see exact_dedup_sparse for the scale discussion.
-    """
-    import numpy as np
-    import ray
-
-    keys = list(keys)
-
-    def key_hash_only(batch: pa.Table) -> pa.Table:
-        return pa.table({"kh": pa.array(_key_hash(batch, keys), pa.int64())})
-
-    hashed = ds.map_batches(key_hash_only, batch_format="pyarrow",
-                            zero_copy_batch=True).materialize()
-    hash_tbl = pa.concat_tables(ray.get(hashed.to_arrow_refs()))
-    hv = hash_tbl["kh"].to_numpy()
-    uniq, cnt = np.unique(hv, return_counts=True)
-    dups = uniq[cnt > 1]
-    if len(dups) == 0:
-        return None, 0
-    return ray.put(pa.array(dups, pa.int64())), len(dups)
-
-
-def exact_dedup_sparse(ds, keys=("conv_id", "turn_idx"), num_buckets: int = 16,
-                       key_ds=None):
+def exact_dedup_sparse(ds, keys=("conv_id", "turn_idx"), key_ds=None):
     """Collision-only exact dedup — the low-dup-rate fast path.
 
     Full-row hash-partition dedup (``exact_dedup``) shuffles every byte of

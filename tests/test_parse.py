@@ -99,3 +99,43 @@ def test_parse_matches_parity_reference(fixture_sf0001):
     got = out["record_type"].to_pylist()
     want = [parity.parse_row(t)["record_type"] for t in tbl["text"].to_pylist()]
     assert got == want
+
+
+def test_distributed_rank_handles_null_serial_and_start(ray_session):
+    """Regression (code review): the distributed rank path must not crash on
+    attempts with null serial (no header) or null start_ts (bad date), and
+    must agree with the driver fast path."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ict_log_parser_ray.stages.attempts import ranked_attempts
+    from ict_log_parser_ray.stages.parse import parse_dataset
+
+    texts = [
+        # conv with only a BTEST-END (null serial)
+        ("lonely", 0, "{@BTEST-END|00|260105070000}"),
+        # conv whose header has an unparseable date (null start_ts)
+        ("baddate", 0, "{@BTEST|DMCX|00|999999999999|0|PNL}"),
+        ("baddate", 1, "{@BTEST-END|01|999999999999}"),
+        # normal conv
+        ("good", 0, "{@BTEST|DMCG|00|260105080000|0|PNL}"),
+        ("good", 1, "{@BTEST-END|00|260105080100}"),
+    ]
+    tbl = pa.table({
+        "conv_id": pa.array([t[0] for t in texts]),
+        "turn_idx": pa.array([t[1] for t in texts], pa.int32()),
+        "role": pa.array(["x"] * len(texts)),
+        "text": pa.array([t[2] for t in texts]),
+        "tool": pa.array(["t"] * len(texts)),
+        "ts": pa.array([0] * len(texts), pa.timestamp("us")),
+    })
+    parsed = parse_dataset(rd.from_arrow(tbl))
+    for threshold in (0, 5_000_000):  # distributed path vs driver fast path
+        ranked = {r["conv_id"]: r for r in
+                  ranked_attempts(parsed,
+                                  collect_threshold=threshold).take_all()}
+        assert len(ranked) == 3
+        assert ranked["good"]["att_rank"] == 0
+        assert ranked["good"]["is_final"]
+        assert ranked["baddate"]["n_attempts"] == 1
+        assert ranked["lonely"]["is_first"] and ranked["lonely"]["is_final"]

@@ -61,3 +61,36 @@ def test_window_filter_on_flat_read(fixture_sf0001):
     want = tbl.filter(pc.and_(
         pc.greater_equal(tbl["ts"], start), pc.less(tbl["ts"], end))).num_rows
     assert ds.count() == want
+
+
+def test_date_pruned_read_non_midnight_end(partitioned, fixture_sf0001):
+    """Regression: a window ending at 06:00 must include rows from the
+    end-date partition (found by code review: the partition for the end
+    day was pruned while the row filter admitted its early-morning rows)."""
+    import pyarrow.compute as pc
+
+    from ict_log_parser_ray.sources.transcripts import read_transcripts_dates
+
+    tbl = fixture_sf0001["table"]
+    start, end = datetime(2026, 1, 5, 6), datetime(2026, 1, 6, 6)
+    got = read_transcripts_dates(partitioned, start, end).count()
+    want = tbl.filter(pc.and_(
+        pc.greater_equal(tbl["ts"], start), pc.less(tbl["ts"], end))).num_rows
+    assert got == want
+    # the fixture has rows in [Jan 6 00:00, Jan 6 06:00) — they must count
+    jan6_early = tbl.filter(pc.and_(
+        pc.greater_equal(tbl["ts"], datetime(2026, 1, 6)),
+        pc.less(tbl["ts"], end))).num_rows
+    assert jan6_early > 0
+
+
+def test_empty_window_keeps_schema_types(partitioned):
+    import pyarrow as pa
+
+    from ict_log_parser_ray.sources.transcripts import read_transcripts_dates
+
+    ds = read_transcripts_dates(partitioned, datetime(2030, 1, 1),
+                                datetime(2030, 1, 2))
+    schema = ds.schema()
+    idx = schema.names.index("ts")
+    assert pa.types.is_timestamp(schema.types[idx])
