@@ -79,7 +79,7 @@ WITH tx AS (
   ) WHERE _rn = 1
 ),
 hdr AS (
-  SELECT conv_id,
+  SELECT conv_id, turn_idx,
          regexp_extract(text, '{_H}', 1) AS serial,
          regexp_extract(text, '{_H}', 5) AS panel_serial,
          CAST(regexp_extract(text, '{_H}', 4) AS BIGINT) AS board_index,
@@ -88,24 +88,47 @@ hdr AS (
   FROM tx WHERE regexp_matches(text, '{_H}')
 ),
 endr AS (
-  SELECT conv_id, {_dec(f"regexp_extract(text, '{_E}', 1)")} AS att_status
+  SELECT conv_id, turn_idx, tool,
+         {_dec(f"regexp_extract(text, '{_E}', 1)")} AS att_status
   FROM tx WHERE regexp_matches(text, '{_E}')
 ),
+-- last-record-wins (parity.py / reference sequential overwrite): header
+-- fields from the LAST header row, att_status from the LAST END row,
+-- start_ts = min over headers; attempts = UNION of header & END convs
+-- (a conv with an END but no header is still an attempt)
+hdr_last AS (
+  SELECT conv_id, serial, panel_serial, board_index FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id
+                                 ORDER BY turn_idx DESC) AS _hrn FROM hdr
+  ) WHERE _hrn = 1
+),
+hdr_min AS (
+  SELECT conv_id, min(start_ts) AS start_ts FROM hdr GROUP BY conv_id
+),
+end_last AS (
+  SELECT conv_id, att_status FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id
+                                 ORDER BY turn_idx DESC) AS _ern FROM endr
+  ) WHERE _ern = 1
+),
+conv_ids AS (
+  SELECT conv_id, max(tool) AS tool FROM (
+    SELECT conv_id, tool FROM hdr UNION ALL SELECT conv_id, tool FROM endr
+  ) GROUP BY conv_id
+),
 attempts AS (
-  SELECT h.conv_id,
-         min(h.start_ts) AS start_ts,
-         max(h.serial) AS serial,
-         max(h.panel_serial) AS panel_serial,
-         max(h.board_index) AS board_index,
-         max(h.tool) AS tool,
-         max(e.att_status) AS att_status
-  FROM hdr h LEFT JOIN endr e ON h.conv_id = e.conv_id
-  GROUP BY h.conv_id
+  SELECT c.conv_id, m.start_ts, hl.serial, hl.panel_serial, hl.board_index,
+         c.tool, el.att_status
+  FROM conv_ids c
+  LEFT JOIN hdr_last hl USING (conv_id)
+  LEFT JOIN hdr_min m USING (conv_id)
+  LEFT JOIN end_last el USING (conv_id)
 ),
 ranked AS (
   SELECT *,
          row_number() OVER (PARTITION BY serial
-                            ORDER BY start_ts, conv_id) - 1 AS att_rank,
+                            ORDER BY start_ts ASC NULLS FIRST,
+                                     conv_id) - 1 AS att_rank,
          count(*) OVER (PARTITION BY serial) AS n_attempts
   FROM attempts
 ),

@@ -406,15 +406,24 @@ def turn_partials_batch(b: pa.Table) -> pa.Table:
     fail = pc.and_(is_test,
                    pc.equal(pc.fill_null(b["status"], "u"), "fail"))
     f = b.filter(fail)
-    fails = pa.table({
-        "metric": pa.array(["fail"] * f.num_rows, pa.string()),
+    # per-batch combine: a batch has many failing records but few distinct
+    # (test, serial, flags) keys — ship counted keys, not records
+    fg = pa.TableGroupBy(pa.table({
         "test_name": f["test_name"],
         "att_serial": f["att_serial"],
         "is_first": pc.fill_null(f["is_first"], False),
         "is_final": pc.fill_null(f["is_final"], False),
-        "lim_sig": pa.nulls(f.num_rows, pa.string()),
-        "sink": pa.nulls(f.num_rows, pa.string()),
-        "n": pa.array(np.ones(f.num_rows, np.int64)),
+    }), ["test_name", "att_serial", "is_first", "is_final"]).aggregate([
+        ([], "count_all")])
+    fails = pa.table({
+        "metric": pa.array(["fail"] * fg.num_rows, pa.string()),
+        "test_name": fg["test_name"],
+        "att_serial": fg["att_serial"],
+        "is_first": fg["is_first"],
+        "is_final": fg["is_final"],
+        "lim_sig": pa.nulls(fg.num_rows, pa.string()),
+        "sink": pa.nulls(fg.num_rows, pa.string()),
+        "n": pc.cast(fg["count_all"], pa.int64()),
     })
 
     lm = pc.and_(pc.equal(rt, "analog"), pc.is_valid(b["lim_sig"]))
@@ -458,14 +467,13 @@ def finish_turn_metrics(df) -> dict:
             sub = fails[fails["is_first"].astype(bool)]
         elif mode == "after_retest":
             sub = fails[fails["is_final"].astype(bool)]
-        g = (sub.groupby("test_name")
-             .agg(total=("n", "sum"),
-                  # dropna=False: a truncated conv (no header) has null
-                  # att_serial; the distributed groupby counts that group
-                  # as one board and this path must agree
-                  n_boards=("att_serial",
-                            lambda s: s.nunique(dropna=False)))
-             .reset_index())
+        tot = sub.groupby("test_name")["n"].sum().rename("total")
+        # dropna=False: a truncated conv (no header) has null att_serial;
+        # the distributed groupby counts that group as one board and this
+        # path must agree (drop_duplicates keeps the NaN pair)
+        nb = (sub.drop_duplicates(["test_name", "att_serial"])
+              .groupby("test_name").size().rename("n_boards"))
+        g = (tot.to_frame().join(nb).reset_index())
         g["total"] = g["total"].astype("int64")
         g["n_boards"] = g["n_boards"].astype("int64")
         paretos[mode] = g.sort_values(["total", "test_name"],
@@ -569,7 +577,6 @@ def attempts_report_tables(ranked, collect_threshold: int = 5_000_000) -> dict:
     hourly_stats (tested against them).  Above the threshold the
     distributed versions run instead.
     """
-    import pandas as pd
     import ray
 
     n = ranked.count()
@@ -577,9 +584,16 @@ def attempts_report_tables(ranked, collect_threshold: int = 5_000_000) -> dict:
         return {"yields_sb": yields_sb(ranked), "yields_mb": yields_mb(ranked),
                 "hourly": hourly_stats(ranked).to_pandas()}
 
-    import numpy as np
-
     tbl = pa.concat_tables(ray.get(ranked.materialize().to_arrow_refs()))
+    return attempt_reports_from_table(tbl)
+
+
+def attempt_reports_from_table(tbl: pa.Table) -> dict:
+    """attempts_report_tables body over an in-memory ranked-attempt table
+    (streaming flagship already holds it — no second collect)."""
+    import numpy as np
+    import pandas as pd
+
     df = tbl.to_pandas()
     status_ok = df["att_status"].fillna("unknown") == "pass"
     first = df["att_rank"] == 0
@@ -609,10 +623,14 @@ def attempts_report_tables(ranked, collect_threshold: int = 5_000_000) -> dict:
     st = pd.to_datetime(df["start_ts"], unit="us")
     hk = ((st.dt.year % 100) * 1_000_000 + st.dt.month * 10_000
           + st.dt.day * 100 + st.dt.hour)
-    hdf = (pd.DataFrame({"hour_key": hk.astype("int64"),
+    # NaT start_ts (BTEST-END with no parseable header) → pd.NA hour_key,
+    # kept as its own group (dropna=False) to match the distributed
+    # hourly_stats twin, which groups null hour_key rows together.
+    hdf = (pd.DataFrame({"hour_key": hk.astype("Int64"),
                          "ok": status_ok.astype(int),
                          "nok": (~status_ok).astype(int)})
-           .groupby("hour_key", as_index=False)[["ok", "nok"]].sum()
+           .groupby("hour_key", as_index=False, dropna=False)[["ok", "nok"]]
+           .sum()
            .sort_values("hour_key").reset_index(drop=True))
     hdf["ok"] = hdf["ok"].astype("int64")
     hdf["nok"] = hdf["nok"].astype("int64")

@@ -12,8 +12,9 @@ conversation, so the attempt table is ~20× smaller than the turn table:
    (duplicate-injected rows collapse here for free: exact dedup D1,
    main.rs:293-296);
 3. rank attempts within a board serial WITHOUT per-group Python:
-   ``groupby(serial)`` Min/Max over a sortable ``start_key`` →
-   join flags back → ``is_first`` / ``is_final`` booleans.
+   bucket by hash(serial), one shuffle, then the vectorized numpy
+   lexsort/segment-rank kernel per bucket (or a single driver-side
+   finish when the attempt table is small).
    (The reference's first-pass yield reads the first attempt, the
    after-retest yield the last: main.rs:712-748, last-attempt-wins
    main.rs:1205.  Ordering key = (start_ts, conv_id) — deterministic
@@ -30,15 +31,24 @@ from __future__ import annotations
 
 import pyarrow as pa
 import pyarrow.compute as pc
-from ray.data.aggregate import Count, Max, Min
-
-from .join import attach_lookup
+from ray.data.aggregate import Max, Min
 
 _TS = pa.timestamp("us")
 
 
 def _attempt_rows(batch: pa.Table) -> pa.Table:
-    """Project header/btest_end rows to the attempt-meta columns."""
+    """Project header/btest_end rows to narrow attempt partials.
+
+    Last-record-wins semantics (parity.py attempt loop; the reference app
+    overwrites attempt fields as it reads a logfile top-to-bottom): the
+    header fields (serial / panel_serial / board_index / hdr_status) come
+    from the LAST header row of the conversation, att_status / end_ts from
+    the LAST BTEST-END row, start_ts = MIN over headers.  Last-wins is made
+    associative (safe for any combine tree: per-batch arrow partial, Ray
+    groupby, driver finish) by packing each row's fields behind a
+    zero-padded turn_idx prefix and taking the string MAX — the delimiter
+    '|' cannot appear in any field (the parse regexes exclude it).
+    """
     rt = batch["record_type"]
     mask = pc.or_(pc.equal(rt, "header"), pc.equal(rt, "btest_end"))
     b = batch.filter(mask)
@@ -52,19 +62,109 @@ def _attempt_rows(batch: pa.Table) -> pa.Table:
     # object blocks (observed), and Min/Max silently downcast timestamp[us]
     # to [s]; int64 keeps blocks Arrow-native and lossless.
     ts_us = pc.cast(b["start_ts"], pa.int64())
+    turn_pad = pc.utf8_lpad(pc.cast(b["turn_idx"], pa.string()), 12,
+                            padding="0")
+
+    def _s(col):
+        return pc.fill_null(pc.cast(col, pa.string()), "")
+
+    hdr_payload = pc.binary_join_element_wise(
+        turn_pad, _s(b["serial"]), _s(b["panel_serial"]),
+        _s(b["board_index"]), _s(b["status"]), "|")
+    end_payload = pc.binary_join_element_wise(
+        turn_pad, _s(ts_us), _s(b["status"]), "|")
     return pa.table(
         {
             "conv_id": b["conv_id"],
-            "serial": b["serial"],
-            "panel_serial": b["panel_serial"],
-            "board_index": b["board_index"],
             "tool": b["tool"],
             "start_ts": pc.if_else(is_hdr, ts_us, null_i),
-            "end_ts": pc.if_else(is_end, ts_us, null_i),
-            "att_status": pc.if_else(is_end, b["status"], null_s),
-            "hdr_status": pc.if_else(is_hdr, b["status"], null_s),
+            "hdr_pack": pc.if_else(is_hdr, hdr_payload, null_s),
+            "end_pack": pc.if_else(is_end, end_payload, null_s),
         }
     )
+
+
+def _attempt_rows_raw(batch: pa.Table) -> pa.Table:
+    """_attempt_rows straight from RAW transcript text.
+
+    Only rows prefixed ``{@BTEST`` can be header or BTEST-END records (the
+    anchored parse regexes), so prefix-filter first (~5% of turns survive)
+    and run ONLY those two regexes — the analog/digital patterns, the
+    limit projection and the enrich lookup never execute.  This makes the
+    streaming pass 1 a fraction of a full parse pass.  Output and
+    semantics are identical to ``_attempt_rows(parse_batch(batch))``."""
+    from .parse import END_PAT, HEADER_PAT, _decode_status, _strptime12
+
+    text = batch["text"]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    b = batch.filter(pc.starts_with(text, "{@BTEST"))
+    text = b["text"]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    hdr = pc.extract_regex(text, HEADER_PAT)
+    end = pc.extract_regex(text, END_PAT)
+    keep = pc.or_(pc.is_valid(hdr), pc.is_valid(end))
+    b = b.filter(keep)
+    hdr = hdr.filter(keep)
+    end = end.filter(keep)
+    is_hdr = pc.is_valid(hdr)
+
+    def f(s, name):
+        a = pc.struct_field(s, name)
+        return pc.if_else(pc.equal(a, ""), pa.scalar(None, pa.string()), a)
+
+    status = _decode_status(pc.coalesce(f(hdr, "hstatus"), f(end, "estatus")))
+    ts_us = pc.cast(pc.if_else(is_hdr, _strptime12(f(hdr, "start")),
+                               _strptime12(f(end, "end"))), pa.int64())
+    turn_pad = pc.utf8_lpad(pc.cast(b["turn_idx"], pa.string()), 12,
+                            padding="0")
+
+    def _s(col):
+        return pc.fill_null(pc.cast(col, pa.string()), "")
+
+    hdr_payload = pc.binary_join_element_wise(
+        turn_pad, _s(f(hdr, "serial")), _s(f(hdr, "panel_serial")),
+        _s(f(hdr, "board_index")), _s(status), "|")
+    end_payload = pc.binary_join_element_wise(turn_pad, _s(ts_us),
+                                              _s(status), "|")
+    null_s = pa.scalar(None, pa.string())
+    null_i = pa.scalar(None, pa.int64())
+    return pa.table({
+        "conv_id": b["conv_id"],
+        "tool": b["tool"],
+        "start_ts": pc.if_else(is_hdr, ts_us, null_i),
+        "hdr_pack": pc.if_else(is_hdr, hdr_payload, null_s),
+        "end_pack": pc.if_else(is_hdr, null_s, end_payload),
+    })
+
+
+def _decode_attempt_packs(t: pa.Table) -> pa.Table:
+    """(conv_id, tool, start_ts, hdr_pack, end_pack) → attempt columns.
+
+    Vectorized: split on '|', take fields, '' → null.  Null packs (conv
+    with no header / no END row) decode to all-null fields."""
+    def _fld(lists, i):
+        x = pc.list_element(lists, i)
+        return pc.if_else(pc.equal(x, ""), pa.scalar(None, pa.string()), x)
+
+    def _col(name):
+        c = t[name]
+        return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+    hs = pc.split_pattern(pc.fill_null(_col("hdr_pack"), "||||"), "|")
+    es = pc.split_pattern(pc.fill_null(_col("end_pack"), "||"), "|")
+    return pa.table({
+        "conv_id": t["conv_id"],
+        "serial": _fld(hs, 1),
+        "panel_serial": _fld(hs, 2),
+        "board_index": pc.cast(_fld(hs, 3), pa.int64()),
+        "tool": t["tool"],
+        "start_ts": pc.cast(t["start_ts"], pa.int64()),
+        "end_ts": pc.cast(_fld(es, 1), pa.int64()),
+        "att_status": _fld(es, 2),
+        "hdr_status": _fld(hs, 4),
+    })
 
 
 def attempts_from_parsed(parsed_ds):
@@ -72,99 +172,68 @@ def attempts_from_parsed(parsed_ds):
     rows = parsed_ds.map_batches(_attempt_rows, batch_format="pyarrow",
                                  zero_copy_batch=True)
     att = rows.groupby("conv_id").aggregate(
-        Max("serial", alias_name="serial"),
-        Max("panel_serial", alias_name="panel_serial"),
-        Max("board_index", alias_name="board_index"),
         Max("tool", alias_name="tool"),
         Min("start_ts", alias_name="start_ts"),
-        Max("end_ts", alias_name="end_ts"),
-        Max("att_status", alias_name="att_status"),
-        Max("hdr_status", alias_name="hdr_status"),
+        Max("hdr_pack", alias_name="hdr_pack"),
+        Max("end_pack", alias_name="end_pack"),
     )
-    return att
+    return att.map_batches(_decode_attempt_packs, batch_format="pyarrow",
+                           zero_copy_batch=True)
 
 
-def _add_start_key(batch: pa.Table) -> pa.Table:
-    # sortable string key: zero-padded epoch micros + conv_id tie-break.
-    # Null start_ts (headerless/unparseable-date attempts) becomes "" so the
-    # key is never null (sorts first, matching the driver fast path's
-    # nulls-first convention) and stays unique via the conv_id suffix.
-    us = pc.fill_null(pc.cast(batch["start_ts"], pa.string()), "")
-    padded = pc.utf8_lpad(us, 20, padding="0")
-    key = pc.binary_join_element_wise(padded, batch["conv_id"], "|")
-    return batch.append_column("start_key", key)
-
-
-def _rank_batch(batch: pa.Table) -> pa.Table:
-    """Ordinal attempt rank from the per-serial sorted key list.
-
-    ``all_keys`` is the per-serial list of attempt start_keys (from the
-    ``Unique`` aggregate); rank = position of this attempt's key in the
-    sorted list.  Per-row Python over the attempt table (turns/40); the
-    sorted list is cached per identical list so a serial with A attempts
-    costs one sort + A bisects, not A sorts.
-    Null guards: a null ``all_keys`` (serial missing from the lookup —
-    conv with no header row) ranks as a singleton; keys themselves are
-    never null (see _add_start_key).
-    """
-    import bisect
-
+def _add_rank_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
+    """hash(serial) % B — co-locates every attempt of a serial in one
+    bucket; B bounds group count so the groupby shuffles buckets, never
+    ~all-distinct serial keys (CLAUDE.md measured rule)."""
     import numpy as np
+    from pandas.util import hash_pandas_object
 
-    keys = batch["start_key"].to_pylist()
-    lists = batch["all_keys"].to_pylist()
-    ranks = np.empty(len(keys), dtype=np.int32)
-    n_att = np.empty(len(keys), dtype=np.int32)
-    sorted_cache: dict = {}
-    for i, (k, lst) in enumerate(zip(keys, lists)):
-        k = "" if k is None else k
-        if lst is None:
-            ranks[i], n_att[i] = 0, 1
-            continue
-        ck = tuple(lst)
-        slst = sorted_cache.get(ck)
-        if slst is None:
-            slst = sorted("" if v is None else v for v in lst)
-            sorted_cache[ck] = slst
-        ranks[i] = bisect.bisect_left(slst, k)
-        n_att[i] = len(slst)
-    batch = batch.append_column("att_rank", pa.array(ranks, pa.int32()))
-    batch = batch.append_column("n_attempts", pa.array(n_att, pa.int32()))
-    batch = batch.append_column("is_first", pc.equal(batch["att_rank"], 0))
-    batch = batch.append_column(
-        "is_final", pc.equal(batch["att_rank"], pc.subtract(batch["n_attempts"], 1))
-    )
-    return batch.drop_columns(["start_key", "all_keys"])
+    s = batch["serial"]
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    hv = hash_pandas_object(pc.fill_null(s, "").to_pandas(),
+                            index=False).to_numpy()
+    bucket = (hv % np.uint64(num_buckets)).astype("int64")
+    return batch.append_column("rank_bucket", pa.array(bucket, pa.int64()))
 
 
-def rank_attempts(attempts_ds, broadcast_threshold: int = 2_000_000):
-    """Attach ``att_rank`` / ``is_first`` / ``is_final`` / ``n_attempts``."""
-    from ray.data.aggregate import Unique
+def rank_attempts(attempts_ds, num_buckets: int = 64, **_compat):
+    """Attach ``att_rank`` / ``is_first`` / ``is_final`` / ``n_attempts``.
 
-    att = attempts_ds.map_batches(_add_start_key, batch_format="pyarrow",
-                                  zero_copy_batch=True)
-    # materialize the (small, turns/40) attempt table once: both the
-    # per-serial aggregate and the join-back read it, and without pinning it
-    # the whole upstream lineage (read→parse→…) executes twice
-    att = att.materialize()
-    per_serial = att.groupby("serial").aggregate(
-        Unique("start_key", alias_name="all_keys"),
-    )
-    joined = attach_lookup(att, per_serial, on="serial",
-                           broadcast_threshold=broadcast_threshold)
-    return joined.map_batches(_rank_batch, batch_format="pyarrow",
-                              zero_copy_batch=True)
+    Distributed path: bucket by hash(serial), shuffle once, run the same
+    vectorized numpy lexsort/segment-rank kernel as the driver fast path
+    inside each bucket (a serial never spans buckets, so per-bucket ranking
+    is exact)."""
+    withb = attempts_ds.map_batches(
+        _add_rank_bucket, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"num_buckets": num_buckets})
+
+    def _rank_group(group: pa.Table) -> pa.Table:
+        df = _rank_df(group.drop_columns(["rank_bucket"]).to_pandas())
+        cols = {f.name: pa.array(df[f.name], f.type, from_pandas=True)
+                for f in _RANKED_SCHEMA}
+        return pa.table(cols)
+
+    return withb.groupby("rank_bucket").map_groups(
+        _rank_group, batch_format="pyarrow")
 
 
 def _attempt_rows_partial(batch: pa.Table) -> pa.Table:
     """_attempt_rows + per-batch combine: one row per conv_id IN THIS BATCH
     (arrow C++ hash aggregate).  A conversation spans ~1 batch, so the
     global combine sees ~#convs rows instead of 2×#convs header/end rows."""
-    t = _attempt_rows(batch)
+    return _partial_combine(_attempt_rows(batch))
+
+
+def _attempt_rows_partial_raw(batch: pa.Table) -> pa.Table:
+    """_attempt_rows_raw + the same per-batch arrow combine."""
+    return _partial_combine(_attempt_rows_raw(batch))
+
+
+def _partial_combine(t: pa.Table) -> pa.Table:
     g = pa.TableGroupBy(t, "conv_id").aggregate([
-        ("serial", "max"), ("panel_serial", "max"), ("board_index", "max"),
-        ("tool", "max"), ("start_ts", "min"), ("end_ts", "max"),
-        ("att_status", "max"), ("hdr_status", "max"),
+        ("tool", "max"), ("start_ts", "min"),
+        ("hdr_pack", "max"), ("end_pack", "max"),
     ])
     # arrow names aggregates "<col>_<fn>"; strip the suffix, keep the key
     return g.rename_columns(
@@ -189,24 +258,14 @@ _RANKED_SCHEMA = pa.schema([
 ])
 
 
-def _finish_rank_pandas(tbl: pa.Table):
-    """Driver-side finish: final per-conv combine (arrow C++ hash aggregate —
-    null-safe for string columns, unlike pandas object max) + vectorized
-    rank within serial.  Ordering key = (start_ts, conv_id) with nulls
-    FIRST to match the distributed start_key="" convention.
+def _rank_df(agg):
+    """Vectorized rank-within-serial over a decoded attempt DataFrame.
+
+    Pure numpy (pandas sort+cumcount measured ~3× slower at 1M rows):
+    lexsort by (serial, start_ts, conv_id) with NaN/None first, then
+    segment boundaries → rank = position - segment_start.  Exact for any
+    serial-complete subset (driver finish, per-bucket distributed rank).
     """
-    g = pa.TableGroupBy(tbl, "conv_id").aggregate([
-        ("serial", "max"), ("panel_serial", "max"), ("board_index", "max"),
-        ("tool", "max"), ("start_ts", "min"), ("end_ts", "max"),
-        ("att_status", "max"), ("hdr_status", "max"),
-    ])
-    g = g.rename_columns([n if n == "conv_id" else n.rsplit("_", 1)[0]
-                          for n in g.column_names])
-    agg = g.to_pandas()
-    # rank within serial with pure numpy (pandas sort+cumcount measured ~3×
-    # slower at 1M rows and this finish is driver-serial):
-    # lexsort by (serial, start_ts, conv_id) with NaN/None first, then
-    # segment boundaries → rank = position - segment_start
     import numpy as np
 
     serial = agg["serial"].fillna("").to_numpy(dtype=object)
@@ -234,6 +293,25 @@ def _finish_rank_pandas(tbl: pa.Table):
     return agg
 
 
+def _combine_attempt_partials(tbl: pa.Table) -> pa.Table:
+    """Final per-conv combine of _attempt_rows(_partial) rows (arrow C++
+    hash aggregate — associative with the per-batch partials) + pack
+    decode → one decoded attempt row per conv_id."""
+    g = pa.TableGroupBy(tbl, "conv_id").aggregate([
+        ("tool", "max"), ("start_ts", "min"),
+        ("hdr_pack", "max"), ("end_pack", "max"),
+    ])
+    g = g.rename_columns([n if n == "conv_id" else n.rsplit("_", 1)[0]
+                          for n in g.column_names])
+    return _decode_attempt_packs(g)
+
+
+def _finish_rank_pandas(tbl: pa.Table):
+    """Driver-side finish: per-conv combine + decode + vectorized rank
+    within serial.  Ordering key = (start_ts, conv_id), nulls first."""
+    return _rank_df(_combine_attempt_partials(tbl).to_pandas())
+
+
 def ranked_attempts(parsed_ds, broadcast_threshold: int = 2_000_000,
                     collect_threshold: int = 5_000_000):
     """parsed turns → ranked attempts.
@@ -242,7 +320,7 @@ def ranked_attempts(parsed_ds, broadcast_threshold: int = 2_000_000,
     partial combine → one driver-side vectorized finish — no Ray groupby,
     whose per-group reduce overhead dominates at ~all-distinct keys
     (measured 9.6s for 82k groups vs ~1.5s for this path).  Large scale:
-    the distributed groupby + Unique-rank path below.
+    the distributed groupby + bucketed-rank path below.
     """
     import ray
     import ray.data as rd
@@ -253,16 +331,13 @@ def ranked_attempts(parsed_ds, broadcast_threshold: int = 2_000_000,
     n = partial.count()
     if n > collect_threshold:
         att = partial.groupby("conv_id").aggregate(
-            Max("serial", alias_name="serial"),
-            Max("panel_serial", alias_name="panel_serial"),
-            Max("board_index", alias_name="board_index"),
             Max("tool", alias_name="tool"),
             Min("start_ts", alias_name="start_ts"),
-            Max("end_ts", alias_name="end_ts"),
-            Max("att_status", alias_name="att_status"),
-            Max("hdr_status", alias_name="hdr_status"),
-        )
-        return rank_attempts(att, broadcast_threshold=broadcast_threshold)
+            Max("hdr_pack", alias_name="hdr_pack"),
+            Max("end_pack", alias_name="end_pack"),
+        ).map_batches(_decode_attempt_packs, batch_format="pyarrow",
+                      zero_copy_batch=True)
+        return rank_attempts(att)
 
     tbl = pa.concat_tables(ray.get(partial.to_arrow_refs())).combine_chunks()
     out = _finish_rank_pandas(tbl)
