@@ -47,9 +47,9 @@ def _dedup_pinned(parsed_all, keys=("conv_id", "turn_idx")):
     khs = parsed_all.map_batches(lambda b: b.select(["kh"]),
                                  batch_format="pyarrow",
                                  zero_copy_batch=True).materialize()
+    from ..stages.dedup import dup_values
     hv = pa.concat_tables(ray.get(khs.to_arrow_refs()))["kh"].to_numpy()
-    uniq, cnt = np.unique(hv, return_counts=True)
-    dups = uniq[cnt > 1]
+    dups = dup_values(hv)
     if len(dups) == 0:
         return parsed_all.map_batches(
             lambda b: b.drop_columns(["kh"]), batch_format="pyarrow",

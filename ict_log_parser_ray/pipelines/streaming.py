@@ -128,9 +128,8 @@ def _dup_part(p: int, refs) -> np.ndarray:
             arrs.append(np.frombuffer(blob, dtype=np.int64))
     if not arrs:
         return np.empty(0, np.int64)
-    hv = np.concatenate(arrs)
-    uniq, cnt = np.unique(hv, return_counts=True)
-    return uniq[cnt > 1]
+    from ..stages.dedup import dup_values
+    return dup_values(np.concatenate(arrs))
 
 
 @ray.remote

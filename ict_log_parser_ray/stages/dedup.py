@@ -50,6 +50,18 @@ def exact_dedup(ds, keys=("conv_id", "turn_idx"), num_buckets: int = 64):
         drop_dups, batch_format="pyarrow")
 
 
+def dup_values(hv) -> "object":
+    """Values appearing >1 time in an int64 vector: sort + adjacent compare.
+    (np.unique(return_counts=True) measured 10-20× slower — 6.7s vs 0.61s
+    at 28.7M on this node — because the counts path is not a plain sort.)"""
+    import numpy as np
+
+    if len(hv) == 0:
+        return np.empty(0, np.int64)
+    s = np.sort(hv)
+    return np.unique(s[1:][s[1:] == s[:-1]])
+
+
 def _key_hash(batch: pa.Table, keys) -> "object":
     """64-bit row hash of the key columns (polars hash_rows — ~4× faster
     than pandas hash_pandas_object; deterministic within a run).
@@ -125,8 +137,7 @@ def exact_dedup_sparse(ds, keys=("conv_id", "turn_idx"), key_ds=None):
                            zero_copy_batch=True).materialize())
     hash_tbl = pa.concat_tables(ray.get(hashed.to_arrow_refs()))
     hv = hash_tbl["kh"].to_numpy()
-    uniq, cnt = np.unique(hv, return_counts=True)
-    dups = uniq[cnt > 1]
+    dups = dup_values(hv)
     if len(dups) == 0:
         return ds  # no duplicate keys anywhere → stream through untouched
     dup_set = pa.array(dups, pa.int64())
