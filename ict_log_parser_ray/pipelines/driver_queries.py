@@ -251,6 +251,17 @@ SELECT conv_id, serial, panel_serial, board_index,
 FROM ranked
 """
 
+    sql["t_mb_results"] = tx + """
+SELECT panel_serial, CAST(att_rank AS BIGINT) AS att_rank,
+       strftime(CAST(min(start_ts) AS TIMESTAMP), '%y%m%d%H%M%S') AS start_s,
+       CASE WHEN count(*) FILTER (
+              WHERE coalesce(att_status,'unknown') <> 'pass') = 0
+            THEN 'pass' ELSE 'fail' END AS panel_result,
+       string_agg(coalesce(att_status,'unknown'), ','
+                  ORDER BY board_index, conv_id) AS boards
+FROM ranked GROUP BY 1, 2
+"""
+
     sql["t_measurements"] = tx + """
 SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, test_name, measurement,
        CAST(nom_s AS DOUBLE) AS lim_nom,
@@ -404,6 +415,20 @@ def t_attempts(sf_dir):
     return att.map_batches(fmt, batch_format="pyarrow")
 
 
+def t_mb_results(sf_dir):
+    """A5 mb_results with oracle-comparable formatting."""
+    import pandas as pd
+
+    from .reports import mb_results
+
+    df = mb_results(_pipe(sf_dir)["attempts"]).to_pandas()
+    df["start_s"] = (pd.to_datetime(df["start_ts"], unit="us")
+                     .dt.strftime("%y%m%d%H%M%S"))
+    df["att_rank"] = df["att_rank"].astype("int64")
+    return df[["panel_serial", "att_rank", "start_s", "panel_result",
+               "boards"]]
+
+
 def t_measurements(sf_dir):
     parsed = _pipe(sf_dir)["parsed"]
 
@@ -479,23 +504,50 @@ def e_pareto(sf_dir):
 
 
 def e_user_first_last(sf_dir):
-    """D2 analog: per user first/last event_type by (ts, event_id)."""
-    import pandas as pd
+    """D2 analog: per user first/last event_type by (ts, event_id).
+
+    Per-batch arrow partial combine (min/max over an order-packed key —
+    associative, so any combine tree works) + one driver finish; round 1's
+    1-row-per-user Ray map_groups paid ~100µs/group of pure scheduling.
+    Driver finish bounded by #users (events is a driver-table query)."""
+    import numpy as np
+    import ray
 
     ds = read_table(sf_dir, "events",
                     columns=["user_id", "event_id", "event_type", "ts"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        return pd.DataFrame({
-            "user_id": [g["user_id"].iloc[0]],
-            "first_type": [g["event_type"].iloc[0]],
-            "last_type": [g["event_type"].iloc[-1]],
-            "n_events": [len(g)],
-        })
+    def _partial(b: pa.Table) -> pa.Table:
+        ts_us = pc.utf8_lpad(pc.cast(pc.cast(b["ts"], pa.int64()),
+                                     pa.string()), 20, padding="0")
+        eid = pc.utf8_lpad(pc.cast(b["event_id"], pa.string()), 12,
+                           padding="0")
+        pack = pc.binary_join_element_wise(ts_us, eid, b["event_type"], "|")
+        t = pa.table({"user_id": b["user_id"], "first_pack": pack,
+                      "last_pack": pack,
+                      "n": pa.array(np.ones(b.num_rows, np.int64))})
+        g = pa.TableGroupBy(t, "user_id").aggregate(
+            [("first_pack", "min"), ("last_pack", "max"), ("n", "sum")])
+        return g.rename_columns(["user_id", "first_pack", "last_pack", "n"])
 
-    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
-    return _i64(out.to_pandas(), ["user_id", "n_events"])
+    part = ds.map_batches(_partial, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    tbl = pa.concat_tables(ray.get(part.to_arrow_refs())).combine_chunks()
+    g = pa.TableGroupBy(tbl, "user_id").aggregate(
+        [("first_pack", "min"), ("last_pack", "max"), ("n", "sum")])
+    g = g.rename_columns(["user_id", "first_pack", "last_pack", "n_events"])
+
+    def _typ(col):
+        return pc.list_element(pc.split_pattern(col.combine_chunks()
+                               if isinstance(col, pa.ChunkedArray) else col,
+                               "|"), 2)
+
+    out = pa.table({
+        "user_id": g["user_id"],
+        "first_type": _typ(g["first_pack"]),
+        "last_type": _typ(g["last_pack"]),
+        "n_events": g["n_events"],
+    }).to_pandas().sort_values("user_id").reset_index(drop=True)
+    return _i64(out, ["user_id", "n_events"])
 
 
 def e_topk(sf_dir):
@@ -651,14 +703,37 @@ def emb_knn(sf_dir):
                      "rank": pa.array(range(1, top.num_rows + 1), pa.int64())})
 
 
+_IVF_INDEX_CACHE: dict = {}
+
+
+def _ivf_index_dir(sf_dir: str, nlist: int = 8) -> str:
+    """Build (once per sf_dir) and reuse the persisted cluster-partitioned
+    IVF index — queries read only probed partitions."""
+    import hashlib
+    import os
+
+    from ..functions.similarity import write_ivf_index
+
+    key = (os.path.abspath(sf_dir), nlist)
+    if key not in _IVF_INDEX_CACHE:
+        tag = hashlib.blake2b(str(key).encode(), digest_size=8).hexdigest()
+        idx = f"/tmp/ict_ray_ivf/{tag}"
+        if not os.path.isdir(os.path.join(idx, "cluster=0")):
+            ds = read_table(sf_dir, "embeddings",
+                            columns=["vec_id", "embedding"])
+            write_ivf_index(ds, idx, nlist=nlist)
+        _IVF_INDEX_CACHE[key] = idx
+    return _IVF_INDEX_CACHE[key]
+
+
 def emb_knn_ivf(sf_dir):
-    """IVF-bucketed approximate top-10 (rows-only check — approximate)."""
-    from ..functions.similarity import build_ivf, knn_ivf
+    """IVF-bucketed approximate top-10 over the persisted
+    cluster-partitioned index (rows-only check — approximate)."""
+    from ..functions.similarity import knn_ivf_indexed
 
     q, _ = _load_query_vec(sf_dir)
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    model = build_ivf(ds, nlist=8)
-    top = knn_ivf(ds, q, k=10, nlist=8, nprobe=4, model=model)
+    idx = _ivf_index_dir(sf_dir, nlist=8)
+    top = knn_ivf_indexed(idx, q, k=10, nprobe=4)
     return pa.table({"vec_id": pc.cast(top["vec_id"], pa.int64()),
                      "rank": pa.array(range(1, top.num_rows + 1), pa.int64())})
 
@@ -824,6 +899,7 @@ def build_queries() -> dict:
         "t_limit_changes": t_limit_changes,
         "t_testlist": t_testlist,
         "t_attempts": t_attempts,
+        "t_mb_results": t_mb_results,
         "t_measurements": t_measurements,
         "t_sink_counts": t_sink_counts,
         "t_export_long": t_export_long,

@@ -297,40 +297,73 @@ def hourly_chain(ranked):
 
 # ---------------------------------------------------------------- A5
 
-def mb_results(ranked):
+def _mb_results_df(df) -> "object":
+    """A5 body, vectorized pandas over a ranked-attempt DataFrame: one row
+    per (panel_serial, att_rank) with boards joined in (board_index,
+    conv_id) order and the all-boards-OK panel result."""
+    df = df.copy()
+    df["att_status"] = df["att_status"].fillna("unknown")
+    df = df.sort_values(["panel_serial", "att_rank", "board_index",
+                         "conv_id"], kind="stable")
+    g = df.groupby(["panel_serial", "att_rank"], dropna=False, sort=True)
+    out = g.agg(start_ts=("start_ts", "min"),
+                boards=("att_status", ",".join),
+                n_ok=("att_status", lambda s: (s == "pass").sum()),
+                n=("att_status", "size")).reset_index()
+    out["panel_result"] = (out["n_ok"] == out["n"]).map(
+        {True: "pass", False: "fail"})
+    out["att_rank"] = out["att_rank"].astype("int64")
+    return out[["panel_serial", "att_rank", "start_ts", "panel_result",
+                "boards"]]
+
+
+def mb_results(ranked, collect_threshold: int = 5_000_000,
+               num_buckets: int = 64):
     """A5: per panel: chronological runs with per-board results.
 
-    Dataset(panel_serial, att_rank, start_ts, panel_result, boards) where
-    boards is the list of per-position statuses ordered by board_index and
-    panel_result applies the all-boards-OK rule; the panel's *display* result
-    is its final run's result (last-attempt-wins, main.rs:1205).
-    """
-    def _prep(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "panel_serial": b["panel_serial"],
-            "att_rank": b["att_rank"],
-            "board_index": b["board_index"],
-            "att_status": pc.fill_null(_strcol(b, "att_status"), "unknown"),
-            "start_ts": b["start_ts"],
-        })
+    Dataset/DataFrame(panel_serial, att_rank, start_ts, panel_result,
+    boards) where boards is the list of per-position statuses ordered by
+    board_index and panel_result applies the all-boards-OK rule; the
+    panel's *display* result is its final run's result (last-attempt-wins,
+    main.rs:1205).
 
-    pre = ranked.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
-
+    Small attempt tables (≤ collect_threshold): one collect + vectorized
+    pandas (round 1's 1-row-per-group Ray map_groups paid ~100µs/group of
+    scheduling).  Larger: bucket by hash(panel_serial) and run the same
+    vectorized body per bucket — groups shuffled are buckets, not
+    ~all-distinct (panel_serial, att_rank) keys."""
     import pandas as pd
+    import ray
+    import ray.data as rd
 
-    def _per_run(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("board_index")
-        ok = (g["att_status"] == "pass").all()
-        return pd.DataFrame({
-            "panel_serial": [g["panel_serial"].iloc[0]],
-            "att_rank": [g["att_rank"].iloc[0]],
-            "start_ts": [g["start_ts"].min()],
-            "panel_result": ["pass" if ok else "fail"],
-            "boards": [",".join(g["att_status"].tolist())],
-        })
+    n = ranked.count()
+    if n <= collect_threshold:
+        tbl = pa.concat_tables(ray.get(ranked.materialize().to_arrow_refs()))
+        out = _mb_results_df(tbl.to_pandas())
+        return rd.from_pandas(out.reset_index(drop=True))
 
-    return pre.groupby(["panel_serial", "att_rank"]).map_groups(
-        _per_run, batch_format="pandas").sort(["panel_serial", "att_rank"])
+    def _bucket(b: pa.Table) -> pa.Table:
+        from pandas.util import hash_pandas_object
+        import numpy as np
+
+        ps = b["panel_serial"]
+        if isinstance(ps, pa.ChunkedArray):
+            ps = ps.combine_chunks()
+        hv = hash_pandas_object(pc.fill_null(ps, "").to_pandas(),
+                                index=False).to_numpy()
+        return b.append_column(
+            "mb_bucket",
+            pa.array((hv % np.uint64(num_buckets)).astype("int64")))
+
+    withb = ranked.map_batches(_bucket, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    def _per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return _mb_results_df(g.drop(columns=["mb_bucket"]))
+
+    return withb.groupby("mb_bucket").map_groups(
+        _per_bucket, batch_format="pandas").sort(
+        ["panel_serial", "att_rank"])
 
 
 # ---------------------------------------------------------------- A6
@@ -388,8 +421,8 @@ def failed_boards(ranked, flagged, broadcast_threshold: int = 2_000_000):
     out = attach_lookup(final_fail, per_conv, on="conv_id",
                         broadcast_threshold=broadcast_threshold)
     return out.map_batches(
-        lambda t: t.select(["serial", "conv_id", "end_ts", "att_status",
-                            "failed_tests"]),
+        lambda t: t.select(["serial", "conv_id", "tool", "end_ts",
+                            "att_status", "failed_tests"]),
         batch_format="pyarrow").sort(["serial", "conv_id"])
 
 

@@ -157,6 +157,54 @@ def _rank_part(p: int, tables) -> pa.Table:
     return pa.table(cols)
 
 
+def _route_write(sb: pa.Table, out_dir: str) -> None:
+    """Write one routed batch's per-sink parquet files (side effect;
+    content-derived idempotent file names)."""
+    from .reports import _sink_part_name
+
+    col = sb["sink"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    for s in pc.unique(col).to_pylist():
+        part = sb.filter(pc.equal(sb["sink"], s)).drop_columns(["sink"])
+        fn = os.path.join(out_dir, f"sink={s}", _sink_part_name(part))
+        pq.write_table(part, fn)
+
+
+@ray.remote
+def _keeper_part(p: int, refs, flags_tbl: pa.Table, out_dir: str):
+    """Dedup + route + write the collision keepers of kh-partition p.
+
+    Collision rows (all copies of duplicated keys) come back from pass 2 as
+    per-partition arrow-IPC blobs; each task handles one partition, so the
+    keeper finish scales with nparts instead of being driver-serial."""
+    from ..stages.join import _lookup_batch
+    from .reports import turn_partials_batch
+
+    colls = []
+    for blk in ray.get(refs):
+        m = pc.and_(pc.equal(blk["metric"], "collision"),
+                    pc.equal(blk["part"], p))
+        for blob in blk.filter(m)["collision_ipc"].to_pylist():
+            with pa.ipc.open_stream(blob) as r:
+                colls.append(r.read_all())
+    if not colls:
+        return None
+    coll_all = pa.concat_tables(colls).combine_chunks()
+    df = (coll_all.to_pandas()
+          .sort_values(["conv_id", "turn_idx"], kind="stable")
+          .drop_duplicates(subset=["conv_id", "turn_idx"], keep="first"))
+    keepers = pa.Table.from_pandas(df, preserve_index=False,
+                                   schema=coll_all.schema)
+    keepers = keepers.drop_columns(["kh"])
+    # flags_tbl arrives auto-resolved (top-level ObjectRef arg → zero-copy
+    # plasma read, shipped once per node)
+    keepers = _lookup_batch(keepers, flags_tbl, "conv_id")
+    sk = add_sink_column(keepers)
+    _route_write(sk, out_dir)
+    return turn_partials_batch(sk)
+
+
 def _build_source(transcripts_path, tool_meta, batch_size, num_blocks):
     ds = read_transcripts(transcripts_path, override_num_blocks=num_blocks)
     ds = parse_dataset(ds, batch_size=batch_size)
@@ -222,49 +270,44 @@ def run_streaming(transcripts_path, tool_meta: pa.Table | None, out_dir: str,
 
     from ..stages.join import _lookup_batch
 
-    def _attach_flags_local(b: pa.Table) -> pa.Table:
-        return _lookup_batch(b, ray.get(flags_ref), "conv_id")
-
-    from .reports import _sink_part_name
-
-    def _route_batch(sb: pa.Table) -> None:
-        col = sb["sink"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        for s in pc.unique(col).to_pylist():
-            part = sb.filter(pc.equal(sb["sink"], s)).drop_columns(["sink"])
-            fn = os.path.join(out_dir, f"sink={s}", _sink_part_name(part))
-            pq.write_table(part, fn)
-
     def _pass2_batch(b: pa.Table) -> pa.Table:
-        coll_blob = None
+        coll_blobs = []          # (part, ipc_bytes) for this batch
         if dup_ref is not None:
             m = pc.is_in(b["kh"], value_set=ray.get(dup_ref))
             coll = b.filter(m)
             b = b.filter(pc.invert(m))
             if coll.num_rows:
-                sink = io.BytesIO()
-                with pa.ipc.new_stream(sink, coll.schema) as w:
-                    w.write_table(coll)
-                coll_blob = sink.getvalue()
+                khp = (coll["kh"].to_numpy().astype(np.uint64)
+                       % np.uint64(nparts)).astype(np.int64)
+                parts = pa.array(khp)
+                for p in np.unique(khp):
+                    sub = coll.filter(pc.equal(parts, int(p)))
+                    sink = io.BytesIO()
+                    with pa.ipc.new_stream(sink, sub.schema) as w:
+                        w.write_table(sub)
+                    coll_blobs.append((int(p), sink.getvalue()))
         b = b.drop_columns(["kh"])
-        b = _attach_flags_local(b)
+        b = _lookup_batch(b, ray.get(flags_ref), "conv_id")
         sb = add_sink_column(b)
-        _route_batch(sb)
+        _route_write(sb, out_dir)
         out = turn_partials_batch(sb)
+        out = out.append_column("part", pa.nulls(out.num_rows, pa.int64()))
         out = out.append_column("collision_ipc",
                                 pa.nulls(out.num_rows, pa.binary()))
-        if coll_blob is not None:
+        if coll_blobs:
+            n_c = len(coll_blobs)
             extra = pa.table({
-                "metric": pa.array(["collision"], pa.string()),
-                "test_name": pa.nulls(1, pa.string()),
-                "att_serial": pa.nulls(1, pa.string()),
-                "is_first": pa.nulls(1, pa.bool_()),
-                "is_final": pa.nulls(1, pa.bool_()),
-                "lim_sig": pa.nulls(1, pa.string()),
-                "sink": pa.nulls(1, pa.string()),
-                "n": pa.array([0], pa.int64()),
-                "collision_ipc": pa.array([coll_blob], pa.binary()),
+                "metric": pa.array(["collision"] * n_c, pa.string()),
+                "test_name": pa.nulls(n_c, pa.string()),
+                "att_serial": pa.nulls(n_c, pa.string()),
+                "is_first": pa.nulls(n_c, pa.bool_()),
+                "is_final": pa.nulls(n_c, pa.bool_()),
+                "lim_sig": pa.nulls(n_c, pa.string()),
+                "sink": pa.nulls(n_c, pa.string()),
+                "n": pa.array([0] * n_c, pa.int64()),
+                "part": pa.array([p for p, _ in coll_blobs], pa.int64()),
+                "collision_ipc": pa.array([b_ for _, b_ in coll_blobs],
+                                          pa.binary()),
             })
             out = pa.concat_tables([out, extra])
         return out
@@ -273,36 +316,27 @@ def run_streaming(transcripts_path, tool_meta: pa.Table | None, out_dir: str,
     part = p2.map_batches(_pass2_batch, batch_format="pyarrow",
                           zero_copy_batch=True).materialize()
     _t = _tick("pass2 (parse+route+write)", _t)
-    ptbl = pa.concat_tables(ray.get(part.to_arrow_refs())).combine_chunks()
 
-    # ---------------- driver: collision keepers ----------------
-    metrics_tbl = ptbl.filter(pc.invert(pc.equal(ptbl["metric"], "collision")))
-    blobs = ptbl.filter(pc.equal(ptbl["metric"], "collision"))["collision_ipc"]
-    keeper_partials = None
-    if len(blobs):
-        colls = []
-        for blob in blobs.to_pylist():
-            with pa.ipc.open_stream(blob) as r:
-                colls.append(r.read_all())
-        coll_all = pa.concat_tables(colls).combine_chunks()
-        df = (coll_all.to_pandas()
-              .sort_values(["conv_id", "turn_idx"], kind="stable")
-              .drop_duplicates(subset=["conv_id", "turn_idx"], keep="first"))
-        keepers = pa.Table.from_pandas(df, preserve_index=False,
-                                       schema=coll_all.schema)
-        keepers = keepers.drop_columns(["kh"])
-        keepers = _attach_flags_local(keepers)
-        sk = add_sink_column(keepers)
-        _route_batch(sk)  # one keeper file per sink
-        keeper_partials = turn_partials_batch(sk)
-
-    mdf = metrics_tbl.drop_columns(["collision_ipc"]).to_pandas()
-    if keeper_partials is not None:
+    # ------- distributed keeper finish + driver metrics merge -------
+    prefs = part.to_arrow_refs()
+    keeper_futs = []
+    if dup_ref is not None:
+        keeper_futs = [_keeper_part.remote(p, prefs, flags_ref, out_dir)
+                       for p in range(nparts)]
+    # metric rows are tiny; the collision blobs stay in plasma for the
+    # keeper tasks — the driver never deserializes them
+    mblocks = [blk.filter(pc.invert(pc.equal(blk["metric"], "collision")))
+               .drop_columns(["part", "collision_ipc"])
+               for blk in ray.get(prefs)]
+    mdf = pa.concat_tables(mblocks).combine_chunks().to_pandas()
+    keeper_tables = [t for t in ray.get(keeper_futs) if t is not None]
+    if keeper_tables:
         import pandas as pd
-        mdf = pd.concat([mdf, keeper_partials.to_pandas()], ignore_index=True)
+        mdf = pd.concat([mdf] + [t.to_pandas() for t in keeper_tables],
+                        ignore_index=True)
     metrics = finish_turn_metrics(mdf)
 
-    _t = _tick("driver keepers+metrics", _t)
+    _t = _tick("keepers+metrics", _t)
     from .reports import attempt_reports_from_table
     small = attempt_reports_from_table(ranked_tbl)
     _t = _tick("attempt reports", _t)

@@ -40,28 +40,32 @@ class ToolMetaEnricher:
 
 def enrich_dataset(ds, tool_meta: pa.Table, concurrency=None,
                    batch_size: int = 65_536):
-    """Attach station/product/line columns via an actor pool holding the
-    broadcast lookup (setup once per actor in ``__init__``).
+    """Attach station/product/line columns via a broadcast lookup inside
+    STATELESS map tasks (``ray.put`` once; each task's ``ray.get`` is a
+    zero-copy plasma read).
 
-    Pool sizing: Ray fuses the upstream stateless parse stage into this
-    actor pool, so the pool's max IS the pipeline's parse parallelism —
-    size it to the cluster (measured: a fixed max of 8 capped a 32-CPU run
-    at 8 workers and flattened CPU scaling)."""
-    if concurrency is None:
-        ncpu = int(ray.available_resources().get("CPU", 8)
-                   ) if ray.is_initialized() else 8
-        # autoscaling pool up to the cluster size: a FIXED pool of N pays
-        # ~N actor-process spawns up front (measured slower end-to-end than
-        # autoscaling at every size tried), and a pool reserving every CPU
-        # starves the read/write operators; (1, N) lets Ray grow the pool
-        # only while the stage is actually backlogged
-        concurrency = (1, max(2, ncpu))
-    ref = ray.put(tool_meta)
-    return ds.map_batches(
-        ToolMetaEnricher,
-        fn_constructor_kwargs={"meta_ref": ref},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=1,
-    )
+    This stage's only per-worker state is the broadcast table itself, so an
+    actor pool buys nothing here and costs real things: per-actor process
+    spawns at every pool grow step and a task/actor operator boundary that
+    blocks whole-pipeline fusion (measured: the streaming pass-2 chain
+    read→parse→enrich→route fused into one stateless operator runs with
+    none of the actor-pool ramp-up stalls).  Stages with genuinely
+    expensive ``__init__`` (model load, signature matrices — see
+    functions/dedup_docs.py, functions/multimodal.py) stay actor pools.
+    ``ToolMetaEnricher`` remains for callers that want the actor form.
+    """
+    tbl = tool_meta.combine_chunks()
+    ref = ray.put(tbl)
+
+    def _enrich(batch: pa.Table) -> pa.Table:
+        meta = ray.get(ref)
+        tools = meta["tool"]
+        if isinstance(tools, pa.ChunkedArray):
+            tools = tools.combine_chunks()
+        idx = pc.index_in(batch["tool"], value_set=tools)
+        for name in ENRICH_COLS:
+            batch = batch.append_column(name, pc.take(meta[name], idx))
+        return batch
+
+    return ds.map_batches(_enrich, batch_format="pyarrow",
+                          batch_size=batch_size, zero_copy_batch=True)

@@ -52,7 +52,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 ORACLE_NAMES = [
     "t_yields_sb", "t_yields_mb", "t_pareto_all", "t_pareto_first_pass",
     "t_pareto_after_retest", "t_hourly", "t_hourly_chain", "t_limit_changes", "t_testlist",
-    "t_attempts", "t_measurements", "t_sink_counts", "t_text_identity",
+    "t_attempts", "t_mb_results", "t_measurements", "t_sink_counts",
+    "t_text_identity",
     "t_failed_boards", "t_export_long", "t_product_hourly", "t_test_series", "e_hourly", "e_pareto", "e_user_first_last", "e_topk",
     "e_window", "e_point_lookup", "q1_lineitem", "d_token_counts",
     "d_char_stats", "d_exact_dups", "emb_knn",

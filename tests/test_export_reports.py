@@ -112,13 +112,31 @@ def test_daily_report(pipeline, fixture_sf0001, tmp_path):
     # the tool missing from tool_meta stays visible under its raw tool id
     assert "ict-05" in set(hourly["product"])
 
-    # J2 join: after_retest columns present, blank (NaN) where no entry
+    # J2 join: after_retest columns present, blank (NaN) where no entry;
+    # per-product rows aggregate back to the golden per-test Pareto
     pareto = rep["pareto"]
     assert "after_retest_total" in pareto.columns
-    assert len(pareto) == len(fixture_sf0001["golden"]["paretos"]["all"])
+    per_test = pareto.groupby("test_name")["total"].sum()
+    golden = fixture_sf0001["golden"]["paretos"]["all"]
+    assert len(per_test) == len(golden)
 
-    write_report(rep, str(tmp_path / "report"))
+    write_report(rep, str(tmp_path / "report"), report_day=datetime(2026, 1, 5))
     assert (tmp_path / "report" / "hourly.parquet").exists()
+    # laid-out artifact (K2 workbook analog): header block, per-product
+    # sections, totals footers, repeat-suppressed failed-board serials
+    txt = (tmp_path / "report" / "daily_yield.txt").read_text()
+    assert "day reported:\t2026-01-05" in txt
+    assert "Failed tests\tAll\tAfter retest" in txt
+    assert "Failed boards\tTime\tResult\tFailed tests" in txt
+    for prod in rep["hourly"]["product"].unique():
+        assert f"=== {prod} " in txt
+    assert "(total)\t" in txt
+    # repeat suppression: a serial with >1 failed-board rows appears once
+    fb = rep["failed_boards"]
+    dup_serials = fb["serial"].value_counts()
+    if (dup_serials > 1).any():
+        s = dup_serials[dup_serials > 1].index[0]
+        assert txt.count(f"\n{s}\t") == 1
 
 
 def test_daily_report_window_excludes_out_of_day(pipeline, fixture_sf0001):
@@ -193,3 +211,41 @@ def test_board_report_w_index(pipeline, fixture_sf0001):
     assert info["serial"] in rep and f"position {bidx}" in rep
     missing = board_report_w_index(pipeline["flagged"], info["serial"], 99)
     assert "No logs" in missing
+
+
+def test_export_matrix_chunks_no_truncation(ray_session):
+    """>2000 distinct tests: chunked pivot covers every test (round 1
+    truncated at max_tests)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ict_log_parser_ray.pipelines.export import (ExportSettings,
+                                                     export_matrix,
+                                                     export_matrix_chunks)
+
+    n = 2500
+    tbl = pa.table({
+        "record_type": pa.array(["analog"] * n),
+        "conv_id": pa.array(["conv1"] * n),
+        "att_serial": pa.array(["SER1"] * n),
+        "att_rank": pa.array([0] * n, pa.int32()),
+        "att_status": pa.array(["pass"] * n),
+        "is_final": pa.array([True] * n),
+        "test_name": pa.array([f"t{i:05d}" for i in range(n)]),
+        "status": pa.array(["pass"] * n),
+        "measurement": pa.array(np.arange(n, dtype="float64")),
+    })
+    ds = rd.from_arrow(tbl)
+    st = ExportSettings()
+    wide = export_matrix(ds, st)
+    assert wide.shape[1] == 4 + n  # every test present, no cap
+    chunks = list(export_matrix_chunks(ds, st, chunk_size=1000))
+    assert len(chunks) == 3
+    covered = []
+    for c in chunks:
+        assert c.shape[1] <= 4 + 1000
+        covered.extend(col for col in c.columns
+                       if col not in ("conv_id", "serial", "att_rank",
+                                      "att_status"))
+    assert len(covered) == n and len(set(covered)) == n

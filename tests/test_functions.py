@@ -201,3 +201,135 @@ def test_media_real_decode_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         MediaFeatureExtractor(decode="real")
+
+
+# ------------------------------------------- round-2 scale-fix regressions
+
+def test_ivf_index_reads_only_probed_partitions(ray_session, tmp_path):
+    """knn over a persisted IVF index must touch only nprobe/nlist
+    partition dirs, and its result must equal the in-stream probe path."""
+    import os
+
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.similarity import (
+        build_ivf, knn_ivf, probed_partition_dirs, write_ivf_index)
+
+    rng = np.random.default_rng(7)
+    emb = rng.normal(size=(400, 16)).astype(np.float32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(400), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in emb],
+                              pa.list_(pa.float32()))}))
+    model = build_ivf(ds, nlist=8)
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(ds, idx, nlist=8, model=model)
+    q = emb[3]
+
+    dirs = probed_partition_dirs(idx, q, nprobe=3)
+    assert len(dirs) == 3
+    all_parts = [d for d in os.listdir(idx) if d.startswith("cluster=")]
+    assert len(all_parts) > 3  # the index really has more partitions
+
+    top_idx = knn_ivf(None, q, k=5, nprobe=3, index_dir=idx)
+    top_stream = knn_ivf(ds, q, k=5, nlist=8, nprobe=3, model=model)
+    assert top_idx["vec_id"].to_pylist() == top_stream["vec_id"].to_pylist()
+
+    # full probe over the index == exact brute force
+    from ict_log_parser_ray.functions.similarity import knn_bruteforce
+    full = knn_ivf(None, q, k=5, nprobe=8, index_dir=idx)
+    exact = knn_bruteforce(ds, q, k=5)
+    assert full["vec_id"].to_pylist() == exact["vec_id"].to_pylist()
+
+
+def test_embedding_near_dup_tiling_no_pair_loss(ray_session):
+    """A cluster larger than the tile size must still yield every pair
+    (round 1 truncated at a cap and silently dropped pairs)."""
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.similarity import \
+        embedding_near_dup_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=16).astype(np.float32)
+    n = 20
+    emb = np.stack([base + rng.normal(scale=1e-3, size=16).astype(np.float32)
+                    for _ in range(n)])
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in emb],
+                              pa.list_(pa.float32()))}))
+    pairs = embedding_near_dup_pairs(ds, threshold=0.99, nlist=1,
+                                     tile=6).take_all()
+    assert len(pairs) == n * (n - 1) // 2  # every pair, despite tile=6
+    got = {(int(r["id_a"]), int(r["id_b"])) for r in pairs}
+    assert len(got) == n * (n - 1) // 2
+
+
+def test_minhash_star_pairs_on_overflow(ray_session):
+    """Buckets past the cap emit star pairs: planted dups stay connected
+    (same connected component), nothing is silently dropped."""
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.dedup_docs import \
+        minhash_duplicate_pairs
+
+    n = 12
+    docs = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(["the same degenerate boilerplate text repeated"] * n),
+    })
+    pairs = minhash_duplicate_pairs(rd.from_arrow(docs), threshold=0.9,
+                                    cap=5).take_all()
+    # star topology: every doc connected to doc 0 at minimum
+    import collections
+    adj = collections.defaultdict(set)
+    for r in pairs:
+        adj[int(r["doc_a"])].add(int(r["doc_b"]))
+        adj[int(r["doc_b"])].add(int(r["doc_a"]))
+    seen, stack = set(), [0]
+    while stack:
+        v = stack.pop()
+        if v in seen:
+            continue
+        seen.add(v)
+        stack.extend(adj[v])
+    assert seen == set(range(n))
+
+
+def test_attempt_last_record_wins(ray_session):
+    """parity.py semantics: multiple BTEST-END rows → LAST one's status/ts
+    win (not alphabetic max); multiple headers → last header's fields win,
+    start_ts = min across headers."""
+    import ray.data as rd
+
+    from ict_log_parser_ray.stages.attempts import ranked_attempts
+    from ict_log_parser_ray.stages.parse import parse_dataset
+
+    rows = pa.table({
+        "conv_id": pa.array(["c1"] * 4 + ["c2"] * 2),
+        "turn_idx": pa.array([0, 1, 2, 3, 0, 1], pa.int32()),
+        "role": pa.array(["tool"] * 6),
+        "text": pa.array([
+            "{@BTEST|SER_A|00|240101120000|1|PAN_A}",
+            "{@BTEST-END|00|240101120500}",          # pass END (earlier)
+            "{@BTEST|SER_B|01|240101130000|2|PAN_B}",  # later header
+            "{@BTEST-END|01|240101130500}",          # fail END (last → wins)
+            "{@BTEST|SER_C|00|240102120000|1|PAN_C}",
+            "{@BTEST-END|00|240102120500}",
+        ]),
+        "tool": pa.array(["T1"] * 6),
+        "ts": pa.array([0, 1, 2, 3, 0, 1], pa.timestamp("us")),
+    })
+    att = {r["conv_id"]: r
+           for r in ranked_attempts(parse_dataset(rd.from_arrow(rows))).take_all()}
+    a = att["c1"]
+    assert a["att_status"] == "fail"      # last END wins ('pass' > 'fail' alphabetically!)
+    assert a["serial"] == "SER_B"         # last header wins
+    assert a["panel_serial"] == "PAN_B"
+    assert a["board_index"] == 2
+    import datetime as dt
+    # start_ts = MIN over headers (parity keeps the earliest start)
+    assert a["start_ts"] == int(dt.datetime(2024, 1, 1, 12, 0, 0).timestamp()
+                                * 1_000_000)
+    assert att["c2"]["att_status"] == "pass"
