@@ -159,7 +159,12 @@ def _rank_part(p: int, tables) -> pa.Table:
 
 def _route_write(sb: pa.Table, out_dir: str) -> None:
     """Write one routed batch's per-sink parquet files (side effect;
-    content-derived idempotent file names)."""
+    content-derived idempotent file names).
+
+    ICT_SKIP_SINK_WRITE=1 skips the physical write — a measurement knob to
+    separate compute scaling from sink-IO scaling in bench experiments."""
+    if os.environ.get("ICT_SKIP_SINK_WRITE") == "1":
+        return
     from .reports import _sink_part_name
 
     col = sb["sink"]
@@ -233,7 +238,11 @@ def run_streaming(transcripts_path, tool_meta: pa.Table | None, out_dir: str,
         if ray.is_initialized() else 8
     if num_blocks is None:
         num_blocks = max(64, ncpu * 4)
-    nparts = max(4, min(32, ncpu))
+    # each reduce task scans every narrow block and filters its partition,
+    # so total scan work is nparts × narrow-stream size; with the sort cost
+    # now trivial (dup_values), small nparts wins — 8 caps amplification
+    # while keeping the reduce parallel
+    nparts = max(4, min(8, ncpu))
 
     # -------- pass 1: narrow specialized scan (hashes + attempt partials)
     p1 = read_transcripts(transcripts_path,

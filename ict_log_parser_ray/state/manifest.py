@@ -79,6 +79,47 @@ ATTEMPT_META_COLS = ["conv_id", "record_type", "serial", "panel_serial",
                      "board_index", "tool", "start_ts", "status"]
 
 
+def shard_id_for(path: str) -> str:
+    """Stable shard id derived from the file NAME, not its list position —
+    a watch-mode rescan that discovers new files must not shift existing
+    ids (a positional id would invalidate every completed manifest entry
+    whenever a new file sorts before an old one)."""
+    import re
+
+    return re.sub(r"[^A-Za-z0-9_.-]", "_", os.path.basename(path))
+
+
+def _attempts_fingerprint(ranked) -> str:
+    """Content fingerprint of the attempt table: row count + XOR of per-row
+    64-bit hashes over (conv_id, att_rank, att_status, n_attempts) —
+    order-independent and associative, so it is computed per block and
+    combined.  A row-count-only fingerprint (round 1) validated stale route
+    shards when attempt content changed without changing cardinality."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from ..stages.dedup import _key_hash
+
+    cols = ["conv_id", "att_rank", "att_status", "n_attempts"]
+
+    def _h(b: pa.Table) -> pa.Table:
+        hv = np.asarray(_key_hash(b.select(cols), cols)).astype(np.uint64)
+        x = np.bitwise_xor.reduce(hv) if len(hv) else np.uint64(0)
+        return pa.table({"x": pa.array([int(x)], pa.uint64()),
+                         "n": pa.array([len(hv)], pa.int64())})
+
+    parts = pa.concat_tables(ray.get(
+        ranked.map_batches(_h, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+        .to_arrow_refs()))
+    x = np.uint64(0)
+    for v in parts["x"].to_pylist():
+        x ^= np.uint64(v)
+    n = sum(parts["n"].to_pylist())
+    return f"attempts:{n}:{int(x):016x}"
+
+
 def run_resumable(transcripts_files: list[str], out_root: str, tool_meta,
                   dedup_buckets: int = 16, fail_after_shards: int | None = None):
     """Sharded, manifest-checkpointed parse→enrich→rank→route run.
@@ -115,14 +156,14 @@ def run_resumable(transcripts_files: list[str], out_root: str, tool_meta,
     # scratch dir and committed per shard atomically, so a crash mid-group
     # loses only that group's work and granularity stays per-shard.
     group_size = max(1, int(fail_after_shards or 8))
-    pending = [(i, p) for i, p in enumerate(transcripts_files)
-               if not man.done("parse", f"{i:05d}")]
+    pending = [(shard_id_for(p), p) for p in transcripts_files
+               if not man.done("parse", shard_id_for(p))]
     parsed_n = 0
     for g in range(0, len(pending), group_size):
         group = pending[g:g + group_size]
         t0 = time.time()
         paths = [p for _, p in group]
-        sid_by_path = {os.path.abspath(p): f"{i:05d}" for i, p in group}
+        sid_by_path = {os.path.abspath(p): sid for sid, p in group}
         ds = rd.read_parquet(paths, include_paths=True)
 
         def _shard_col(b):
@@ -144,8 +185,7 @@ def run_resumable(transcripts_files: list[str], out_root: str, tool_meta,
         _replace_dir(staging)
         ds.write_parquet(staging, partition_cols=["shard_id"])
         wall = round(time.time() - t0, 3)
-        for i, path in group:
-            sid = f"{i:05d}"
+        for sid, path in group:
             src = os.path.join(staging, f"shard_id={sid}")
             shard_dir = os.path.join(records_root, f"shard={sid}")
             _replace_dir(shard_dir)
@@ -171,7 +211,7 @@ def run_resumable(transcripts_files: list[str], out_root: str, tool_meta,
     t0 = time.time()
     records = rd.read_parquet(records_root)
     ranked = ranked_attempts(records).materialize()
-    att_fp = f"attempts:{ranked.count()}"
+    att_fp = _attempts_fingerprint(ranked)
     att_dir = os.path.join(out_root, "attempts")
     _replace_dir(att_dir)
     ranked.write_parquet(att_dir)
@@ -180,14 +220,14 @@ def run_resumable(transcripts_files: list[str], out_root: str, tool_meta,
 
     # ---- phase 3: route per shard (resumable under attempts fingerprint,
     #      group-parallel like phase 1) ----
-    pending = [i for i in range(len(transcripts_files))
-               if not man.done("route", f"{i:05d}", fingerprint=att_fp)]
+    pending = [shard_id_for(p) for p in transcripts_files
+               if not man.done("route", shard_id_for(p), fingerprint=att_fp)]
     for g in range(0, len(pending), group_size):
         group = pending[g:g + group_size]
         t0 = time.time()
         rec_files = []
-        for i in group:
-            sd = os.path.join(records_root, f"shard={i:05d}")
+        for sid in group:
+            sd = os.path.join(records_root, f"shard={sid}")
             if os.path.isdir(sd):
                 rec_files.extend(os.path.join(sd, f) for f in os.listdir(sd)
                                  if f.endswith(".parquet"))
@@ -208,8 +248,7 @@ def run_resumable(transcripts_files: list[str], out_root: str, tool_meta,
         _replace_dir(staging)
         routed.write_parquet(staging, partition_cols=["shard_id", "sink"])
         wall = round(time.time() - t0, 3)
-        for i in group:
-            sid = f"{i:05d}"
+        for sid in group:
             src = os.path.join(staging, f"shard_id={sid}")
             shard_dir = os.path.join(sinks_root, f"shard={sid}")
             _replace_dir(shard_dir)
@@ -231,3 +270,52 @@ def run_resumable(transcripts_files: list[str], out_root: str, tool_meta,
 
     return {"manifest": man, "records": records_root, "sinks": sinks_root,
             "attempts": att_dir}
+
+
+def run_watch(list_shards, out_root: str, tool_meta, interval_s: float = 30.0,
+              max_cycles: int | None = None, sleep_fn=time.sleep,
+              on_cycle=None):
+    """Continuous watch mode — the reference's AutoUpdate loop analog
+    (/root/reference/src/main.rs:247-310: poll every 30 s, push only new
+    logs, report "Autoupdate done in {ms}, new logs: {n}").
+
+    ``list_shards``: callable returning the CURRENT shard file list (or a
+    glob pattern string).  Each cycle re-lists, runs ``run_resumable`` over
+    the full list — the manifest skips every completed shard, so only new
+    (or changed-fingerprint) work executes — and reports per-cycle stats.
+    Shard ids are name-derived (``shard_id_for``), so discovering new files
+    never invalidates completed entries.
+
+    ``max_cycles``: stop after N cycles (None = run until interrupted).
+    ``sleep_fn`` / ``on_cycle``: test hooks (inject shards between cycles,
+    skip real sleeping).
+    Returns the list of per-cycle stats dicts.
+    """
+    import glob as _glob
+
+    if isinstance(list_shards, str):
+        pattern = list_shards
+        list_shards = lambda: sorted(_glob.glob(pattern))  # noqa: E731
+
+    man = Manifest(out_root)
+    cycles = []
+    k = 0
+    while True:
+        shards = sorted(list_shards())
+        before = {sid for (ph, sid), e in man.entries().items()
+                  if ph == "parse" and e.get("status") == "done"}
+        t0 = time.time()
+        res = run_resumable(shards, out_root, tool_meta)
+        after = {sid for (ph, sid), e in man.entries().items()
+                 if ph == "parse" and e.get("status") == "done"}
+        stat = {"cycle": k, "wall_ms": round((time.time() - t0) * 1000),
+                "n_shards": len(shards),
+                "new_shards": sorted(after - before),
+                "result": res}
+        cycles.append(stat)
+        if on_cycle is not None:
+            on_cycle(stat)
+        k += 1
+        if max_cycles is not None and k >= max_cycles:
+            return cycles
+        sleep_fn(interval_s)

@@ -105,3 +105,90 @@ def test_manifest_metrics(ray_session, fixture_sf0001, shard_paths,
         for s, n in e["sink_rows"].items():
             sink_totals[s] = sink_totals.get(s, 0) + n
     assert sink_totals == golden["sink_counts"]
+
+
+def test_watch_mode_picks_up_only_new_shards(ray_session, fixture_sf0001,
+                                             tmp_path_factory):
+    """AutoUpdate analog: a shard added between cycles is the ONLY new work
+    the next cycle performs; completed entries keep their timestamps even
+    though the new file sorts before the old ones (name-stable ids)."""
+    from ict_log_parser_ray.state.manifest import Manifest, run_watch
+
+    d = str(tmp_path_factory.mktemp("watch_shards"))
+    out = str(tmp_path_factory.mktemp("watch_out"))
+    paths = _split_fixture(fixture_sf0001, d, n_shards=3)
+    live = [paths[0], paths[1]]
+    ts_after_c0 = {}
+
+    def between(stat):
+        if stat["cycle"] == 0:
+            ts_after_c0.update(
+                {k: e["recorded_at"] for k, e in Manifest(out).entries().items()
+                 if k[0] == "parse"})
+            # new file whose name sorts FIRST — ids must not shift
+            newp = os.path.join(d, "aaa_late_arrival.parquet")
+            shutil.copyfile(paths[2], newp)
+            live.append(newp)
+
+    cycles = run_watch(lambda: list(live), out,
+                       fixture_sf0001["tool_meta"], interval_s=0,
+                       max_cycles=2, sleep_fn=lambda s: None,
+                       on_cycle=between)
+    assert len(cycles) == 2
+    assert cycles[0]["n_shards"] == 2
+    assert cycles[1]["n_shards"] == 3
+    assert cycles[1]["new_shards"] == ["aaa_late_arrival.parquet"]
+
+    entries = Manifest(out).entries()
+    # cycle-2 run did not touch cycle-1's completed parse shards
+    for k, t0 in ts_after_c0.items():
+        assert entries[k]["recorded_at"] == t0, \
+            f"completed shard {k} was reprocessed by the watch cycle"
+    assert len(ts_after_c0) == 2
+
+
+def test_route_fingerprint_tracks_attempt_content(ray_session, fixture_sf0001,
+                                                  tmp_path_factory):
+    """Rewriting a shard IN PLACE with same row count but different attempt
+    content must invalidate the route fingerprint (round-1 count-only
+    fingerprint skipped stale shards)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ict_log_parser_ray.state.manifest import Manifest, run_resumable
+
+    d = str(tmp_path_factory.mktemp("fp_shards"))
+    out = str(tmp_path_factory.mktemp("fp_out"))
+    paths = _split_fixture(fixture_sf0001, d, n_shards=2)
+    run_resumable(paths, out, fixture_sf0001["tool_meta"])
+    fp1 = Manifest(out).entries()[("attempts", "GLOBAL")]["fingerprint"]
+
+    # flip one header's status code in place: same rows, different content
+    tbl = pq.read_table(paths[0])
+    texts = tbl["text"].to_pylist()
+    for i, t in enumerate(texts):
+        if t.startswith("{@BTEST-END|00|"):
+            texts[i] = t.replace("{@BTEST-END|00|", "{@BTEST-END|01|", 1)
+            break
+    else:
+        pytest.skip("no passing END row in shard 0")
+    tbl = tbl.set_column(tbl.schema.get_field_index("text"), "text",
+                         pa.array(texts, pa.string()))
+    pq.write_table(tbl, paths[0])
+
+    # simulate reprocessing of the changed shard (watch-mode freshness would
+    # do this): clear its parse entry so the records regenerate
+    man = Manifest(out)
+    for fn in os.listdir(man.dir):
+        if fn.startswith("parse__") and "shard_0" in fn:
+            os.remove(os.path.join(man.dir, fn))
+    run_resumable(paths, out, fixture_sf0001["tool_meta"])
+    fp2 = Manifest(out).entries()[("attempts", "GLOBAL")]["fingerprint"]
+    assert fp1 != fp2, "content change must change the attempts fingerprint"
+    n1 = int(fp1.split(":")[1])
+    n2 = int(fp2.split(":")[1])
+    assert n1 == n2, "row count unchanged — only content differs"
+    # every route entry was re-recorded under the new fingerprint
+    for (ph, sid), e in Manifest(out).entries().items():
+        if ph == "route":
+            assert e["fingerprint"] == fp2
