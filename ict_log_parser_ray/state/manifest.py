@@ -79,6 +79,14 @@ ATTEMPT_META_COLS = ["conv_id", "record_type", "serial", "panel_serial",
                      "board_index", "tool", "start_ts", "status"]
 
 
+def file_fingerprint(path: str) -> str:
+    """S5 changed-file detection (the reference's mtime watermark,
+    main.rs:205-211): size + mtime_ns — a shard rewritten in place gets a
+    new fingerprint and its parse entry stops validating."""
+    st_ = os.stat(path)
+    return f"file:{st_.st_size}:{st_.st_mtime_ns}"
+
+
 def shard_id_for(path: str) -> str:
     """Stable shard id derived from the file NAME, not its list position —
     a watch-mode rescan that discovers new files must not shift existing
@@ -157,7 +165,8 @@ def run_resumable(transcripts_files: list[str], out_root: str, tool_meta,
     # loses only that group's work and granularity stays per-shard.
     group_size = max(1, int(fail_after_shards or 8))
     pending = [(shard_id_for(p), p) for p in transcripts_files
-               if not man.done("parse", shard_id_for(p))]
+               if not man.done("parse", shard_id_for(p),
+                               fingerprint=file_fingerprint(p))]
     parsed_n = 0
     for g in range(0, len(pending), group_size):
         group = pending[g:g + group_size]
@@ -200,6 +209,7 @@ def run_resumable(transcripts_files: list[str], out_root: str, tool_meta,
             man.record("parse", sid, input_path=path, rows_in=rows_in,
                        rows_out=rows_out, wall_time_s=wall,
                        group_rows_in=rows_in_total,
+                       fingerprint=file_fingerprint(path),
                        lineage={"stage": "dedup|parse|enrich", "input": path})
             parsed_n += 1
             if fail_after_shards is not None and parsed_n >= fail_after_shards:

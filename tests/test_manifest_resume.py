@@ -176,12 +176,9 @@ def test_route_fingerprint_tracks_attempt_content(ray_session, fixture_sf0001,
                          pa.array(texts, pa.string()))
     pq.write_table(tbl, paths[0])
 
-    # simulate reprocessing of the changed shard (watch-mode freshness would
-    # do this): clear its parse entry so the records regenerate
-    man = Manifest(out)
-    for fn in os.listdir(man.dir):
-        if fn.startswith("parse__") and "shard_0" in fn:
-            os.remove(os.path.join(man.dir, fn))
+    # S5 freshness: the rewritten file's (size, mtime) fingerprint no
+    # longer validates its parse entry, so the rerun reprocesses it
+    # automatically — no manual manifest surgery
     run_resumable(paths, out, fixture_sf0001["tool_meta"])
     fp2 = Manifest(out).entries()[("attempts", "GLOBAL")]["fingerprint"]
     assert fp1 != fp2, "content change must change the attempts fingerprint"
