@@ -90,23 +90,37 @@ class TextAnalyzer:
 
     def fingerprint(self, texts: pd.Series) -> pd.Series:
         """64-bit rolling (polynomial) hash over whitespace tokens —
-        deterministic document fingerprint."""
-        MOD = (1 << 61) - 1
-        B = 1_000_003
+        deterministic, order-sensitive document fingerprint.
 
-        def f(ws):
-            h = 0
-            for w in ws:
-                h = (h * B + hash_str(w)) % MOD
-            return np.int64(h & 0x7FFF_FFFF_FFFF_FFFF)
+        Fully vectorized (round 1 looped Python per word per doc): words
+        hashed C-side in one call (pandas row hash — stable across
+        processes, unlike ``hash()``), then the per-doc polynomial
+        h = Σ hash(w_i)·B^(L−1−i) (mod 2^64) is one power-table lookup +
+        one scatter-add over the exploded word stream."""
+        from pandas.util import hash_pandas_object
 
-        def hash_str(w):  # FNV-1a, stable across processes (unlike hash())
-            h = 0xCBF29CE484222325
-            for ch in w.encode("utf-8"):
-                h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-            return h
-
-        return texts.str.split().map(lambda ws: f(ws or [])).astype("int64")
+        sw = texts.fillna("").str.split()
+        lens = sw.str.len().fillna(0).astype(int).to_numpy()
+        n = len(texts)
+        out = np.zeros(n, np.uint64)
+        if lens.sum():
+            row = np.repeat(np.arange(n), lens)
+            words = pd.Series(np.concatenate(
+                [np.asarray(ws, dtype=object) for ws in sw if len(ws)]))
+            hv = hash_pandas_object(words, index=False).to_numpy()
+            starts = np.cumsum(lens) - lens
+            idx_in_doc = np.arange(len(hv)) - np.repeat(starts, lens)
+            p = np.repeat(lens, lens) - 1 - idx_in_doc
+            B = np.uint64(1_000_003)
+            with np.errstate(over="ignore"):
+                pows = np.ones(int(p.max()) + 1, np.uint64)
+                if len(pows) > 1:
+                    pows[1:] = np.cumprod(
+                        np.full(len(pows) - 1, B, np.uint64))
+                contrib = hv * pows[p]
+                np.add.at(out, row, contrib)
+        return pd.Series((out & np.uint64(0x7FFF_FFFF_FFFF_FFFF))
+                         .astype("int64"), index=texts.index)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         texts = df["text"].fillna("")
