@@ -70,3 +70,21 @@ def test_attempts_report_tables_matches_distributed(pipeline, fixture_sf0001):
     dist_h = {r["hour_key"]: (r["ok"], r["nok"])
               for r in reports.hourly_stats(pipeline["attempts"]).take_all()}
     assert dist_h == got_h
+
+
+def test_distributed_rank_path_matches_fast_path_on_fixture(fixture_sf0001,
+                                                            ray_session):
+    """Force the >threshold bucketed rank path over the whole fixture and
+    require row-identical output to the driver fast path (VERDICT item:
+    the distributed path must match the oracle-checked path)."""
+    import ray.data as rd
+
+    from ict_log_parser_ray.stages.attempts import ranked_attempts
+    from ict_log_parser_ray.stages.parse import parse_dataset
+
+    parsed = parse_dataset(rd.from_arrow(fixture_sf0001["table"]))
+    fast = (ranked_attempts(parsed).to_pandas()
+            .sort_values("conv_id").reset_index(drop=True))
+    dist = (ranked_attempts(parsed, collect_threshold=0).to_pandas()
+            .sort_values("conv_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(fast, dist[fast.columns], check_dtype=False)
