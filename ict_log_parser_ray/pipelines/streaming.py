@@ -281,7 +281,7 @@ def run_streaming(transcripts_path, tool_meta: pa.Table | None, out_dir: str,
     for s in SINKS:
         os.makedirs(os.path.join(out_dir, f"sink={s}"), exist_ok=True)
 
-    from ..stages.join import isin_mask_memo, lookup_batch_memo
+    from ..stages.join import _lookup_batch, isin_mask_memo
 
     def _pass2_batch(b: pa.Table) -> pa.Table:
         coll_blobs = []          # (part, ipc_bytes) for this batch
@@ -303,7 +303,7 @@ def run_streaming(transcripts_path, tool_meta: pa.Table | None, out_dir: str,
                         w.write_table(sub)
                     coll_blobs.append((int(p), sink.getvalue()))
         b = b.drop_columns(["kh"])
-        b = lookup_batch_memo(b, flags_ref, "conv_id")
+        b = _lookup_batch(b, ray.get(flags_ref), "conv_id")
         sb = add_sink_column(b)
         _route_write(sb, out_dir)
         out = turn_partials_batch(sb)

@@ -37,9 +37,18 @@ def _lookup_batch(batch: pa.Table, right: pa.Table, on: str) -> pa.Table:
 
 # worker-process-level memo: Ray reuses worker processes across map tasks,
 # so state keyed by the broadcast ObjectRef builds ONCE per worker instead
-# of once per batch.  pc.index_in/is_in rebuild their hash set on EVERY
-# call — measured ~17s of a 140s pass-2 UDF budget at 557k lookup rows.
+# of once per batch.  (Measured: worth it for the SORTED dup-set probe
+# below; NOT worth it for string-key lookups, where arrow index_in beats a
+# memoized pandas Index probe 132 vs 308 ms / 262k keys.)
 _WORKER_MEMO: dict = {}
+_WORKER_MEMO_MAX = 16  # FIFO-evict: long sessions must not pin old tables
+
+
+def _memo_put(key, val):
+    if len(_WORKER_MEMO) >= _WORKER_MEMO_MAX:
+        _WORKER_MEMO.pop(next(iter(_WORKER_MEMO)))
+    _WORKER_MEMO[key] = val
+    return val
 
 
 def _memo_key(ref) -> str:
@@ -47,41 +56,6 @@ def _memo_key(ref) -> str:
         return ref.hex()
     except AttributeError:
         return str(id(ref))
-
-
-def lookup_batch_memo(batch: pa.Table, right_ref, on: str) -> pa.Table:
-    """_lookup_batch against a broadcast ref, with the hash index built once
-    per worker (pandas Index) and probed per batch."""
-    import numpy as np
-    import pandas as pd
-    import ray
-
-    key = ("lookup", _memo_key(right_ref), on)
-    ent = _WORKER_MEMO.get(key)
-    if ent is None:
-        right = ray.get(right_ref)
-        keys = right[on]
-        if isinstance(keys, pa.ChunkedArray):
-            keys = keys.combine_chunks()
-        pidx = pd.Index(keys.to_pandas())
-        if not pidx.is_unique:
-            pidx = None  # duplicate right keys: index_in (first match) path
-        ent = (pidx, right)
-        _WORKER_MEMO[key] = ent
-    pidx, right = ent
-    if pidx is None:
-        return _lookup_batch(batch, right, on)
-    col = batch[on]
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    pos = pidx.get_indexer(col.to_pandas())
-    idx = pa.array(pos, pa.int64())
-    idx = pc.if_else(pc.less(idx, 0), pa.scalar(None, pa.int64()), idx)
-    for name in right.column_names:
-        if name == on:
-            continue
-        batch = batch.append_column(name, pc.take(right[name], idx))
-    return batch
 
 
 def isin_mask_memo(values: pa.Array, set_ref) -> "object":
@@ -94,8 +68,7 @@ def isin_mask_memo(values: pa.Array, set_ref) -> "object":
     key = ("isin", _memo_key(set_ref))
     arr = _WORKER_MEMO.get(key)
     if arr is None:
-        arr = np.sort(ray.get(set_ref).to_numpy())
-        _WORKER_MEMO[key] = arr
+        arr = _memo_put(key, np.sort(ray.get(set_ref).to_numpy()))
     v = values.to_numpy()
     pos = np.searchsorted(arr, v)
     pos[pos == len(arr)] = max(len(arr) - 1, 0)
@@ -119,7 +92,10 @@ def attach_lookup(left_ds, right_ds, on: str, broadcast_threshold: int = 2_000_0
         ref = ray.put(tbl)
 
         def lookup(batch: pa.Table) -> pa.Table:
-            return lookup_batch_memo(batch, ref, on)
+            # arrow index_in (builds its value-set hash per call) measured
+            # FASTER than a worker-memoized pandas Index probe (132 vs
+            # 308 ms / 262k string keys) — arrow's hash build is cheap
+            return _lookup_batch(batch, ray.get(ref), on)
 
         return left_ds.map_batches(lookup, batch_format="pyarrow",
                                    zero_copy_batch=True)

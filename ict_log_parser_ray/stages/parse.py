@@ -26,7 +26,6 @@ Output columns appended to the input batch:
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -83,56 +82,25 @@ def _strptime12(arr: pa.Array) -> pa.Array:
 
 
 def parse_batch(batch: pa.Table) -> pa.Table:
-    """Prefix-dispatched vectorized parse.
-
-    Every record pattern is prefix-anchored (``^{@A-``, ``^{@D-T|``,
-    ``^{@BTEST|``, ``^{@BTEST-END|``), so a cheap ``starts_with`` routes
-    each row to exactly ONE regex over a filtered subset instead of running
-    all four regexes over every row (round 1; measured parse = 29% of the
-    streaming pass-2 UDF budget).  Subset results scatter back to
-    full-length columns with ``replace_with_mask``; output is
-    value-identical to the 4-regex version (the prefixes are exactly the
-    anchored literals, so match sets are unchanged)."""
     text = batch["text"]
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
-    n = len(text)
-    t = pc.fill_null(text, "")
 
-    m_a = pc.starts_with(t, "{@A-")
-    m_d = pc.starts_with(t, "{@D-T|")
-    m_e = pc.starts_with(t, "{@BTEST-END|")
-    m_h = pc.and_(pc.starts_with(t, "{@BTEST|"), pc.invert(m_e))
+    hdr = pc.extract_regex(text, HEADER_PAT)
+    ana = pc.extract_regex(text, ANALOG_PAT)
+    dig = pc.extract_regex(text, DIGITAL_PAT)
+    end = pc.extract_regex(text, END_PAT)
 
-    ana = pc.extract_regex(t.filter(m_a), ANALOG_PAT)
-    dig = pc.extract_regex(t.filter(m_d), DIGITAL_PAT)
-    end = pc.extract_regex(t.filter(m_e), END_PAT)
-    hdr = pc.extract_regex(t.filter(m_h), HEADER_PAT)
+    hdr_ok = pc.is_valid(hdr)
+    ana_ok = pc.is_valid(ana)
+    dig_ok = pc.is_valid(dig)
+    end_ok = pc.is_valid(end)
 
     def f(s, name):
         # RE2 optional groups that did not participate extract as "" (not
         # null); nullify so coalesce/casts behave.
         a = pc.struct_field(s, name)
         return pc.if_else(pc.equal(a, ""), pa.scalar(None, pa.string()), a)
-
-    def scat(sub, mask, ty):
-        """Scatter a subset-aligned array back to full length (null
-        elsewhere)."""
-        base = pa.nulls(n, ty)
-        if isinstance(sub, pa.ChunkedArray):
-            sub = sub.combine_chunks()
-        return pc.replace_with_mask(base, mask, pc.cast(sub, ty))
-
-    def scat_bool(sub, mask):
-        base = pa.array(np.zeros(n, bool)) if n else pa.array([], pa.bool_())
-        if isinstance(sub, pa.ChunkedArray):
-            sub = sub.combine_chunks()
-        return pc.replace_with_mask(base, mask, pc.fill_null(sub, False))
-
-    hdr_ok = scat_bool(pc.is_valid(hdr), m_h)
-    ana_ok = scat_bool(pc.is_valid(ana), m_a)
-    dig_ok = scat_bool(pc.is_valid(dig), m_d)
-    end_ok = scat_bool(pc.is_valid(end), m_e)
 
     record_type = pc.if_else(
         hdr_ok, pa.scalar("header"),
@@ -142,42 +110,40 @@ def parse_batch(batch: pa.Table) -> pa.Table:
                                          pa.scalar("parse_error")))),
     )
 
-    S = pa.string()
     status_code = pc.coalesce(
-        scat(f(hdr, "hstatus"), m_h, S), scat(f(ana, "astatus"), m_a, S),
-        scat(f(dig, "dstatus"), m_d, S), scat(f(end, "estatus"), m_e, S))
+        f(hdr, "hstatus"), f(ana, "astatus"), f(dig, "dstatus"), f(end, "estatus")
+    )
     status = _decode_status(status_code)
 
-    test_name = pc.coalesce(scat(f(ana, "test_name"), m_a, S),
-                            scat(f(dig, "test_name"), m_d, S))
-    ttype = pc.if_else(dig_ok, pa.scalar("DIG"), scat(f(ana, "ttype"), m_a, S))
+    test_name = pc.coalesce(f(ana, "test_name"), f(dig, "test_name"))
+    ttype = pc.if_else(dig_ok, pa.scalar("DIG"), f(ana, "ttype"))
 
-    measurement = scat(_cast_f64(f(ana, "measurement")), m_a, _F64)
+    measurement = _cast_f64(f(ana, "measurement"))
 
     nom_s = f(ana, "nom")
     ul_s = pc.coalesce(f(ana, "ul2"), f(ana, "ul3"))
     ll_s = pc.coalesce(f(ana, "ll2"), f(ana, "ll3"))
-    lim_nom = scat(_cast_f64(nom_s), m_a, _F64)
-    lim_ul = scat(_cast_f64(ul_s), m_a, _F64)
-    lim_ll = scat(_cast_f64(ll_s), m_a, _F64)
+    lim_nom = _cast_f64(nom_s)
+    lim_ul = _cast_f64(ul_s)
+    lim_ll = _cast_f64(ll_s)
     # raw-string limit signature; null when the record carries no limits
-    lim_sig_sub = pc.binary_join_element_wise(
+    lim_sig = pc.binary_join_element_wise(
         pc.coalesce(nom_s, pa.scalar("")), pc.coalesce(ul_s, pa.scalar("")),
         pc.coalesce(ll_s, pa.scalar("")), "|",
     )
-    lim_sig_sub = pc.if_else(pc.or_(pc.is_valid(ul_s), pc.is_valid(nom_s)),
-                             lim_sig_sub, pa.scalar(None, pa.string()))
-    lim_sig = scat(lim_sig_sub, m_a, S)
+    lim_sig = pc.if_else(pc.or_(pc.is_valid(ul_s), pc.is_valid(nom_s)),
+                         lim_sig, pa.scalar(None, pa.string()))
 
-    start_ts = pc.coalesce(scat(_strptime12(f(hdr, "start")), m_h, _TS),
-                           scat(_strptime12(f(end, "end")), m_e, _TS))
-    board_index = scat(pc.cast(f(hdr, "board_index"), pa.int32()), m_h,
-                       pa.int32())
+    start_ts = pc.if_else(
+        hdr_ok, _strptime12(f(hdr, "start")),
+        pc.if_else(end_ok, _strptime12(f(end, "end")), pa.scalar(None, _TS)),
+    )
+    board_index = pc.cast(f(hdr, "board_index"), pa.int32())
 
     cols = {
         "record_type": record_type,
-        "serial": scat(f(hdr, "serial"), m_h, S),
-        "panel_serial": scat(f(hdr, "panel_serial"), m_h, S),
+        "serial": f(hdr, "serial"),
+        "panel_serial": f(hdr, "panel_serial"),
         "board_index": board_index,
         "status": status,
         "test_name": test_name,
