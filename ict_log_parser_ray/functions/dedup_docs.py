@@ -18,8 +18,14 @@ only shuffles are groupbys on band/bucket keys and on candidate pairs
 Oversized candidate buckets (degenerate/boilerplate text) are NOT silently
 truncated (round-1 ``cap=50`` dropped pairs with no signal): buckets up to
 ``cap`` emit all pairs; larger buckets emit star pairs (sorted-first doc ↔
-every other member — linear output, same connected components for dedup
-purposes) and log the overflow.  Pair loss below the cap: zero.
+every other member — linear output) and LOG the overflow.  Approximation
+note: a star keeps the bucket's connected component only while the hub's
+edges pass verification — a member-member pair whose hub edges fail is
+found only if the two docs share another (non-overflowing) band.  An
+overflowing bucket means ≥cap docs agree on an entire band (near-identical
+boilerplate), where hub edges do verify; the honest contrast with round 1
+is truncation dropped candidates with no signal, the star emits a linear
+witness set and says so in the log.
 """
 
 from __future__ import annotations
@@ -135,8 +141,9 @@ class MinHasher:
 
 def _bucket_pairs(ids, cap: int, what: str, band_key) -> list:
     """Candidate pairs within one bucket: all pairs up to ``cap`` members,
-    star pairs (first ↔ rest) beyond — linear output, same connected
-    components, no silent loss; the overflow is logged."""
+    star pairs (sorted-first ↔ rest) beyond — linear output, loudly
+    logged.  See the module docstring for the star approximation's
+    semantics (hub edges must verify to keep the component connected)."""
     ids = sorted(set(ids))
     if len(ids) < 2:
         return []
@@ -177,10 +184,27 @@ def minhash_duplicate_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
 
     cands = exploded.groupby("band_key").map_groups(cand,
                                                     batch_format="pandas")
-    # a pair surfaces once per matching band → dedup on the pair key
-    # (bounded by the near-dup pair count — output-sized, not corpus-sized)
-    cands = cands.groupby(["doc_a", "doc_b"]).aggregate(
-        Count(alias_name="_n_bands"))
+    # a pair surfaces once per matching band → dedup on the pair key.
+    # Output-sized, so collect + one vectorized drop_duplicates under the
+    # threshold (CLAUDE.md: a Ray groupby at ~all-distinct keys pays
+    # ~100µs/group of scheduling); the distributed groupby remains the
+    # >threshold fallback.
+    import ray
+    import ray.data as rd
+
+    cands = cands.materialize()
+    if cands.count() <= 5_000_000:
+        tbl = pa.concat_tables(ray.get(cands.to_arrow_refs()))
+        df = (tbl.to_pandas()
+              .drop_duplicates(["doc_a", "doc_b"]).reset_index(drop=True))
+        cands = rd.from_pandas(df) if len(df) else rd.from_arrow(
+            pa.schema([("doc_a", tbl.schema.field("doc_a").type
+                        if tbl.num_columns else pa.int64()),
+                       ("doc_b", tbl.schema.field("doc_b").type
+                        if tbl.num_columns else pa.int64())]).empty_table())
+    else:
+        cands = cands.groupby(["doc_a", "doc_b"]).aggregate(
+            Count(alias_name="_n_bands"))
 
     texts = docs_ds.select_columns(["doc_id", "text"])
     a_side = texts.map_batches(
@@ -315,25 +339,29 @@ def exact_duplicate_groups(docs_ds, collect_threshold: int = 100_000_000):
 
     from ..stages.dedup import _key_hash
 
+    # row count first (parquet metadata / cached count — free) so the
+    # >threshold branch never pays the full hash scan it would discard
+    if docs_ds.count() > collect_threshold:
+        g = docs_ds.groupby("text").aggregate(
+            Count(alias_name="n"), Min("doc_id", alias_name="keep_doc_id"))
+        return g.filter(lambda r: r["n"] > 1)
+
     def text_hash(batch: pa.Table) -> pa.Table:
         return pa.table({"th": pa.array(_key_hash(batch, ["text"]),
                                         pa.int64())})
 
     hashed = docs_ds.map_batches(text_hash, batch_format="pyarrow",
                                  zero_copy_batch=True).materialize()
-    n = hashed.count()
-    if n > collect_threshold:
-        g = docs_ds.groupby("text").aggregate(
-            Count(alias_name="n"), Min("doc_id", alias_name="keep_doc_id"))
-        return g.filter(lambda r: r["n"] > 1)
 
     from ..stages.dedup import dup_values
     hv = pa.concat_tables(ray.get(hashed.to_arrow_refs()))["th"].to_numpy()
     dups = dup_values(hv)
     import ray.data as rd
     if len(dups) == 0:
+        # empty result carries the real doc_id type, not a hardcoded one
+        id_type = docs_ds.schema().base_schema.field("doc_id").type
         empty = pa.schema([("text", pa.string()), ("n", pa.int64()),
-                           ("keep_doc_id", pa.string())])
+                           ("keep_doc_id", id_type)])
         return rd.from_arrow(empty.empty_table())
     dup_ref = ray.put(pa.array(dups, pa.int64()))
 

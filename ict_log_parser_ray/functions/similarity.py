@@ -189,8 +189,14 @@ def write_ivf_index(emb_ds, index_dir: str, nlist: int = 16,
 
     import pyarrow.parquet as pq
 
+    import shutil
+
     if model is None:
         model = build_ivf(emb_ds, nlist=nlist, vec_col=vec_col, seed=seed)
+    # build fresh: a crashed earlier write must not leave a partial index
+    # that later appends would double (write_parquet adds uniquely-named
+    # files into existing partition dirs)
+    shutil.rmtree(index_dir, ignore_errors=True)
     assigned = ivf_assign(emb_ds, model, vec_col=vec_col)
     assigned.write_parquet(index_dir, partition_cols=["cluster"])
     cent = model.centroids
@@ -199,7 +205,16 @@ def write_ivf_index(emb_ds, index_dir: str, nlist: int = 16,
                   "centroid": pa.array([c.tolist() for c in cent],
                                        pa.list_(pa.float32()))}),
         os.path.join(index_dir, "_centroids.parquet"))
+    # success marker LAST — readers treat its absence as "not built"
+    with open(os.path.join(index_dir, "_SUCCESS"), "w") as f:
+        f.write("ok")
     return model
+
+
+def ivf_index_complete(index_dir: str) -> bool:
+    import os
+
+    return os.path.isfile(os.path.join(index_dir, "_SUCCESS"))
 
 
 def load_ivf_model(index_dir: str) -> _KMeans:

@@ -109,11 +109,14 @@ def daily_report(pipe, report_day: datetime, tool_meta: pa.Table | None = None,
         windowed = ranked.map_batches(_win, batch_format="pyarrow",
                                       zero_copy_batch=True)
         # re-rank within the window: recompute att_rank / n_attempts /
-        # is_first / is_final over only the in-window attempts
+        # is_first / is_final over only the in-window attempts.
+        # materialize: four consumers read it below (flag attach,
+        # product_hourly, failed_boards, yields) — unpinned lineage would
+        # re-run the window+bucket shuffle+rank per consumer
         ranked = rank_attempts(windowed.map_batches(
             lambda t: t.drop_columns(["att_rank", "n_attempts",
                                       "is_first", "is_final"]),
-            batch_format="pyarrow", zero_copy_batch=True))
+            batch_format="pyarrow", zero_copy_batch=True)).materialize()
 
         # turn stream: drop the stale global flags, re-attach the windowed
         # ranks, then keep only turns whose attempt is in the window

@@ -517,11 +517,19 @@ def e_user_first_last(sf_dir):
                     columns=["user_id", "event_id", "event_type", "ts"])
 
     def _partial(b: pa.Table) -> pa.Table:
-        ts_us = pc.utf8_lpad(pc.cast(pc.cast(b["ts"], pa.int64()),
-                                     pa.string()), 20, padding="0")
-        eid = pc.utf8_lpad(pc.cast(b["event_id"], pa.string()), 12,
-                           padding="0")
-        pack = pc.binary_join_element_wise(ts_us, eid, b["event_type"], "|")
+        # FIXED-WIDTH pack (no delimiter): a '|' inside event_type cannot
+        # corrupt the decode, and every component is null-wrapped so a null
+        # ts/event_type cannot null the whole pack (min/max would silently
+        # skip the row while n counts it).  Null ts packs as all-9s =
+        # sorts last, matching the oracle's ORDER BY ts NULLS LAST.
+        ts_us = pc.utf8_lpad(
+            pc.fill_null(pc.cast(pc.cast(b["ts"], pa.int64()), pa.string()),
+                         "9" * 20), 20, padding="0")
+        eid = pc.utf8_lpad(
+            pc.fill_null(pc.cast(b["event_id"], pa.string()), ""), 12,
+            padding="0")
+        pack = pc.binary_join_element_wise(
+            ts_us, eid, pc.fill_null(b["event_type"], ""), "")
         t = pa.table({"user_id": b["user_id"], "first_pack": pack,
                       "last_pack": pack,
                       "n": pa.array(np.ones(b.num_rows, np.int64))})
@@ -537,9 +545,10 @@ def e_user_first_last(sf_dir):
     g = g.rename_columns(["user_id", "first_pack", "last_pack", "n_events"])
 
     def _typ(col):
-        return pc.list_element(pc.split_pattern(col.combine_chunks()
-                               if isinstance(col, pa.ChunkedArray) else col,
-                               "|"), 2)
+        c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        typ = pc.utf8_slice_codeunits(c, 32)  # strip the 20+12 digit prefix
+        return pc.if_else(pc.equal(typ, ""), pa.scalar(None, pa.string()),
+                          typ)
 
     out = pa.table({
         "user_id": g["user_id"],
@@ -712,13 +721,13 @@ def _ivf_index_dir(sf_dir: str, nlist: int = 8) -> str:
     import hashlib
     import os
 
-    from ..functions.similarity import write_ivf_index
+    from ..functions.similarity import ivf_index_complete, write_ivf_index
 
     key = (os.path.abspath(sf_dir), nlist)
     if key not in _IVF_INDEX_CACHE:
         tag = hashlib.blake2b(str(key).encode(), digest_size=8).hexdigest()
         idx = f"/tmp/ict_ray_ivf/{tag}"
-        if not os.path.isdir(os.path.join(idx, "cluster=0")):
+        if not ivf_index_complete(idx):  # absent OR crashed partial write
             ds = read_table(sf_dir, "embeddings",
                             columns=["vec_id", "embedding"])
             write_ivf_index(ds, idx, nlist=nlist)

@@ -224,9 +224,16 @@ def _build_source(transcripts_path, tool_meta, batch_size, num_blocks):
 
 
 def run_streaming(transcripts_path, tool_meta: pa.Table | None, out_dir: str,
-                  batch_size: int = 65_536, num_blocks: int | None = None):
+                  batch_size: int = 32_768, num_blocks: int | None = None):
     """Two-pass streaming flagship → dict with ranked attempts (Dataset),
-    sink dir, and the finished report tables."""
+    sink dir, and the finished report tables.
+
+    batch_size default 32768: sized so a batch's working set stays closer
+    to cache when every core runs the fused parse→enrich→route chain —
+    measured at sf2 the FASTEST high-parallelism setting (16 CPUs: 18.9s
+    vs 23.6s at 65536; at 4 CPUs the per-batch fixed costs dominate instead
+    and 65536 wins 56s vs 70s).  Tune for the large configuration — the
+    target is a multi-node cluster, not a 4-core box."""
     import sys
     import time as _time
     _verbose = os.environ.get("ICT_BENCH_VERBOSE") == "1"

@@ -88,13 +88,21 @@ def file_fingerprint(path: str) -> str:
 
 
 def shard_id_for(path: str) -> str:
-    """Stable shard id derived from the file NAME, not its list position —
+    """Stable shard id derived from the file PATH, not its list position —
     a watch-mode rescan that discovers new files must not shift existing
     ids (a positional id would invalidate every completed manifest entry
-    whenever a new file sorts before an old one)."""
+    whenever a new file sorts before an old one).  The sanitized basename
+    is suffixed with a short hash of the ABSOLUTE path so two inputs that
+    share a basename (dir1/part-0.parquet vs dir2/part-0.parquet) or
+    collide under sanitization can never map to the same shard directory
+    (which would silently overwrite each other's records)."""
+    import hashlib
     import re
 
-    return re.sub(r"[^A-Za-z0-9_.-]", "_", os.path.basename(path))
+    base = re.sub(r"[^A-Za-z0-9_.-]", "_", os.path.basename(path))
+    tag = hashlib.blake2b(os.path.abspath(path).encode(),
+                          digest_size=4).hexdigest()
+    return f"{base}-{tag}"
 
 
 def _attempts_fingerprint(ranked) -> str:
@@ -107,12 +115,17 @@ def _attempts_fingerprint(ranked) -> str:
     import pyarrow as pa
     import ray
 
-    from ..stages.dedup import _key_hash
-
     cols = ["conv_id", "att_rank", "att_status", "n_attempts"]
 
     def _h(b: pa.Table) -> pa.Table:
-        hv = np.asarray(_key_hash(b.select(cols), cols)).astype(np.uint64)
+        # hash_pandas_object directly — NOT stages.dedup._key_hash, whose
+        # polars fast path silently falls back to pandas when polars is
+        # unavailable: a fingerprint persisted across runs must not depend
+        # on which library happened to import
+        from pandas.util import hash_pandas_object
+
+        hv = hash_pandas_object(b.select(cols).to_pandas(),
+                                index=False).to_numpy().astype(np.uint64)
         x = np.bitwise_xor.reduce(hv) if len(hv) else np.uint64(0)
         return pa.table({"x": pa.array([int(x)], pa.uint64()),
                          "n": pa.array([len(hv)], pa.int64())})

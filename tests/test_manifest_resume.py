@@ -137,7 +137,8 @@ def test_watch_mode_picks_up_only_new_shards(ray_session, fixture_sf0001,
     assert len(cycles) == 2
     assert cycles[0]["n_shards"] == 2
     assert cycles[1]["n_shards"] == 3
-    assert cycles[1]["new_shards"] == ["aaa_late_arrival.parquet"]
+    assert len(cycles[1]["new_shards"]) == 1
+    assert cycles[1]["new_shards"][0].startswith("aaa_late_arrival.parquet-")
 
     entries = Manifest(out).entries()
     # cycle-2 run did not touch cycle-1's completed parse shards
@@ -145,6 +146,17 @@ def test_watch_mode_picks_up_only_new_shards(ray_session, fixture_sf0001,
         assert entries[k]["recorded_at"] == t0, \
             f"completed shard {k} was reprocessed by the watch cycle"
     assert len(ts_after_c0) == 2
+
+
+def test_shard_ids_unique_for_same_basename(tmp_path):
+    """Two inputs sharing a basename must get distinct shard ids (a
+    collision would make their commit loops overwrite each other)."""
+    from ict_log_parser_ray.state.manifest import shard_id_for
+
+    a = tmp_path / "d1" / "part-0.parquet"
+    b = tmp_path / "d2" / "part-0.parquet"
+    assert shard_id_for(str(a)) != shard_id_for(str(b))
+    assert shard_id_for(str(a)) == shard_id_for(str(a))  # stable
 
 
 def test_route_fingerprint_tracks_attempt_content(ray_session, fixture_sf0001,
