@@ -118,43 +118,48 @@ def _pass1_batch(b: pa.Table, nparts: int) -> pa.Table:
 # ---------------- distributed pass-1 finish (tree reduce) ----------------
 
 @ray.remote
-def _dup_part(p: int, refs) -> np.ndarray:
-    """Duplicate key hashes within partition p: concat the part-p blobs of
-    every narrow block, one np.unique.  Output is tiny (dup keys only)."""
+def _finish_part(p: int, nparts: int, refs):
+    """ONE scan of the narrow blocks for partition p → (duplicate key
+    hashes of key-hash-part p, combined+decoded attempts of conv-hash-part
+    p tagged with their serial rank bucket).  Merging the dup and combine
+    rounds halves the per-task block scans (each task reads every narrow
+    block and filters its partition)."""
     arrs = []
-    for blk in ray.get(refs):
-        m = pc.and_(pc.equal(blk["kind"], "hashes"), pc.equal(blk["part"], p))
-        for blob in blk.filter(m)["hash_blob"].to_pylist():
-            arrs.append(np.frombuffer(blob, dtype=np.int64))
-    if not arrs:
-        return np.empty(0, np.int64)
-    from ..stages.dedup import dup_values
-    return dup_values(np.concatenate(arrs))
-
-
-@ray.remote
-def _combine_att_part(p: int, nparts: int, refs) -> pa.Table:
-    """Per-conv combine + decode of the part-p attempt partials (a conv_id
-    never spans parts), tagged with its serial rank bucket for round B."""
     subs = []
     for blk in ray.get(refs):
-        m = pc.and_(pc.equal(blk["kind"], "att"), pc.equal(blk["part"], p))
-        subs.append(blk.filter(m).select(
+        pm = pc.equal(blk["part"], p)
+        hm = pc.and_(pc.equal(blk["kind"], "hashes"), pm)
+        for blob in blk.filter(hm)["hash_blob"].to_pylist():
+            arrs.append(np.frombuffer(blob, dtype=np.int64))
+        am = pc.and_(pc.equal(blk["kind"], "att"), pm)
+        subs.append(blk.filter(am).select(
             ["conv_id", "tool", "start_ts", "hdr_pack", "end_pack"]))
+    from ..stages.dedup import dup_values
+    dups = dup_values(np.concatenate(arrs)) if arrs else np.empty(0, np.int64)
     dec = _combine_attempt_partials(pa.concat_tables(subs))
-    return _add_rank_bucket(dec, nparts)
+    return dups, _add_rank_bucket(dec, nparts)
 
 
 @ray.remote
-def _rank_part(p: int, tables) -> pa.Table:
+def _rank_part(p: int, finish_outs) -> pa.Table:
     """Rank the serial-bucket-p slice of the combined attempts with the
     shared numpy lexsort/segment kernel (a serial never spans buckets)."""
     subs = [t.filter(pc.equal(t["rank_bucket"], p)).drop_columns(
-        ["rank_bucket"]) for t in ray.get(tables)]
+        ["rank_bucket"]) for _, t in ray.get(finish_outs)]
     df = _rank_df(pa.concat_tables(subs).to_pandas())
     cols = {f.name: pa.array(df[f.name], f.type, from_pandas=True)
             for f in _RANKED_SCHEMA}
     return pa.table(cols)
+
+
+@ray.remote
+def _attempt_reports_task(ranked_tbl: pa.Table) -> dict:
+    """A1/A2/A4 small tables from the ranked attempts — launched as a task
+    right after the rank finish so it overlaps pass 2 instead of adding a
+    driver-serial tail."""
+    from .reports import attempt_reports_from_table
+
+    return attempt_reports_from_table(ranked_tbl)
 
 
 def _route_write(sb: pa.Table, out_dir: str) -> None:
@@ -266,11 +271,9 @@ def run_streaming(transcripts_path, tool_meta: pa.Table | None, out_dir: str,
 
     # -------- distributed finish: dup set + combine + rank
     refs = narrow.to_arrow_refs()
-    dup_futs = [_dup_part.remote(p, refs) for p in range(nparts)]
-    a_futs = [_combine_att_part.remote(p, nparts, refs)
-              for p in range(nparts)]
+    a_futs = [_finish_part.remote(p, nparts, refs) for p in range(nparts)]
     b_futs = [_rank_part.remote(p, a_futs) for p in range(nparts)]
-    dups = np.concatenate(ray.get(dup_futs))
+    dups = np.concatenate([d for d, _ in ray.get(a_futs)])
     dup_ref = ray.put(pa.array(dups, pa.int64())) if len(dups) else None
     ranked_tbl = pa.concat_tables(ray.get(b_futs)).combine_chunks()
     ranked = rd.from_arrow(ranked_tbl)
@@ -281,6 +284,7 @@ def run_streaming(transcripts_path, tool_meta: pa.Table | None, out_dir: str,
     for src, dst in ATTEMPT_ATTACH_COLS.items():
         flag_cols[dst] = ranked_tbl[src]
     flags_ref = ray.put(pa.table(flag_cols))
+    reports_fut = _attempt_reports_task.remote(ranked_tbl)  # overlaps pass 2
     _t = _tick("distributed rank+dupset", _t)
 
     # ---------------- pass 2: route + write + metrics ----------------
@@ -360,8 +364,7 @@ def run_streaming(transcripts_path, tool_meta: pa.Table | None, out_dir: str,
     metrics = finish_turn_metrics(mdf)
 
     _t = _tick("keepers+metrics", _t)
-    from .reports import attempt_reports_from_table
-    small = attempt_reports_from_table(ranked_tbl)
+    small = ray.get(reports_fut)
     _t = _tick("attempt reports", _t)
 
     return {
