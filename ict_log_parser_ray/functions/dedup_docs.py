@@ -139,6 +139,41 @@ class MinHasher:
         return pd.DataFrame({"band_key": keys.reshape(-1), "doc_id": doc_ids})
 
 
+def _only_colliding_buckets(exploded_ds, key_col: str,
+                            collect_threshold: int = 100_000_000):
+    """Drop band buckets with a single member BEFORE the bucket groupby.
+
+    Most buckets are singletons (unique band signatures), and a Ray groupby
+    over ~all-distinct keys pays ~100µs/group of scheduling (CLAUDE.md).
+    The collision set is found from an 8 B/row key projection (driver
+    sort+adjacent-compare under the threshold; above it the groupby runs
+    unfiltered — the documented large-scale fallback)."""
+    import ray
+
+    from ..stages.dedup import dup_values
+    from ..stages.join import isin_mask_memo
+
+    keyed = exploded_ds.map_batches(
+        lambda t: t.select([key_col]), batch_format="pyarrow",
+        zero_copy_batch=True).materialize()
+    if keyed.count() > collect_threshold:
+        return exploded_ds
+    kv = pa.concat_tables(ray.get(keyed.to_arrow_refs()))[key_col].to_numpy()
+    dups = dup_values(kv)
+    if len(dups) == 0:
+        return exploded_ds.filter(lambda r: False)
+    dup_ref = ray.put(pa.array(dups, pa.int64()))
+
+    def _filt(t: pa.Table) -> pa.Table:
+        col = t[key_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return t.filter(isin_mask_memo(col, dup_ref))
+
+    return exploded_ds.map_batches(_filt, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+
+
 def _bucket_pairs(ids, cap: int, what: str, band_key) -> list:
     """Candidate pairs within one bucket: all pairs up to ``cap`` members,
     star pairs (sorted-first ↔ rest) beyond — linear output, loudly
@@ -176,6 +211,7 @@ def minhash_duplicate_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
         MinHasher,
         fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands, k=k),
         batch_format="pandas", concurrency=concurrency, num_cpus=1)
+    exploded = _only_colliding_buckets(exploded, "band_key")
 
     def cand(group: pd.DataFrame) -> pd.DataFrame:
         pairs = _bucket_pairs(group["doc_id"].tolist(), cap, "minhash",
@@ -277,9 +313,15 @@ class SimHasher:
         return df
 
 
-def simhash_documents(docs_ds, concurrency=(1, 8)):
-    return docs_ds.map_batches(SimHasher, batch_format="pandas",
-                               concurrency=concurrency, num_cpus=1)
+def simhash_documents(docs_ds, concurrency=None):
+    # stateless tasks: SimHasher's only "state" is a 64-element shift
+    # vector — an actor pool here pays process spawns for nothing (the
+    # MinHasher, whose __init__ builds real signature matrices, stays a
+    # pool).  ``concurrency`` kept for API compat; tasks autoscale.
+    def _sim(df: pd.DataFrame) -> pd.DataFrame:
+        return SimHasher()(df)
+
+    return docs_ds.map_batches(_sim, batch_format="pandas")
 
 
 def simhash_candidate_pairs(docs_ds, max_hamming: int = 3,
@@ -301,7 +343,8 @@ def simhash_candidate_pairs(docs_ds, max_hamming: int = 3,
             "simhash": np.repeat(df["simhash"].to_numpy(), 4),
         })
 
-    exploded = hashed.map_batches(explode, batch_format="pandas")
+    exploded = _only_colliding_buckets(
+        hashed.map_batches(explode, batch_format="pandas"), "band_key")
 
     def verify(group: pd.DataFrame) -> pd.DataFrame:
         hs = dict(zip(group["doc_id"], group["simhash"]))
