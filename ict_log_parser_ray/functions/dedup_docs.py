@@ -207,10 +207,14 @@ def minhash_duplicate_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
 
     from ..stages.join import attach_lookup
 
-    exploded = docs_ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands, k=k),
-        batch_format="pandas", concurrency=concurrency, num_cpus=1)
+    # stateless tasks: MinHasher.__init__ is two 64-element rng draws
+    # (~0.1 ms) — an actor pool's process spawns dominated the stage at
+    # small scale (measured 1.5s of a 2s explode).  ``concurrency`` kept
+    # for API compat; tasks autoscale.
+    def _explode(df: pd.DataFrame) -> pd.DataFrame:
+        return MinHasher(num_perm=num_perm, bands=bands, k=k)(df)
+
+    exploded = docs_ds.map_batches(_explode, batch_format="pandas")
     exploded = _only_colliding_buckets(exploded, "band_key")
 
     def cand(group: pd.DataFrame) -> pd.DataFrame:
@@ -293,10 +297,13 @@ class SimHasher:
         words = pd.Series(np.concatenate([np.asarray(w, dtype=object)
                                           for w in sw if len(w)]))
         hv = self._hash_words(words)
-        bits = ((hv[:, None] >> self._shifts[None, :]) & np.uint64(1)) \
-            .astype(np.int64)                      # (W, 64)
-        pos = np.zeros((n, 64), np.int64)
-        np.add.at(pos, row_idx, bits)
+        # per-bit bincount: never materializes the (W, 64) bit matrix
+        # (512 MB at 1M words) that np.add.at scatter needed
+        pos = np.empty((n, 64), np.int64)
+        for j in range(64):
+            bit = ((hv >> np.uint64(j)) & np.uint64(1)).astype(np.float64)
+            pos[:, j] = np.bincount(row_idx, weights=bit,
+                                    minlength=n).astype(np.int64)
         v = 2 * pos - lens[:, None]                # (+1/-1 vote sums)
         out = ((v > 0).astype(np.uint64)
                << self._shifts[None, :]).sum(axis=1, dtype=np.uint64)
