@@ -246,13 +246,16 @@ def main():
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-sf", type=float, default=2.0,
+                    help="fixture scale for --scaling (fixed input at both "
+                         "CPU levels)")
     ap.add_argument("--single-run", action="store_true")
     ap.add_argument("--no-queries", action="store_true")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
 
     if args.scaling:
-        result = scaling(args.sf_dir)
+        result = scaling(args.sf_dir, scaling_sf=args.scaling_sf)
     else:
         result = single_run(args.num_cpus, args.sf_dir, args.json_out,
                             queries=not args.no_queries)

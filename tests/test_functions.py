@@ -333,3 +333,34 @@ def test_attempt_last_record_wins(ray_session):
     assert a["start_ts"] == int(dt.datetime(2024, 1, 1, 12, 0, 0).timestamp()
                                 * 1_000_000)
     assert att["c2"]["att_status"] == "pass"
+
+
+def test_minhash_pairs_golden_sf001(ray_session):
+    """Golden lock of the verified near-dup PAIR SET over the driver's
+    sf0.01 documents table (VERDICT: promote d_minhash_pairs beyond a
+    rows-only check).  The jaccard values are exact (hash-set) and the
+    pair set is deterministic given the seeded signature matrices."""
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.dedup_docs import (
+        minhash_duplicate_pairs, ngram_jaccard)
+
+    docs = rd.read_parquet("/root/testdata/sf0.01/documents.parquet",
+                           columns=["doc_id", "text"])
+    pairs = minhash_duplicate_pairs(docs, threshold=0.7).to_pandas()
+    got = sorted(zip(pairs["doc_a"].astype(int), pairs["doc_b"].astype(int)))
+    assert got == [
+        (8, 245), (26, 455), (31, 383), (44, 446), (45, 267), (45, 413),
+        (58, 293), (61, 185), (70, 447), (72, 377), (87, 134), (92, 450),
+        (98, 290), (107, 387), (120, 332), (152, 178), (166, 323),
+        (267, 413), (285, 301), (295, 374), (310, 389), (326, 457),
+        (393, 420), (435, 486), (458, 462)]
+    # every reported jaccard equals an independent recomputation
+    import pyarrow.parquet as pq
+
+    t = pq.read_table("/root/testdata/sf0.01/documents.parquet",
+                      columns=["doc_id", "text"])
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    for r in pairs.itertuples():
+        expect = ngram_jaccard(texts[int(r.doc_a)], texts[int(r.doc_b)])
+        assert abs(r.jaccard - expect) < 1e-12
