@@ -52,8 +52,9 @@ from ..stages.attempts import (_RANKED_SCHEMA, _add_rank_bucket,
 from ..stages.dedup import _key_hash, add_key_hash_column
 from ..stages.enrich import enrich_dataset
 from ..stages.parse import parse_dataset
-from ..stages.route import SINKS, add_sink_column
-from .reports import finish_turn_metrics, turn_partials_batch
+from ..stages.route import SINKS, add_sink_column, sink_array
+from .reports import (_sink_part_name, finish_turn_metrics,
+                      turn_partials_batch)
 
 _P1_SCHEMA = pa.schema([
     ("kind", pa.string()),       # 'hashes' | 'att'
@@ -294,16 +295,38 @@ def run_streaming(transcripts_path, tool_meta: pa.Table | None, out_dir: str,
 
     from ..stages.join import _lookup_batch, isin_mask_memo
 
+    flags_token = flags_ref.hex()
+    _skip_write = os.environ.get("ICT_SKIP_SINK_WRITE") == "1"
+    # columns turn_partials_batch actually reads — computing partials on
+    # this text-free projection keeps the big payload out of its filters
+    _NARROW = ["record_type", "status", "test_name", "att_serial",
+               "is_first", "is_final", "lim_sig"]
+
     def _pass2_batch(b: pa.Table) -> pa.Table:
+        import time as _t
+        _prof = {}
+        _c0 = _t.perf_counter()
+
+        def _lap(name):
+            nonlocal _c0
+            now = _t.perf_counter()
+            _prof[name] = _prof.get(name, 0.0) + (now - _c0)
+            _c0 = now
+
         coll_blobs = []          # (part, ipc_bytes) for this batch
+        keep = None              # pa bool mask of non-duplicate rows
         if dup_ref is not None:
             kh = b["kh"]
             if isinstance(kh, pa.ChunkedArray):
                 kh = kh.combine_chunks()
             m = isin_mask_memo(kh, dup_ref)
-            coll = b.filter(m)
-            b = b.filter(pc.invert(m))
-            if coll.num_rows:
+            m_np = m.to_numpy(zero_copy_only=False)
+            if m_np.any():
+                # only the (rare) collision rows are copied out here; the
+                # keep mask folds into the per-sink write filters below, so
+                # the batch is never full-copied just to drop duplicates
+                keep = pc.invert(m)
+                coll = b.filter(m)
                 khp = (coll["kh"].to_numpy().astype(np.uint64)
                        % np.uint64(nparts)).astype(np.int64)
                 parts = pa.array(khp)
@@ -313,14 +336,53 @@ def run_streaming(transcripts_path, tool_meta: pa.Table | None, out_dir: str,
                     with pa.ipc.new_stream(sink, sub.schema) as w:
                         w.write_table(sub)
                     coll_blobs.append((int(p), sink.getvalue()))
+        _lap("dup")
         b = b.drop_columns(["kh"])
-        b = _lookup_batch(b, ray.get(flags_ref), "conv_id")
-        sb = add_sink_column(b)
-        _route_write(sb, out_dir)
-        out = turn_partials_batch(sb)
+        b = _lookup_batch(b, ray.get(flags_ref), "conv_id",
+                          memo_token=flags_token)
+        _lap("flags")
+        sink_arr = sink_array(b)
+        _lap("sinkcol")
+        if not _skip_write:
+            for s in pc.unique(sink_arr).to_pylist():
+                mask = pc.equal(sink_arr, s)
+                if keep is not None:
+                    mask = pc.and_(mask, keep)
+                part = b.filter(mask)
+                _lap("w_filt")
+                if part.num_rows == 0:
+                    continue
+                fn = os.path.join(out_dir, f"sink={s}",
+                                  _sink_part_name(part))
+                _lap("w_name")
+                pq.write_table(part, fn, compression="lz4",
+                               use_dictionary=False, write_statistics=False)
+                _lap("w_io")
+        _lap("write")
+        narrow = b.select(_NARROW).append_column("sink", sink_arr)
+        if keep is not None:
+            narrow = narrow.filter(keep)
+        out = turn_partials_batch(narrow)
+        _lap("partials")
         out = out.append_column("part", pa.nulls(out.num_rows, pa.int64()))
         out = out.append_column("collision_ipc",
                                 pa.nulls(out.num_rows, pa.binary()))
+        if os.environ.get("ICT_P2_PROF") == "1":
+            n_p = len(_prof)
+            prows = pa.table({
+                "metric": pa.array([f"prof:{k}" for k in _prof], pa.string()),
+                "test_name": pa.nulls(n_p, pa.string()),
+                "att_serial": pa.nulls(n_p, pa.string()),
+                "is_first": pa.nulls(n_p, pa.bool_()),
+                "is_final": pa.nulls(n_p, pa.bool_()),
+                "lim_sig": pa.nulls(n_p, pa.string()),
+                "sink": pa.nulls(n_p, pa.string()),
+                "n": pa.array([int(v * 1e6) for v in _prof.values()],
+                              pa.int64()),
+                "part": pa.nulls(n_p, pa.int64()),
+                "collision_ipc": pa.nulls(n_p, pa.binary()),
+            })
+            out = pa.concat_tables([out, prows])
         if coll_blobs:
             n_c = len(coll_blobs)
             extra = pa.table({
@@ -356,6 +418,13 @@ def run_streaming(transcripts_path, tool_meta: pa.Table | None, out_dir: str,
                .drop_columns(["part", "collision_ipc"])
                for blk in ray.get(prefs)]
     mdf = pa.concat_tables(mblocks).combine_chunks().to_pandas()
+    if os.environ.get("ICT_P2_PROF") == "1":
+        pm = mdf["metric"].str.startswith("prof:")
+        agg = mdf[pm].groupby("metric")["n"].sum() / 1e6
+        print("[p2prof] " + "  ".join(f"{k.split(':')[1]}={v:.1f}s"
+                                      for k, v in agg.items()),
+              file=sys.stderr)
+        mdf = mdf[~pm]
     keeper_tables = [t for t in ray.get(keeper_futs) if t is not None]
     if keeper_tables:
         import pandas as pd

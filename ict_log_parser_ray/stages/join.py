@@ -23,11 +23,68 @@ import pyarrow.compute as pc
 import ray
 
 
-def _lookup_batch(batch: pa.Table, right: pa.Table, on: str) -> pa.Table:
+def _pl_hash64(arr: pa.Array) -> "object":
+    """64-bit hash of a string array via polars hash_rows (C speed)."""
+    import os
+    import sys
+
+    if "polars" not in sys.modules:
+        os.environ.setdefault("POLARS_MAX_THREADS", "1")
+    import polars as pl
+
+    return (pl.from_arrow(pa.table({"k": arr})).hash_rows(seed=42)
+            .to_numpy().astype("int64"))
+
+
+def lookup_indices(values, right_keys: pa.Array, memo_token=None):
+    """First-match indices of ``values`` in ``right_keys`` (pa.Int64Array
+    with nulls for misses — drop-in for ``pc.index_in``).
+
+    With ``memo_token``, uses a worker-memoized probe: polars 64-bit hash of
+    both sides, an int64 pandas Index (khash) built ONCE per worker over the
+    right side, a vectorized string-equality verification, and an exact
+    ``index_in`` fallback for any hash-collision rows.  Measured 23 ms vs
+    106 ms per 450k-row batch against 717k keys — and the probe is
+    read-only, while ``index_in`` re-BUILDS its value-set hash table every
+    call, which inflated 4× under 16-core memory-bus contention (p2prof).
+    """
+    import numpy as np
+
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if memo_token is None or len(right_keys) < 50_000 or values.null_count:
+        return pc.index_in(values, value_set=right_keys)
+
+    key = ("lkidx", memo_token)
+    memo = _WORKER_MEMO.get(key)
+    if memo is None:
+        import pandas as pd
+
+        rh = _pl_hash64(right_keys)
+        uniq, first_pos = np.unique(rh, return_index=True)
+        memo = _memo_put(key, (pd.Index(uniq), first_pos.astype(np.int64)))
+    ix, first_pos = memo
+    bh = _pl_hash64(values)
+    pos = ix.get_indexer(bh)
+    idx = np.where(pos >= 0, first_pos[np.maximum(pos, 0)], -1)
+    # verify: a hash hit must also be a string match (collision safety)
+    cand = pc.take(right_keys, pa.array(np.maximum(idx, 0), pa.int64()))
+    ok = pc.equal(cand, values).to_numpy(zero_copy_only=False)
+    bad = (idx >= 0) & (ok != True)  # noqa: E712 — ok may contain None
+    if bad.any():
+        sub = pc.index_in(values.take(pa.array(np.nonzero(bad)[0])),
+                          value_set=right_keys)
+        idx[bad] = (sub.fill_null(-1).to_numpy(zero_copy_only=False)
+                    .astype(np.int64))
+    return pa.array(idx, pa.int64(), mask=(idx < 0))
+
+
+def _lookup_batch(batch: pa.Table, right: pa.Table, on: str,
+                  memo_token=None) -> pa.Table:
     keys = right[on]
     if isinstance(keys, pa.ChunkedArray):
         keys = keys.combine_chunks()
-    idx = pc.index_in(batch[on], value_set=keys)
+    idx = lookup_indices(batch[on], keys, memo_token)
     for name in right.column_names:
         if name == on:
             continue
@@ -59,20 +116,22 @@ def _memo_key(ref) -> str:
 
 
 def isin_mask_memo(values: pa.Array, set_ref) -> "object":
-    """Membership mask of int64 ``values`` in a broadcast int64 set: the
-    set is SORTED once per worker, probed with np.searchsorted per batch
-    (pc.is_in rebuilds its hash set per call)."""
+    """Membership mask of int64 ``values`` in a broadcast int64 set: an
+    int64 pandas Index (khash) built once per worker, probed per batch
+    (pc.is_in rebuilds its hash set per call; a sorted-array searchsorted
+    probe measured ~6× slower — random binary search thrashes the cache)."""
     import numpy as np
+    import pandas as pd
     import ray
 
     key = ("isin", _memo_key(set_ref))
-    arr = _WORKER_MEMO.get(key)
-    if arr is None:
-        arr = _memo_put(key, np.sort(ray.get(set_ref).to_numpy()))
+    ix = _WORKER_MEMO.get(key)
+    if ix is None:
+        ix = _memo_put(key, pd.Index(np.unique(ray.get(set_ref).to_numpy())))
     v = values.to_numpy()
-    pos = np.searchsorted(arr, v)
-    pos[pos == len(arr)] = max(len(arr) - 1, 0)
-    return pa.array(arr[pos] == v if len(arr) else np.zeros(len(v), bool))
+    if not len(ix):
+        return pa.array(np.zeros(len(v), bool))
+    return pa.array(ix.get_indexer(v) >= 0)
 
 
 def attach_lookup(left_ds, right_ds, on: str, broadcast_threshold: int = 2_000_000,
@@ -91,11 +150,12 @@ def attach_lookup(left_ds, right_ds, on: str, broadcast_threshold: int = 2_000_0
             tbl = empty_schema.empty_table()
         ref = ray.put(tbl)
 
+        token = _memo_key(ref)
+
         def lookup(batch: pa.Table) -> pa.Table:
-            # arrow index_in (builds its value-set hash per call) measured
-            # FASTER than a worker-memoized pandas Index probe (132 vs
-            # 308 ms / 262k string keys) — arrow's hash build is cheap
-            return _lookup_batch(batch, ray.get(ref), on)
+            # big right side: memoized hash-probe (see lookup_indices);
+            # small right side: plain index_in (hash build is cheap there)
+            return _lookup_batch(batch, ray.get(ref), on, memo_token=token)
 
         return left_ds.map_batches(lookup, batch_format="pyarrow",
                                    zero_copy_batch=True)

@@ -71,7 +71,10 @@ def attach_attempt_flags(parsed_ds, ranked_attempts_ds,
                          empty_schema=empty_schema)
 
 
-def add_sink_column(batch: pa.Table) -> pa.Table:
+def sink_array(batch: pa.Table) -> pa.Array:
+    """Per-row sink assignment (priority: parse_error > retest > fail >
+    measurement > pass) as a standalone array — callers that split a batch
+    by sink can mask on this without appending a column first."""
     rt = batch["record_type"]
     is_err = pc.equal(rt, "parse_error")
     is_retest = pc.and_kleene(
@@ -79,14 +82,17 @@ def add_sink_column(batch: pa.Table) -> pa.Table:
     )
     is_fail = pc.equal(pc.fill_null(batch["status"], "unknown"), "fail")
     is_analog = pc.equal(rt, "analog")
-    sink = pc.if_else(
+    return pc.if_else(
         is_err, pa.scalar("parse_error"),
         pc.if_else(pc.fill_null(is_retest, False), pa.scalar("retest"),
                    pc.if_else(is_fail, pa.scalar("fail"),
                               pc.if_else(is_analog, pa.scalar("measurement"),
                                          pa.scalar("pass")))),
     )
-    return batch.append_column("sink", sink)
+
+
+def add_sink_column(batch: pa.Table) -> pa.Table:
+    return batch.append_column("sink", sink_array(batch))
 
 
 def route_dataset(flagged_ds):
