@@ -168,7 +168,7 @@ def single_run(num_cpus: int, sf_dir: str, json_out: str | None,
     return result
 
 
-def scaling(sf_dir: str, cpus=(4, 16), repeats: int = 2,
+def scaling(sf_dir: str, cpus=(4, 16), repeats: int = 3,
             scaling_sf: float | None = 2.0, streaming: bool = True) -> dict:
     """N→4N scaling evidence: fresh-process runs of the identical job at two
     parallelism levels on the same input; best-of-``repeats`` per level.
@@ -199,9 +199,13 @@ def scaling(sf_dir: str, cpus=(4, 16), repeats: int = 2,
     # compute+shuffle scales at 0.82 while the shared-disk term is ~17 s
     # flat at both levels.  Both levels here run the identical job config.
     sink_root = os.environ.get("ICT_BENCH_SINK_DIR", "/dev/shm/ict_bench")
-    for n in (lo, hi):
-        best = None
-        for r in range(repeats):
+    # INTERLEAVED repeats — (lo, hi), (lo, hi), ... rather than all-lo then
+    # all-hi: this shared VM's throughput swings ~2× on an hour timescale
+    # (host-level neighbor contention), and interleaving gives both levels
+    # the same draw of host conditions so the RATIO stays meaningful;
+    # best-of-N per level then discards the contended windows.
+    for r in range(repeats):
+        for n in (lo, hi):
             path = f"/tmp/ict_ray_bench_scale_{n}_{r}.json"
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
                        ICT_BENCH_SINK_DIR=sink_root)
@@ -215,9 +219,8 @@ def scaling(sf_dir: str, cpus=(4, 16), repeats: int = 2,
                 check=True, env=env,
                 cwd=os.path.dirname(os.path.abspath(__file__)))
             out = json.load(open(path))
-            if best is None or out["turns_per_sec"] > best["turns_per_sec"]:
-                best = out
-        outs[n] = best
+            if n not in outs or out["turns_per_sec"] > outs[n]["turns_per_sec"]:
+                outs[n] = out
     if sink_root.startswith("/dev/shm"):
         shutil.rmtree(sink_root, ignore_errors=True)
     t_lo, t_hi = outs[lo]["turns_per_sec"], outs[hi]["turns_per_sec"]

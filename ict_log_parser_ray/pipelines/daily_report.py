@@ -38,10 +38,17 @@ def product_hourly(ranked, enrich_lookup: dict | None = None):
     back to the raw tool id when missing (null-product tools stay visible).
     """
     lut = enrich_lookup or {}
+    # vectorized dict lookup: index_in + take (stages/join.py idiom),
+    # unmatched tools fall back to the raw tool id
+    lut_keys = pa.array(list(lut.keys()), pa.string())
+    lut_vals = pa.array(list(lut.values()), pa.string())
 
     def _prep(b: pa.Table) -> pa.Table:
-        tools = b["tool"].to_pylist()
-        prod = pa.array([lut.get(t, t) for t in tools], pa.string())
+        tool = b["tool"]
+        if isinstance(tool, pa.ChunkedArray):
+            tool = tool.combine_chunks()
+        idx = pc.index_in(tool, value_set=lut_keys)
+        prod = pc.coalesce(pc.take(lut_vals, idx), tool)
         status = b["att_status"]
         if isinstance(status, pa.ChunkedArray):
             status = status.combine_chunks()
@@ -143,11 +150,18 @@ def daily_report(pipe, report_day: datetime, tool_meta: pa.Table | None = None,
                        tool_meta["product"].to_pylist()))
 
     hourly = product_hourly(ranked, lut).to_pandas()
+    if "product" not in hourly.columns:
+        # a day window with zero in-range attempts: the empty Dataset loses
+        # its schema after groupby — report an empty day, don't crash
+        hourly = pd.DataFrame(columns=["product", "hour_key", "ok", "nok"])
     totals = (hourly.groupby("product", as_index=False)[["ok", "nok"]].sum()
               .assign(hour_key=-1))  # A10 totals row per product
     hourly_with_totals = pd.concat([hourly, totals], ignore_index=True)
 
     fb = reports.failed_boards(ranked, flagged).to_pandas()
+    if "tool" not in fb.columns:  # empty day window (schema lost, as above)
+        fb = pd.DataFrame(columns=["serial", "tool", "start_ts",
+                                   "n_attempts", "final_status"])
     fb["product"] = fb["tool"].map(lambda t: lut.get(t, t))
 
     return {

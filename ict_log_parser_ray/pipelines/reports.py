@@ -73,10 +73,13 @@ def yields_sb(ranked) -> pa.Table:
     flags = ranked.map_batches(_yield_flags, batch_format="pyarrow",
                                zero_copy_batch=True)
     sums = flags.sum(["first_ok", "first_nok", "final_ok", "final_nok",
-                      "all_ok", "all_nok"])
+                      "all_ok", "all_nok"]) or {}
     rows = []
     for phase in ("first", "final", "all"):
-        ok, nok = sums[f"sum({phase}_ok)"], sums[f"sum({phase}_nok)"]
+        # Dataset.sum yields None per column on an empty input (e.g. a
+        # day window with no attempts) — report zeros, don't crash
+        ok = sums.get(f"sum({phase}_ok)") or 0
+        nok = sums.get(f"sum({phase}_nok)") or 0
         rows.append({"phase": phase, "ok": ok, "nok": nok,
                      "yield_pct": _pct(ok, nok)})
     return pa.Table.from_pylist(rows)
@@ -135,10 +138,13 @@ def yields_mb(ranked) -> pa.Table:
 
     flags = runs.map_batches(_flags, batch_format="pyarrow", zero_copy_batch=True)
     sums = flags.sum(["first_ok", "first_nok", "final_ok", "final_nok",
-                      "all_ok", "all_nok"])
+                      "all_ok", "all_nok"]) or {}
     rows = []
     for phase in ("first", "final", "all"):
-        ok, nok = sums[f"sum({phase}_ok)"], sums[f"sum({phase}_nok)"]
+        # Dataset.sum yields None per column on an empty input (e.g. a
+        # day window with no attempts) — report zeros, don't crash
+        ok = sums.get(f"sum({phase}_ok)") or 0
+        nok = sums.get(f"sum({phase}_nok)") or 0
         rows.append({"phase": phase, "ok": ok, "nok": nok,
                      "yield_pct": _pct(ok, nok)})
     return pa.Table.from_pylist(rows)

@@ -118,13 +118,15 @@ def _pass1_batch(b: pa.Table, nparts: int) -> pa.Table:
 
 # ---------------- distributed pass-1 finish (tree reduce) ----------------
 
-@ray.remote
+@ray.remote(num_returns=2)
 def _finish_part(p: int, nparts: int, refs):
     """ONE scan of the narrow blocks for partition p → (duplicate key
     hashes of key-hash-part p, combined+decoded attempts of conv-hash-part
     p tagged with their serial rank bucket).  Merging the dup and combine
     rounds halves the per-task block scans (each task reads every narrow
-    block and filters its partition)."""
+    block and filters its partition).  Two return objects so the rank
+    tasks fetch only the attempt tables — the dup arrays go to the driver
+    alone."""
     arrs = []
     subs = []
     for blk in ray.get(refs):
@@ -142,11 +144,11 @@ def _finish_part(p: int, nparts: int, refs):
 
 
 @ray.remote
-def _rank_part(p: int, finish_outs) -> pa.Table:
+def _rank_part(p: int, att_refs) -> pa.Table:
     """Rank the serial-bucket-p slice of the combined attempts with the
     shared numpy lexsort/segment kernel (a serial never spans buckets)."""
     subs = [t.filter(pc.equal(t["rank_bucket"], p)).drop_columns(
-        ["rank_bucket"]) for _, t in ray.get(finish_outs)]
+        ["rank_bucket"]) for t in ray.get(att_refs)]
     df = _rank_df(pa.concat_tables(subs).to_pandas())
     cols = {f.name: pa.array(df[f.name], f.type, from_pandas=True)
             for f in _RANKED_SCHEMA}
@@ -256,10 +258,14 @@ def run_streaming(transcripts_path, tool_meta: pa.Table | None, out_dir: str,
     if num_blocks is None:
         num_blocks = max(64, ncpu * 4)
     # each reduce task scans every narrow block and filters its partition,
-    # so total scan work is nparts × narrow-stream size; with the sort cost
-    # now trivial (dup_values), small nparts wins — 8 caps amplification
-    # while keeping the reduce parallel
-    nparts = max(4, min(8, ncpu))
+    # so total scan work is nparts × narrow-stream size (zero-copy plasma
+    # reads — the filter, not the fetch, is the cost).  nparts follows the
+    # CPU count so the finish phase isn't an Amdahl term at high
+    # parallelism (a fixed nparts=8 left half of 16 cores idle for ~1.8s
+    # flat at both scaling levels); the cap bounds scan amplification — at
+    # cluster scale replace the scan-and-filter with a real hash shuffle
+    # of the narrow stream.
+    nparts = max(4, min(ncpu, 32))
 
     # -------- pass 1: narrow specialized scan (hashes + attempt partials)
     p1 = read_transcripts(transcripts_path,
@@ -272,9 +278,10 @@ def run_streaming(transcripts_path, tool_meta: pa.Table | None, out_dir: str,
 
     # -------- distributed finish: dup set + combine + rank
     refs = narrow.to_arrow_refs()
-    a_futs = [_finish_part.remote(p, nparts, refs) for p in range(nparts)]
-    b_futs = [_rank_part.remote(p, a_futs) for p in range(nparts)]
-    dups = np.concatenate([d for d, _ in ray.get(a_futs)])
+    dup_futs, att_futs = zip(*(_finish_part.remote(p, nparts, refs)
+                               for p in range(nparts)))
+    b_futs = [_rank_part.remote(p, list(att_futs)) for p in range(nparts)]
+    dups = np.concatenate(ray.get(list(dup_futs)))
     dup_ref = ray.put(pa.array(dups, pa.int64())) if len(dups) else None
     ranked_tbl = pa.concat_tables(ray.get(b_futs)).combine_chunks()
     ranked = rd.from_arrow(ranked_tbl)

@@ -155,6 +155,21 @@ def test_daily_report_window_excludes_out_of_day(pipeline, fixture_sf0001):
             <= ha[ha["hour_key"] != -1]["ok"].sum())
 
 
+def test_daily_report_empty_day(pipeline, fixture_sf0001):
+    """A report day with zero in-window attempts yields empty tables, not a
+    crash (empty Datasets lose their schema after groupby/map — the report
+    assembly must tolerate that)."""
+    from ict_log_parser_ray.pipelines.daily_report import daily_report
+
+    rep = daily_report(pipeline, datetime(1999, 1, 1),
+                       tool_meta=fixture_sf0001["tool_meta"])
+    assert len(rep["hourly"]) == 0
+    assert len(rep["pareto"]) == 0
+    assert len(rep["failed_boards"]) == 0
+    y = rep["yields"]
+    assert len(y) == 3 and (y["ok"] == 0).all() and (y["nok"] == 0).all()
+
+
 # ------------------------------------------------------------------- A5
 
 def test_mb_results(pipeline, fixture_sf0001):
