@@ -584,24 +584,28 @@ def write_sinks_with_metrics(flagged, out_dir: str) -> dict:
     import pyarrow.parquet as _pq
     import ray
 
-    from ..stages.route import SINKS, add_sink_column
+    from ..stages.route import SINKS
 
     os.makedirs(out_dir, exist_ok=True)
     for s in SINKS:
         os.makedirs(os.path.join(out_dir, f"sink={s}"), exist_ok=True)
 
+    from ..stages.route import sink_array
+
+    narrow_cols = ["record_type", "status", "test_name", "att_serial",
+                   "is_first", "is_final", "lim_sig"]
+
     def _write_and_partial(b: pa.Table) -> pa.Table:
-        sb = add_sink_column(b)
-        col = sb["sink"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        for s in pc.unique(col).to_pylist():
-            part = sb.filter(pc.equal(sb["sink"], s)).drop_columns(["sink"])
+        sink = sink_array(b)
+        for s in pc.unique(sink).to_pylist():
+            part = b.filter(pc.equal(sink, s))
             fn = os.path.join(out_dir, f"sink={s}", _sink_part_name(part))
             # same write profile as the streaming sink (see streaming.py)
             _pq.write_table(part, fn, compression="lz4",
                             use_dictionary=False, write_statistics=False)
-        return turn_partials_batch(sb)
+        # partial metrics on a text-free projection (streaming.py idiom)
+        return turn_partials_batch(
+            b.select(narrow_cols).append_column("sink", sink))
 
     part = flagged.map_batches(_write_and_partial, batch_format="pyarrow",
                                zero_copy_batch=True).materialize()
