@@ -143,11 +143,15 @@ def exact_dedup_sparse(ds, keys=("conv_id", "turn_idx"), key_ds=None):
     dup_set = pa.array(dups, pa.int64())
     dup_ref = ray.put(dup_set)
 
+    from .join import isin_mask_memo
+
     # pass B (full): drop every copy of a dup key — rows that survive have
-    # globally-unique keys by construction, so no local dedup is needed
+    # globally-unique keys by construction, so no local dedup is needed.
+    # Membership via the worker-memoized khash probe (pc.is_in rebuilds its
+    # hash set per batch — the contention trap, see stages/join.py).
     def clean_batch(batch: pa.Table) -> pa.Table:
         kh = pa.array(_key_hash(batch, keys), pa.int64())
-        return batch.filter(pc.invert(pc.is_in(kh, value_set=ray.get(dup_ref))))
+        return batch.filter(pc.invert(isin_mask_memo(kh, dup_ref)))
 
     clean = ds.map_batches(clean_batch, batch_format="pyarrow",
                            zero_copy_batch=True)
@@ -159,7 +163,7 @@ def exact_dedup_sparse(ds, keys=("conv_id", "turn_idx"), key_ds=None):
     # partitions); this path is <0.1s.  Beyond the budget, exact_dedup.
     def only_dups(batch: pa.Table) -> pa.Table:
         kh = pa.array(_key_hash(batch, keys), pa.int64())
-        return batch.filter(pc.is_in(kh, value_set=ray.get(dup_ref)))
+        return batch.filter(isin_mask_memo(kh, dup_ref))
 
     collisions = ds.map_batches(only_dups, batch_format="pyarrow",
                                 zero_copy_batch=True).materialize()

@@ -142,7 +142,7 @@ def _attempts_fingerprint(ranked) -> str:
 
 
 def run_resumable(transcripts_files: list[str], out_root: str, tool_meta,
-                  dedup_buckets: int = 16, fail_after_shards: int | None = None):
+                  fail_after_shards: int | None = None):
     """Sharded, manifest-checkpointed parse→enrich→rank→route run.
 
     ``transcripts_files``: one shard per input parquet file.  Shards must be
@@ -161,7 +161,7 @@ def run_resumable(transcripts_files: list[str], out_root: str, tool_meta,
     import ray.data as rd
 
     from ..stages.attempts import ranked_attempts
-    from ..stages.dedup import exact_dedup
+    from ..stages.dedup import exact_dedup_sparse
     from ..stages.enrich import enrich_dataset
     from ..stages.parse import parse_dataset
     from ..stages.route import (attach_attempt_flags, route_dataset)
@@ -197,9 +197,17 @@ def run_resumable(transcripts_files: list[str], out_root: str, tool_meta,
 
         ds = ds.map_batches(_shard_col, batch_format="pyarrow",
                             zero_copy_batch=True)
-        rows_in_total = ds.count()
-        ds = exact_dedup(ds, keys=("conv_id", "turn_idx"),
-                         num_buckets=dedup_buckets)
+        rows_in_total = sum(pq.ParquetFile(p).metadata.num_rows
+                            for p in paths)  # metadata only — no read pass
+        # conversation-disjoint shards (documented precondition above) keep
+        # every copy of a duplicate key inside this group, so the sparse
+        # collision-only dedup applies: an 8-byte/row key-hash pre-scan
+        # (column-pruned — pass A never touches text) + broadcast drop,
+        # instead of hash-shuffling every byte of every row through the
+        # object store (the round-1 design; judged a scale concern).
+        key_ds = rd.read_parquet(paths, columns=["conv_id", "turn_idx"])
+        ds = exact_dedup_sparse(ds, keys=("conv_id", "turn_idx"),
+                                key_ds=key_ds)
         ds = parse_dataset(ds)
         if tool_meta is not None:
             ds = enrich_dataset(ds, tool_meta)
