@@ -364,3 +364,44 @@ def test_minhash_pairs_golden_sf001(ray_session):
     for r in pairs.itertuples():
         expect = ngram_jaccard(texts[int(r.doc_a)], texts[int(r.doc_b)])
         assert abs(r.jaccard - expect) < 1e-12
+
+
+# ------------------------------------------------- broadcast lookup probe
+
+def test_lookup_indices_matches_index_in_and_survives_collisions(monkeypatch):
+    """The memoized hash-probe lookup must agree with pc.index_in exactly —
+    including under 64-bit hash COLLISIONS, which the string-verify +
+    exact-fallback path handles.  Collisions are forced by substituting a
+    deliberately weak hash (string length), so every same-length key
+    collides; the probe runs in-process so the monkeypatch reaches it."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ict_log_parser_ray.stages import join
+
+    rng = np.random.default_rng(7)
+    right = pa.array([f"conv_{i:06d}" for i in range(60_000)]
+                     + [f"x{i}" for i in range(5)])          # mixed lengths
+    values = pc.take(right, pa.array(rng.integers(0, len(right), 10_000)))
+    # misses + nulls-free batch
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    values = pa.concat_arrays([values,
+                               pa.array(["nope", "conv_", "x999999"])])
+
+    # index_in yields int32 indices; the probe yields int64 (safe past
+    # 2^31 rows) — compare values, not storage type
+    expected = pc.cast(pc.index_in(values, value_set=right), pa.int64())
+
+    # real hash first
+    got = join.lookup_indices(values, right, memo_token="t-real")
+    assert got.equals(expected)
+
+    # force collisions: hash = len(string) → 60k keys share one hash
+    monkeypatch.setattr(join, "_pl_hash64",
+                        lambda arr: np.asarray(pc.utf8_length(arr)
+                                               .to_numpy(zero_copy_only=False)
+                                               ).astype("int64"))
+    got2 = join.lookup_indices(values, right, memo_token="t-weak")
+    assert got2.equals(expected)
