@@ -72,3 +72,43 @@ def test_streaming_sink_files_row_identical_to_materialized(
 def test_streaming_attempts_match_parity(streamed, fixture_sf0001):
     golden = fixture_sf0001["golden"]
     assert streamed["attempts"].count() == golden["n_attempts"]
+
+
+def test_streaming_garbage_only_transcripts(ray_session, tmp_path):
+    """No parseable record anywhere: the verify probe that found real bugs
+    in the materialized path — every turn must route to parse_error, the
+    attempt table must come back empty, and nothing may crash.  Covers the
+    STREAMING flagship end-to-end (the materialized path is covered by the
+    parity/fuzz suites)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ict_log_parser_ray.pipelines.streaming import run_streaming
+
+    n = 500
+    tdir = tmp_path / "transcripts"
+    tdir.mkdir()
+    pq.write_table(pa.table({
+        "conv_id": pa.array([f"c{i % 37}" for i in range(n)]),
+        "turn_idx": pa.array([i % 29 for i in range(n)], pa.int32()),
+        "role": pa.array(["tool"] * n),
+        "text": pa.array([f"utter garbage {i} ###" for i in range(n)]),
+        "tool": pa.array(["t0"] * n),
+        "ts": pa.array([1_700_000_000_000_000 + i for i in range(n)],
+                       pa.timestamp("us")),
+    }), tdir / "part-0.parquet")
+
+    out = tmp_path / "sinks"
+    res = run_streaming(str(tdir), None, str(out))
+
+    sc = {r["sink"]: r["n"]
+          for r in res["reports"]["sink_counts"].to_dict("records")}
+    # lcm(37, 29) > n, so every (conv_id, turn_idx) key is unique: all n
+    # turns survive dedup and every one routes to parse_error
+    assert sc == {"parse_error": n}
+    assert res["attempts"].count() == 0
+    ys = {r["phase"]: (r["ok"], r["nok"])
+          for r in res["reports"]["yields_sb"].to_pylist()}
+    assert ys == {"first": (0, 0), "final": (0, 0), "all": (0, 0)}
+    for mode in ("all", "first_pass", "after_retest"):
+        assert len(res["reports"][f"pareto_{mode}"]) == 0
