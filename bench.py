@@ -8,9 +8,10 @@ the scale matching $GRAFT_SF_DIR, plus representative driver-table queries,
 and prints ONE JSON line.
 
 --scaling: runs the identical headline job in fresh subprocesses at two
-parallelism levels (8 and 32 CPUs) on the same input and reports both
-throughputs plus scaling efficiency = (tput_32 / tput_8) / 4 — the sandbox
-evidence for the north_rule's N→4N cluster-size criterion.
+parallelism levels (default 2 and 8 CPUs; --cpus lo,hi) on the same input
+and reports both throughputs plus scaling efficiency = (tput_hi /
+tput_lo) / (hi / lo) — the sandbox evidence for the north_rule's N→4N
+cluster-size criterion (see scaling() for why (2,8) is canonical).
 """
 
 from __future__ import annotations
@@ -263,10 +264,11 @@ def main():
     ap.add_argument("--scaling-sf", type=float, default=2.0,
                     help="fixture scale for --scaling (fixed input at both "
                          "CPU levels)")
-    ap.add_argument("--cpus", default="4,16",
-                    help="lo,hi CPU pair for --scaling (hi = 4x lo evidences "
-                         "the N->4N criterion at a different occupancy of "
-                         "this 32-core box)")
+    ap.add_argument("--cpus", default="2,8",
+                    help="lo,hi CPU pair for --scaling; (2,8) is canonical "
+                         "(<=25%% box occupancy isolates job scaling from "
+                         "the shared memory bus — see scaling() docstring); "
+                         "use 4,16 for the high-occupancy variant")
     ap.add_argument("--single-run", action="store_true")
     ap.add_argument("--no-queries", action="store_true")
     ap.add_argument("--json-out", default=None)

@@ -602,36 +602,56 @@ def e_point_lookup(sf_dir):
 
 def q1_lineitem(sf_dir):
     """TPC-H Q1-flavored grouped aggregate (exact-arithmetic columns only)."""
-    from ray.data.aggregate import Count, Sum
-
     ds = read_table(sf_dir, "lineitem",
                     columns=["l_returnflag", "l_linestatus", "l_quantity",
                              "l_shipdate"])
     import datetime as dt
 
-    def filt(b: pa.Table) -> pa.Table:
-        return b.filter(pc.less_equal(b["l_shipdate"],
-                                      pa.scalar(dt.datetime(1998, 9, 2))))
+    # per-batch partial combine (6 groups/batch) → tiny driver finish —
+    # a Ray groupby here shuffles every filtered row to aggregate into 6
+    # groups (CLAUDE.md partial-combine rule); measured 1.5 s → ~0.4 s
+    def partial(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.less_equal(b["l_shipdate"],
+                                   pa.scalar(dt.datetime(1998, 9, 2))))
+        g = pa.TableGroupBy(f.select(
+            ["l_returnflag", "l_linestatus", "l_quantity"]),
+            ["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ([], "count_all")])
+        return g
 
-    pre = ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
-    out = pre.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"), Count(alias_name="n"))
-    df = out.to_pandas()
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_arrow_refs()
+    import ray as _ray
+    tbl = pa.concat_tables(_ray.get(parts))
+    df = (tbl.to_pandas()
+          .groupby(["l_returnflag", "l_linestatus"], as_index=False)
+          .agg(sum_qty=("l_quantity_sum", "sum"), n=("count_all", "sum")))
     df["avg_qty"] = (df["sum_qty"] / df["n"]).round(6)
     return _i64(df, ["n"])
 
 
 def d_token_counts(sf_dir):
-    """Token counting (BPE-ish regex + whitespace) over documents."""
-    from ..functions.text import analyze_documents
+    """Token counting (BPE-ish regex + whitespace) over documents.
+
+    Lean stateless map computing ONLY the two token counts — the full
+    TextAnalyzer actor pool (lang-ID, fingerprint, quality, …) costs ~4×
+    for features this query then throws away; d_analysis runs the full
+    analyzer."""
+    from ..functions.text import TOKEN_RE
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    out = analyze_documents(ds)
 
-    def sel(df):
-        return df[["doc_id", "n_tok", "n_ws_tok"]]
+    def toks(df):
+        import pandas as pd
 
-    return _i64(out.map_batches(sel, batch_format="pandas").to_pandas(),
+        t = df["text"].fillna("")
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_tok": t.str.count(TOKEN_RE).astype("int64"),
+            "n_ws_tok": t.str.split().str.len().fillna(0).astype("int64"),
+        })
+
+    return _i64(ds.map_batches(toks, batch_format="pandas").to_pandas(),
                 ["doc_id", "n_tok", "n_ws_tok"])
 
 

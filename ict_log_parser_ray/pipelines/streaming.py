@@ -118,7 +118,7 @@ def _pass1_batch(b: pa.Table, nparts: int) -> pa.Table:
 
 # ---------------- distributed pass-1 finish (tree reduce) ----------------
 
-@ray.remote(num_returns=2)
+@ray.remote(num_returns=2, num_cpus=0)
 def _finish_part(p: int, nparts: int, refs):
     """ONE scan of the narrow blocks for partition p → (duplicate key
     hashes of key-hash-part p, combined+decoded attempts of conv-hash-part
@@ -126,7 +126,15 @@ def _finish_part(p: int, nparts: int, refs):
     rounds halves the per-task block scans (each task reads every narrow
     block and filters its partition).  Two return objects so the rank
     tasks fetch only the attempt tables — the dup arrays go to the driver
-    alone."""
+    alone.
+
+    The whole finish chain runs at ``num_cpus=0``: pass 2 starts BEFORE
+    the finish completes (its first batch per worker blocks inside the UDF
+    on the dup/flags futures, overlapping the finish latency with pass-2's
+    read+parse), and a blocked map task does not release its CPU — 1-CPU
+    finish tasks would deadlock behind a saturated map pool.  Measured:
+    the overlap wins at the canonical low-occupancy scaling levels (+6% at
+    4 CPUs) and is noise-neutral at 16 where oversubscription bites."""
     arrs = []
     subs = []
     for blk in ray.get(refs):
@@ -143,10 +151,11 @@ def _finish_part(p: int, nparts: int, refs):
     return dups, _add_rank_bucket(dec, nparts)
 
 
-@ray.remote
+@ray.remote(num_cpus=0)
 def _rank_part(p: int, att_refs) -> pa.Table:
     """Rank the serial-bucket-p slice of the combined attempts with the
-    shared numpy lexsort/segment kernel (a serial never spans buckets)."""
+    shared numpy lexsort/segment kernel (a serial never spans buckets).
+    num_cpus=0: overlapped finish chain (see _finish_part)."""
     subs = [t.filter(pc.equal(t["rank_bucket"], p)).drop_columns(
         ["rank_bucket"]) for t in ray.get(att_refs)]
     df = _rank_df(pa.concat_tables(subs).to_pandas())
@@ -155,14 +164,37 @@ def _rank_part(p: int, att_refs) -> pa.Table:
     return pa.table(cols)
 
 
-@ray.remote
-def _attempt_reports_task(ranked_tbl: pa.Table) -> dict:
-    """A1/A2/A4 small tables from the ranked attempts — launched as a task
-    right after the rank finish so it overlaps pass 2 instead of adding a
-    driver-serial tail."""
+@ray.remote(num_cpus=0)
+def _concat_dups(*dup_parts) -> pa.Array:
+    """Union of the per-partition duplicate-key-hash sets (possibly
+    empty).  num_cpus=0: overlapped finish chain (see _finish_part)."""
+    arrs = [d for d in dup_parts if len(d)]
+    return pa.array(np.concatenate(arrs) if arrs else np.empty(0, np.int64),
+                    pa.int64())
+
+
+@ray.remote(num_cpus=0)
+def _build_flags(*rank_parts) -> pa.Table:
+    """conv_id → attempt-flag broadcast table from the rank parts.
+    num_cpus=0: overlapped finish chain (see _finish_part)."""
+    from ..stages.route import ATTEMPT_ATTACH_COLS
+
+    ranked_tbl = pa.concat_tables(rank_parts).combine_chunks()
+    flag_cols = {"conv_id": ranked_tbl["conv_id"]}
+    for src, dst in ATTEMPT_ATTACH_COLS.items():
+        flag_cols[dst] = ranked_tbl[src]
+    return pa.table(flag_cols)
+
+
+@ray.remote(num_cpus=0)
+def _attempt_reports_task(*rank_parts) -> dict:
+    """A1/A2/A4 small tables from the ranked attempts — launched with the
+    finish chain so it overlaps pass 2 instead of adding a driver-serial
+    tail."""
     from .reports import attempt_reports_from_table
 
-    return attempt_reports_from_table(ranked_tbl)
+    return attempt_reports_from_table(
+        pa.concat_tables(rank_parts).combine_chunks())
 
 
 def _route_write(sb: pa.Table, out_dir: str) -> None:
@@ -276,24 +308,19 @@ def run_streaming(transcripts_path, tool_meta: pa.Table | None, out_dir: str,
                             fn_kwargs={"nparts": nparts}).materialize()
     _t = _tick("pass1 (hash+attempt scan)", _t)
 
-    # -------- distributed finish: dup set + combine + rank
+    # ---- distributed finish: dup set + combine + rank (launch only) ----
+    # Pass 2 starts immediately; its first batch per worker blocks inside
+    # the UDF on the dup/flags futures, hiding the finish latency (a flat
+    # ~1.5-3 s at every CPU count) behind pass-2's read+parse.  The chain
+    # runs at num_cpus=0 — see _finish_part for the deadlock reasoning.
     refs = narrow.to_arrow_refs()
     dup_futs, att_futs = zip(*(_finish_part.remote(p, nparts, refs)
                                for p in range(nparts)))
     b_futs = [_rank_part.remote(p, list(att_futs)) for p in range(nparts)]
-    dups = np.concatenate(ray.get(list(dup_futs)))
-    dup_ref = ray.put(pa.array(dups, pa.int64())) if len(dups) else None
-    ranked_tbl = pa.concat_tables(ray.get(b_futs)).combine_chunks()
-    ranked = rd.from_arrow(ranked_tbl)
-
-    # broadcast flag table for pass 2 (conv_id → attempt flags)
-    from ..stages.route import ATTEMPT_ATTACH_COLS
-    flag_cols = {"conv_id": ranked_tbl["conv_id"]}
-    for src, dst in ATTEMPT_ATTACH_COLS.items():
-        flag_cols[dst] = ranked_tbl[src]
-    flags_ref = ray.put(pa.table(flag_cols))
-    reports_fut = _attempt_reports_task.remote(ranked_tbl)  # overlaps pass 2
-    _t = _tick("distributed rank+dupset", _t)
+    dup_ref = _concat_dups.remote(*dup_futs)
+    flags_ref = _build_flags.remote(*b_futs)
+    reports_fut = _attempt_reports_task.remote(*b_futs)
+    _t = _tick("rank+dupset launch", _t)
 
     # ---------------- pass 2: route + write + metrics ----------------
     os.makedirs(out_dir, exist_ok=True)
@@ -322,27 +349,28 @@ def run_streaming(transcripts_path, tool_meta: pa.Table | None, out_dir: str,
 
         coll_blobs = []          # (part, ipc_bytes) for this batch
         keep = None              # pa bool mask of non-duplicate rows
-        if dup_ref is not None:
-            kh = b["kh"]
-            if isinstance(kh, pa.ChunkedArray):
-                kh = kh.combine_chunks()
-            m = isin_mask_memo(kh, dup_ref)
-            m_np = m.to_numpy(zero_copy_only=False)
-            if m_np.any():
-                # only the (rare) collision rows are copied out here; the
-                # keep mask folds into the per-sink write filters below, so
-                # the batch is never full-copied just to drop duplicates
-                keep = pc.invert(m)
-                coll = b.filter(m)
-                khp = (coll["kh"].to_numpy().astype(np.uint64)
-                       % np.uint64(nparts)).astype(np.int64)
-                parts = pa.array(khp)
-                for p in np.unique(khp):
-                    sub = coll.filter(pc.equal(parts, int(p)))
-                    sink = io.BytesIO()
-                    with pa.ipc.new_stream(sink, sub.schema) as w:
-                        w.write_table(sub)
-                    coll_blobs.append((int(p), sink.getvalue()))
+        kh = b["kh"]
+        if isinstance(kh, pa.ChunkedArray):
+            kh = kh.combine_chunks()
+        # first call per worker blocks here until the dup future resolves
+        # (the intended overlap point); the set may be empty → all-False
+        m = isin_mask_memo(kh, dup_ref)
+        m_np = m.to_numpy(zero_copy_only=False)
+        if m_np.any():
+            # only the (rare) collision rows are copied out here; the
+            # keep mask folds into the per-sink write filters below, so
+            # the batch is never full-copied just to drop duplicates
+            keep = pc.invert(m)
+            coll = b.filter(m)
+            khp = (coll["kh"].to_numpy().astype(np.uint64)
+                   % np.uint64(nparts)).astype(np.int64)
+            parts = pa.array(khp)
+            for p in np.unique(khp):
+                sub = coll.filter(pc.equal(parts, int(p)))
+                sink = io.BytesIO()
+                with pa.ipc.new_stream(sink, sub.schema) as w:
+                    w.write_table(sub)
+                coll_blobs.append((int(p), sink.getvalue()))
         _lap("dup")
         b = b.drop_columns(["kh"])
         b = _lookup_batch(b, ray.get(flags_ref), "conv_id",
@@ -413,10 +441,15 @@ def run_streaming(transcripts_path, tool_meta: pa.Table | None, out_dir: str,
                           zero_copy_batch=True).materialize()
     _t = _tick("pass2 (parse+route+write)", _t)
 
+    # pass 2 is done, so the finish futures resolved long ago — assemble
+    # the ranked attempt table for the caller
+    ranked_tbl = pa.concat_tables(ray.get(list(b_futs))).combine_chunks()
+    ranked = rd.from_arrow(ranked_tbl)
+
     # ------- distributed keeper finish + driver metrics merge -------
     prefs = part.to_arrow_refs()
     keeper_futs = []
-    if dup_ref is not None:
+    if len(ray.get(dup_ref)):
         keeper_futs = [_keeper_part.remote(p, prefs, flags_ref, out_dir)
                        for p in range(nparts)]
     # metric rows are tiny; the collision blobs stay in plasma for the
