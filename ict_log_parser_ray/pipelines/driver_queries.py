@@ -476,31 +476,50 @@ def t_failed_boards(sf_dir):
 # --------------------------------------------------------------------------
 
 def e_hourly(sf_dir):
-    """A4 analog over events: hourly ok (non-error) / nok (error) counts."""
-    from ray.data.aggregate import Sum
+    """A4 analog over events: hourly ok (non-error) / nok (error) counts.
 
+    Per-batch arrow partial combine (≤ hours-per-batch groups) + a tiny
+    driver finish — a Ray groupby here shuffles every event row into ~720
+    groups (CLAUDE.md partial-combine rule)."""
     ds = read_table(sf_dir, "events", columns=["ts", "event_type"])
 
-    def prep(b: pa.Table) -> pa.Table:
+    def partial(b: pa.Table) -> pa.Table:
         hour = pc.strftime(b["ts"], format="%Y-%m-%d %H:00:00")
         err = pc.equal(b["event_type"], "error")
-        return pa.table({"hour": hour,
-                         "nok": pc.cast(err, pa.int64()),
-                         "ok": pc.cast(pc.invert(err), pa.int64())})
+        t = pa.table({"hour": hour,
+                      "nok": pc.cast(err, pa.int64()),
+                      "ok": pc.cast(pc.invert(err), pa.int64())})
+        return pa.TableGroupBy(t, "hour").aggregate(
+            [("ok", "sum"), ("nok", "sum")])
 
-    pre = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-    out = pre.groupby("hour").aggregate(Sum("ok", alias_name="ok"),
-                                        Sum("nok", alias_name="nok"))
-    return _i64(out.to_pandas(), ["ok", "nok"])
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_arrow_refs()
+    import ray as _ray
+    df = (pa.concat_tables(_ray.get(parts)).to_pandas()
+          .groupby("hour", as_index=False)
+          .agg(ok=("ok_sum", "sum"), nok=("nok_sum", "sum")))
+    return _i64(df, ["ok", "nok"])
 
 
 def e_pareto(sf_dir):
-    """A3/O3 analog: event counts per type, most-frequent-first."""
-    from ray.data.aggregate import Count
+    """A3/O3 analog: event counts per type, most-frequent-first.
 
+    Per-batch value_counts partial + driver finish (few distinct types)."""
     ds = read_table(sf_dir, "events", columns=["event_type"])
-    out = ds.groupby("event_type").aggregate(Count(alias_name="n"))
-    return _i64(out.to_pandas(), ["n"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b["event_type"]
+        vc = pc.value_counts(col.combine_chunks()
+                             if isinstance(col, pa.ChunkedArray) else col)
+        return pa.table({"event_type": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_arrow_refs()
+    import ray as _ray
+    df = (pa.concat_tables(_ray.get(parts)).to_pandas()
+          .groupby("event_type", as_index=False).agg(n=("n", "sum")))
+    return _i64(df, ["n"])
 
 
 def e_user_first_last(sf_dir):
