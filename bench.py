@@ -216,6 +216,7 @@ def scaling(sf_dir: str, cpus=(2, 8), repeats: int = 3,
     # (host-level neighbor contention), and interleaving gives both levels
     # the same draw of host conditions so the RATIO stays meaningful;
     # best-of-N per level then discards the contended windows.
+    obs = {lo: [], hi: []}
     for r in range(repeats):
         for n in (lo, hi):
             path = f"/tmp/ict_ray_bench_scale_{n}_{r}.json"
@@ -231,6 +232,7 @@ def scaling(sf_dir: str, cpus=(2, 8), repeats: int = 3,
                 check=True, env=env,
                 cwd=os.path.dirname(os.path.abspath(__file__)))
             out = json.load(open(path))
+            obs[n].append(out["turns_per_sec"])
             if n not in outs or out["turns_per_sec"] > outs[n]["turns_per_sec"]:
                 outs[n] = out
     if sink_root.startswith("/dev/shm"):
@@ -251,6 +253,7 @@ def scaling(sf_dir: str, cpus=(2, 8), repeats: int = 3,
         f"sec_{lo}cpu": outs[lo]["value"],
         f"sec_{hi}cpu": outs[hi]["value"],
         "scaling_efficiency": eff,
+        "observations": {str(n): obs[n] for n in (lo, hi)},
     }
 
 

@@ -579,10 +579,26 @@ def e_user_first_last(sf_dir):
 
 
 def e_topk(sf_dir):
-    """O3 top-k: 10 highest-value events."""
+    """O3 top-k: 10 highest-value events.
+
+    Per-batch arrow ``select_k_unstable`` partial + a ≤10×blocks driver
+    merge — a distributed ``sort().limit(10)`` is an all-to-all shuffle of
+    every row to keep ten of them."""
     ds = read_table(sf_dir, "events", columns=["event_id", "value"])
-    out = ds.sort(["value", "event_id"], descending=[True, False]).limit(10)
-    return _i64(out.to_pandas(), ["event_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            b, k=10, sort_keys=[("value", "descending"),
+                                ("event_id", "ascending")])
+        return b.take(idx)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_arrow_refs()
+    import ray as _ray
+    df = (pa.concat_tables(_ray.get(parts)).to_pandas()
+          .sort_values(["value", "event_id"], ascending=[False, True])
+          .head(10).reset_index(drop=True))
+    return _i64(df[["event_id", "value"]], ["event_id"])
 
 
 def e_window(sf_dir):
