@@ -54,8 +54,11 @@ def run_headline_streaming(sf: float, out_dir: str) -> dict:
     n_turns = json.load(open(os.path.join(d, "_DONE.json")))["rows"]
     meta = pq.read_table(os.path.join(d, "tool_meta.parquet"))
 
-    t0 = time.time()
+    # cleanup of a previous run's ~800MB sink dir is not pipeline work —
+    # keep it outside the timed window (it is a flat cost that skews the
+    # high-parallelism level's short wall most)
     shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
     res = run_streaming(os.path.join(d, "transcripts"), meta, out_dir)
     elapsed = time.time() - t0
     return {
@@ -80,11 +83,11 @@ def run_headline(sf: float, out_dir: str) -> dict:
     meta = pq.read_table(os.path.join(d, "tool_meta.parquet"))
 
     verbose = os.environ.get("ICT_BENCH_VERBOSE") == "1"
+    shutil.rmtree(out_dir, ignore_errors=True)  # cleanup outside the window
     t0 = time.time()
     pipe = build(os.path.join(d, "transcripts"), tool_meta=meta,
                  materialize_intermediates=True, materialize_flagged=False)
     t1 = time.time()
-    shutil.rmtree(out_dir, ignore_errors=True)
     # fused pass: route + sink write + A3/A6/sink metrics in one traversal
     tm = reports.write_sinks_with_metrics(pipe["flagged"], out_dir)
     t2 = time.time()
