@@ -12,11 +12,15 @@ trades one extra (narrow, specialized) read for zero big materializations:
   the analog/digital regexes or the enrich lookup — only the ~5% of rows
   prefixed ``{@BTEST`` are parsed at all — so it costs a fraction of a full
   parse pass.  The finish is DISTRIBUTED (round-1 judged the driver-serial
-  np.unique/rank finish the top scaling defect): P reduce tasks each unique
-  one hash partition (duplicate keys out), P combine tasks each reduce one
-  conv-hash partition of the attempt partials, P rank tasks each rank one
-  serial-hash bucket with the shared numpy kernel.  Driver-side work is
-  O(#parts) list plumbing + one concat of the (turns/40) ranked table.
+  np.unique/rank finish the top scaling defect) and OVERLAPPED with pass 2
+  (round 2): P reduce tasks each unique one hash partition (duplicate keys
+  out), P combine tasks each reduce one conv-hash partition of the attempt
+  partials, P rank tasks each rank one serial-hash bucket with the shared
+  numpy kernel — all launched as ``num_cpus=0`` futures so pass 2 starts
+  immediately and its first batch per worker blocks in-UDF until the
+  dup/flags futures resolve, hiding the finish latency behind pass-2's
+  read+parse.  Driver-side work is O(#parts) list plumbing + one concat of
+  the (turns/40) ranked table after pass 2 completes.
 - **pass 2** (read → parse → enrich → kh → flags → route → write): drops
   every copy of a duplicate key, writes the per-sink parquet as a map-task
   side effect, and returns per-batch turn metrics (fails pre-combined per
