@@ -88,3 +88,39 @@ def test_distributed_rank_path_matches_fast_path_on_fixture(fixture_sf0001,
     dist = (ranked_attempts(parsed, collect_threshold=0).to_pandas()
             .sort_values("conv_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(fast, dist[fast.columns], check_dtype=False)
+
+
+def test_attempts_report_tables_null_start_ts(ray_session):
+    """ADVICE regression: the A1/A2/A4 pandas fast path must not raise
+    IntCastingNaNError when an attempt has a null start_ts (header with an
+    unparseable date / END-only conversation) — NaT becomes a null
+    hour_key group, matching the distributed hourly_stats."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ict_log_parser_ray.pipelines import reports
+    from ict_log_parser_ray.stages.attempts import ranked_attempts
+    from ict_log_parser_ray.stages.parse import parse_dataset
+
+    texts = [
+        ("baddate", 0, "{@BTEST|DMCX|00|999999999999|0|PNL}"),
+        ("baddate", 1, "{@BTEST-END|01|999999999999}"),
+        ("good", 0, "{@BTEST|DMCG|00|260105080000|0|PNL}"),
+        ("good", 1, "{@BTEST-END|00|260105080100}"),
+    ]
+    tbl = pa.table({
+        "conv_id": pa.array([t[0] for t in texts]),
+        "turn_idx": pa.array([t[1] for t in texts], pa.int32()),
+        "role": pa.array(["x"] * len(texts)),
+        "text": pa.array([t[2] for t in texts]),
+        "tool": pa.array(["t"] * len(texts)),
+        "ts": pa.array([0] * len(texts), pa.timestamp("us")),
+    })
+    ranked = ranked_attempts(parse_dataset(rd.from_arrow(tbl)))
+    small = reports.attempts_report_tables(ranked)
+    ys = {r["phase"]: (r["ok"], r["nok"])
+          for r in small["yields_sb"].to_pylist()}
+    # both convs count: good passes, baddate fails (last END status 01)
+    assert ys["all"] == (1, 1)
+    # the good conv lands in its hour; the NaT conv must not crash the path
+    assert len(small["hourly"]) >= 1
