@@ -96,3 +96,46 @@ def extract_media_features(media_ds, concurrency=(1, 4), batch_size: int = 64,
         fn_constructor_kwargs={"decode": decode},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1)
+
+
+def persist_synth_media(path: str, n: int = 48, seed: int = 42) -> str:
+    """Write the deterministic synthetic media table once (atomic rename) so
+    a SQL oracle can read the identical payload bytes by absolute path."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if not os.path.isfile(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(synth_media_table(n=n, seed=seed), tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def media_digest(media_ds, batch_size: int = 64):
+    """SQL-checkable digest slice of the media stage: per payload, the
+    first little-endian uint32 of sha256(upper-hex(payload)) mod 10000 —
+    exactly what DuckDB's ``sha256(hex(payload))`` can re-derive (its
+    ``sha256`` only accepts VARCHAR, hence digest-of-hex rather than
+    digest-of-bytes).  Integer output → exact value-hash match; per-row
+    hashing is inherent to binary payloads (C-side sha256, not a Python
+    hot loop over scalars)."""
+
+    def digest(batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        f0 = np.empty(len(payloads), np.int64)
+        nbytes = np.empty(len(payloads), np.int64)
+        for i, p in enumerate(payloads):
+            d = hashlib.sha256(p.hex().upper().encode()).digest()
+            f0[i] = int.from_bytes(d[:4], "little") % 10_000
+            nbytes[i] = len(p)
+        return pa.table({
+            "media_id": batch["media_id"],
+            "kind": batch["kind"],
+            "payload_bytes": pa.array(nbytes, pa.int64()),
+            "f0": pa.array(f0, pa.int64()),
+        })
+
+    return media_ds.map_batches(digest, batch_format="pyarrow",
+                                batch_size=batch_size)

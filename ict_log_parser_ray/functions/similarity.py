@@ -178,6 +178,44 @@ def embedding_near_dup_pairs(emb_ds, threshold: float = 0.95, nlist: int = 16,
                                                   batch_format="pandas")
 
 
+def exact_near_dup_pairs(emb_ds, threshold: float = 0.5,
+                         id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Exact embedding-cosine near-dup join: every pair with cosine ≥
+    threshold, float64 math (matches the DuckDB double oracle).
+
+    Pattern: broadcast ONE normalized copy of the matrix (``ray.put`` once,
+    zero-copy plasma reads), stream the other side through ``map_batches`` —
+    each batch does one (b×n) matmul and keeps ``id_a < id_b`` so each pair
+    is emitted exactly once.  This is the O(n²) verification BASELINE (same
+    role as ``knn_bruteforce``); ``embedding_near_dup_pairs`` is the
+    IVF-bucketed scale path.  The broadcast side bounds n at ~10^7 rows ×
+    small dims on one node; past that, tile the broadcast side too.
+    Returns pa.Table (id_a, id_b, cosine) unsorted."""
+    mat = emb_ds.materialize()  # read once: broadcast side AND stream side
+    full_tbl = pa.concat_tables(ray.get(mat.to_arrow_refs())).combine_chunks()
+    full_m = _normalize(_batch_matrix(full_tbl, vec_col).astype(np.float64))
+    full_ids = full_tbl[id_col].to_numpy(zero_copy_only=False)
+    side_ref = ray.put((full_ids, full_m))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_b = batch[id_col].to_numpy(zero_copy_only=False)
+        m_b = _normalize(_batch_matrix(batch, vec_col).astype(np.float64))
+        f_ids, f_m = ray.get(side_ref)
+        sims = m_b @ f_m.T
+        bi, fi = np.nonzero((sims >= threshold) &
+                            (ids_b[:, None] < f_ids[None, :]))
+        return pa.table({
+            "id_a": pa.array(ids_b[bi], pa.int64()),
+            "id_b": pa.array(f_ids[fi], pa.int64()),
+            "cosine": pa.array(sims[bi, fi], pa.float64()),
+        })
+
+    out = mat.map_batches(pairs, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return pa.concat_tables(ray.get(out.materialize().to_arrow_refs()),
+                            promote_options="default")
+
+
 def write_ivf_index(emb_ds, index_dir: str, nlist: int = 16,
                     vec_col: str = "embedding", seed: int = 42,
                     model: _KMeans | None = None) -> _KMeans:

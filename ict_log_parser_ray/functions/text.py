@@ -140,3 +140,36 @@ def analyze_documents(ds, concurrency=(1, 8), batch_size: int = 4096):
     return ds.map_batches(TextAnalyzer, batch_format="pandas",
                           batch_size=batch_size, concurrency=concurrency,
                           num_cpus=1)
+
+
+def quality_table(ds, batch_size: int = 4096):
+    """Lean SQL-expressible slice of the analyzer: token count, ratios,
+    quality score and language-ID — no fingerprint (its pandas row hash has
+    no SQL twin).  Stateless map: the kernels are pandas ``.str`` calls whose
+    regex compile is cached process-wide, so an actor pool buys nothing.
+
+    Float contract (driver value-hash oracle): every ratio is an exact
+    IEEE division of two int-derived doubles and the quality score is the
+    same left-to-right 0.4a+0.2b+0.2c+0.2d sum in both engines, so the
+    round(6) values match DuckDB bitwise (verified on the sf0.01 table)."""
+    an = TextAnalyzer()
+
+    def feats(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].fillna("")
+        out = pd.DataFrame({"doc_id": df["doc_id"].astype("int64")})
+        out["n_tok"] = an.token_count(texts)
+        punct = an.punct_ratio(texts)
+        stop = an.stopword_ratio(texts)
+        mwl = an.mean_word_len(texts)
+        q = an.quality_score(pd.DataFrame({
+            "n_tok": out["n_tok"], "punct_ratio": punct,
+            "stopword_ratio": stop, "mean_word_len": mwl}))
+        out["quality"] = q.round(6)
+        out["lang_pred"] = an.lang_id(texts)
+        out["punct_ratio"] = punct.round(6)
+        out["stopword_ratio"] = stop.round(6)
+        out["mean_word_len"] = mwl.round(6)
+        return out
+
+    return ds.map_batches(feats, batch_format="pandas",
+                          batch_size=batch_size)

@@ -727,18 +727,14 @@ def _load_query_vec(sf_dir):
     return np.array(row0["embedding"], dtype=np.float32), row0["vec_id"]
 
 
-def emb_knn(sf_dir):
-    """Brute-force cosine top-10 to vec 0's embedding (float64 math to match
-    the DuckDB oracle's double-precision list_cosine_similarity)."""
+def _knn_rank(ds, q32: np.ndarray, k: int = 10) -> pa.Table:
+    """Float64 cosine top-k of one query over a (vec_id, embedding) Dataset
+    → (vec_id, rank); double math matches the DuckDB oracle's ordering."""
     import ray
 
-    q32, _ = _load_query_vec(sf_dir)
     q = q32.astype(np.float64)
     qn = q / np.linalg.norm(q)
-    import ray as _r
-    q_ref = _r.put(qn)
-
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q_ref = ray.put(qn)
 
     def topk_batch(b: pa.Table) -> pa.Table:
         qv = ray.get(q_ref)
@@ -750,21 +746,28 @@ def emb_knn(sf_dir):
         norms = np.linalg.norm(m, axis=1)
         norms[norms == 0] = 1.0
         sims = (m @ qv) / norms
-        k = min(10, len(sims))
-        idx = np.argpartition(-sims, k - 1)[:k] if k else np.array([], int)
+        kk = min(k, len(sims))
+        idx = np.argpartition(-sims, kk - 1)[:kk] if kk else np.array([], int)
         ids = np.asarray(b["vec_id"].to_pylist())[idx]
         return pa.table({"vec_id": pa.array(ids, pa.int64()),
                          "cosine": pa.array(sims[idx], pa.float64())})
 
-    import ray
     cand = ds.map_batches(topk_batch, batch_format="pyarrow",
                           zero_copy_batch=True)
     tbl = pa.concat_tables(ray.get(cand.materialize().to_arrow_refs()))
     order = pc.sort_indices(tbl, sort_keys=[("cosine", "descending"),
                                             ("vec_id", "ascending")])
-    top = tbl.take(order[:10])
+    top = tbl.take(order[:k])
     return pa.table({"vec_id": top["vec_id"],
                      "rank": pa.array(range(1, top.num_rows + 1), pa.int64())})
+
+
+def emb_knn(sf_dir):
+    """Brute-force cosine top-10 to vec 0's embedding (float64 math to match
+    the DuckDB oracle's double-precision list_cosine_similarity)."""
+    q32, _ = _load_query_vec(sf_dir)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return _knn_rank(ds, q32, k=10)
 
 
 _IVF_INDEX_CACHE: dict = {}
@@ -817,6 +820,88 @@ def emb_near_dups(sf_dir):
         df["cosine"] = df["cosine"].round(6)
         df = _i64(df, ["id_a", "id_b"])
     return df
+
+
+def emb_knn_ivf_full(sf_dir):
+    """Full-probe (nprobe == nlist) query over the persisted
+    cluster-partitioned IVF index: reads every partition, so the result is
+    EXACT — value-checked against the same DuckDB top-10 oracle as emb_knn.
+    This pins down index correctness (assignment + partitioned sink +
+    probe-side read path); emb_knn_ivf keeps the approximate nprobe=4 path
+    as a rows-only check."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    from ..functions.similarity import probed_partition_dirs
+
+    q, _ = _load_query_vec(sf_dir)
+    idx = _ivf_index_dir(sf_dir, nlist=8)
+    dirs = probed_partition_dirs(idx, q, nprobe=8)
+    files = [f for d in dirs
+             for f in sorted(glob.glob(os.path.join(d, "*.parquet")))]
+    ds = rd.read_parquet(files, columns=["vec_id", "embedding"])
+    return _knn_rank(ds, q, k=10)
+
+
+def emb_near_dups_exact(sf_dir):
+    """Exact all-pairs cosine-threshold join (the O(n²) verification
+    baseline for the IVF-bucketed emb_near_dups); float64 both sides,
+    cosine rounded to 6 — at sf0.01 the nearest pair to the 0.5 threshold
+    sits at 0.513 with the next at 0.493, so the boundary is safe."""
+    from ..functions.similarity import exact_near_dup_pairs
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    df = exact_near_dup_pairs(ds, threshold=0.5).to_pandas()
+    if df.empty:
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                             "id_b": pd.Series(dtype="int64"),
+                             "cosine": pd.Series(dtype="float64")})
+    df["cosine"] = df["cosine"].round(6)
+    return _i64(df, ["id_a", "id_b"])
+
+
+def d_quality(sf_dir):
+    """SQL-expressible slice of the text analyzer (token count, punct /
+    stopword / word-length ratios, quality score, language-ID) — the
+    value-checked twin of the rows-only d_analysis (whose fingerprint hash
+    has no SQL equivalent)."""
+    from ..functions.text import quality_table
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return _i64(quality_table(ds).to_pandas(), ["doc_id", "n_tok"])
+
+
+_MEDIA_ORACLE_PATH = "/tmp/ict_ray_media/media_n48_seed42_v1.parquet"
+
+
+def media_digest_q(sf_dir):
+    """Value-checked media stage: integer sha256-based digest per payload
+    (media_features keeps the float feature vector as the rows-only demo)."""
+    import ray.data as rd
+
+    from ..functions.multimodal import (media_digest, persist_synth_media,
+                                        synth_media_table)
+
+    persist_synth_media(_MEDIA_ORACLE_PATH, n=48)
+    ds = rd.from_arrow(synth_media_table(n=48))
+    return media_digest(ds)
+
+
+def e_hash_sample(sf_dir):
+    """Deterministic hash-based 10% sample over events: a stateless per-row
+    predicate ((id·2654435761) mod 2³² < 0.1·2³²) that any engine can
+    reproduce — the SQL-checkable counterpart of the seeded e_sample."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def keep(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        mask = (ids * np.uint64(2654435761)) % np.uint64(1 << 32) \
+            < np.uint64(429496729)
+        return b.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def d_analysis(sf_dir):
@@ -983,6 +1068,11 @@ def build_queries() -> dict:
         "d_char_stats": d_char_stats,
         "d_exact_dups": d_exact_dups,
         "emb_knn": emb_knn,
+        "emb_knn_ivf_full": emb_knn_ivf_full,
+        "emb_near_dups_exact": emb_near_dups_exact,
+        "d_quality": d_quality,
+        "media_digest": media_digest_q,
+        "e_hash_sample": e_hash_sample,
         # rows-only (non-SQL-expressible)
         "e_sample": e_sample,
         "emb_knn_ivf": emb_knn_ivf,
@@ -1058,5 +1148,111 @@ SELECT vec_id,
 FROM embeddings
 ORDER BY rank LIMIT 10
 """,
+        # full probe == exact → identical oracle to emb_knn
+        "emb_knn_ivf_full": """
+WITH q AS (SELECT embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 1)
+SELECT vec_id,
+       CAST(row_number() OVER (
+         ORDER BY list_cosine_similarity(embedding, (SELECT qe FROM q)) DESC,
+                  vec_id ASC) AS BIGINT) AS rank
+FROM embeddings
+ORDER BY rank LIMIT 10
+""",
+        "emb_near_dups_exact": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6)
+         AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.5
+""",
+        "d_quality": _d_quality_sql(),
+        "media_digest": _media_digest_sql(),
+        "e_hash_sample": """
+SELECT event_id, event_type FROM events
+WHERE (event_id * 2654435761) % 4294967296 < 429496729
+""",
     })
     return sql
+
+
+def _d_quality_sql() -> str:
+    """DuckDB twin of functions.text.quality_table, generated from the SAME
+    stopword / language-profile constants so the two cannot drift.  Every
+    float is an exact int-over-int IEEE division (or the same left-to-right
+    0.4a+0.2b+0.2c+0.2d sum), so round(6) matches bitwise."""
+    from ..functions.text import STOPWORDS, _LANG_PROFILES
+
+    stop_sql = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+    scores = ",\n         ".join(
+        "(" + " + ".join(
+            f"(length(lt) - length(replace(lt, '{tri}', ''))) // {len(tri)}"
+            for tri in tris) + f") AS s_{lang}"
+        for lang, tris in _LANG_PROFILES.items())
+    langs = list(_LANG_PROFILES)  # tie-break = dict order (pandas idxmax)
+    case = [f"WHEN {' AND '.join(f's_{a} >= s_{b}' for b in langs if b != a)} "
+            f"THEN '{a}'" for a in langs[:-1]]
+    lang_case = ("CASE WHEN greatest(" + ", ".join(f"s_{a}" for a in langs)
+                 + ") = 0 THEN 'unk' " + " ".join(case)
+                 + f" ELSE '{langs[-1]}' END")
+    return rf"""
+WITH f AS (
+  SELECT doc_id, lower(text) AS lt,
+         len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tok,
+         len(regexp_extract_all(text, '[^\w\s]')) * 1.0
+           / greatest(length(text), 1) AS punct_ratio,
+         regexp_extract_all(lower(text), '[a-z]+') AS lw,
+         regexp_extract_all(text, '\w+') AS ww
+  FROM documents
+), g AS (
+  SELECT doc_id, n_tok, punct_ratio,
+         CASE WHEN len(lw) = 0 THEN 0.0
+              ELSE len(list_filter(lw, w -> w in ({stop_sql}))) * 1.0
+                   / len(lw) END AS stopword_ratio,
+         coalesce(list_avg(list_transform(ww, w -> length(w))), 0.0)
+           AS mean_word_len,
+         {scores}
+  FROM f
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       round(0.4 * (CASE WHEN n_tok >= 10 AND n_tok <= 100000
+                         THEN 1.0 ELSE 0.0 END)
+           + 0.2 * (CASE WHEN punct_ratio < 0.3 THEN 1.0 ELSE 0.0 END)
+           + 0.2 * (CASE WHEN stopword_ratio > 0.01 THEN 1.0 ELSE 0.0 END)
+           + 0.2 * (CASE WHEN mean_word_len > 2 AND mean_word_len < 12
+                         THEN 1.0 ELSE 0.0 END), 6) AS quality,
+       {lang_case} AS lang_pred,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(mean_word_len, 6) AS mean_word_len
+FROM g
+"""
+
+
+def _media_digest_sql() -> str:
+    """DuckDB twin of functions.multimodal.media_digest over the persisted
+    synthetic media parquet (written by the query side too; persisted here
+    as well so the oracle works regardless of call order).  DuckDB's sha256
+    only takes VARCHAR → both sides hash the UPPER-hex payload string; the
+    first 4 digest bytes are decoded little-endian via hex-digit strpos."""
+    from ..functions.multimodal import persist_synth_media
+
+    persist_synth_media(_MEDIA_ORACLE_PATH, n=48)
+
+    def byte(i: int) -> str:  # digest hex chars are 1-indexed in substr
+        hi, lo = 2 * i + 1, 2 * i + 2
+        return (f"((strpos('0123456789abcdef', substr(h, {hi}, 1)) - 1) * 16"
+                f" + (strpos('0123456789abcdef', substr(h, {lo}, 1)) - 1))")
+
+    return f"""
+WITH m AS (
+  SELECT media_id, kind, octet_length(payload) AS payload_bytes,
+         sha256(hex(payload)) AS h
+  FROM read_parquet('{_MEDIA_ORACLE_PATH}')
+)
+SELECT media_id, kind, CAST(payload_bytes AS BIGINT) AS payload_bytes,
+       CAST(({byte(0)} + 256 * {byte(1)} + 65536 * {byte(2)}
+             + 16777216 * {byte(3)}) % 10000 AS BIGINT) AS f0
+FROM m
+"""

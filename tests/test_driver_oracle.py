@@ -57,6 +57,8 @@ ORACLE_NAMES = [
     "t_failed_boards", "t_export_long", "t_product_hourly", "t_test_series", "e_hourly", "e_pareto", "e_user_first_last", "e_topk",
     "e_window", "e_point_lookup", "q1_lineitem", "d_token_counts",
     "d_char_stats", "d_exact_dups", "emb_knn",
+    "emb_knn_ivf_full", "emb_near_dups_exact", "d_quality", "media_digest",
+    "e_hash_sample",
 ]
 
 
