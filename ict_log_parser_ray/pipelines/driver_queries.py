@@ -889,6 +889,66 @@ def media_digest_q(sf_dir):
     return media_digest(ds)
 
 
+def e_asof(sf_dir):
+    """AS-OF join (task-brief custom operator): each purchase event gets
+    the same user's latest click at-or-before its ts.  The click side is
+    deduped to one row per (user, ts) keeping max event_id — without that
+    the "latest ≤" row is nondeterministic in both engines."""
+    from ..stages.temporal import asof_join_broadcast
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "event_type"])
+
+    # small-side build: per-batch partial groupby + driver finish (the
+    # clicks table is tiny; a Ray groupby here would shuffle every row)
+    def click_part(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b["event_type"], "click"))
+        return pa.TableGroupBy(f.select(["user_id", "ts", "event_id"]),
+                               ["user_id", "ts"]).aggregate(
+            [("event_id", "max")])
+
+    import ray
+    parts = pa.concat_tables(ray.get(
+        ds.map_batches(click_part, batch_format="pyarrow",
+                       zero_copy_batch=True).to_arrow_refs()))
+    cdf = (parts.to_pandas().groupby(["user_id", "ts"], as_index=False)
+           ["event_id_max"].max())
+    clicks = pa.table({
+        "user_id": pa.array(cdf["user_id"], pa.int64()),
+        "ts": pa.array(cdf["ts"]),
+        "click_ts": pa.array(cdf["ts"].astype("datetime64[us]")
+                             .astype("int64"), pa.int64()),
+        "click_event_id": pa.array(cdf["event_id_max"], pa.int64()),
+    })
+
+    def only_purchases(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["event_type"], "purchase"))
+
+    left = ds.map_batches(only_purchases, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    joined = asof_join_broadcast(left, clicks, by="user_id", on="ts",
+                                 attach={"click_ts": "click_ts",
+                                         "click_event_id": "click_event_id"})
+
+    def sel(b: pa.Table) -> pa.Table:
+        return b.select(["event_id", "user_id", "click_ts",
+                         "click_event_id"])
+
+    return joined.map_batches(sel, batch_format="pyarrow")
+
+
+def e_rolling(sf_dir):
+    """Windowed running aggregate (task-brief custom operator): per-user
+    running sum of value + row number ordered by (ts, event_id), via the
+    hash-partitioned segment-cumsum stage."""
+    from ..stages.temporal import running_sum_partitioned
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"])
+    return running_sum_partitioned(ds, key="user_id", ts="ts",
+                                   idc="event_id", val="value")
+
+
 def e_hash_sample(sf_dir):
     """Deterministic hash-based 10% sample over events: a stateless per-row
     predicate ((id·2654435761) mod 2³² < 0.1·2³²) that any engine can
@@ -1073,6 +1133,8 @@ def build_queries() -> dict:
         "d_quality": d_quality,
         "media_digest": media_digest_q,
         "e_hash_sample": e_hash_sample,
+        "e_asof": e_asof,
+        "e_rolling": e_rolling,
         # rows-only (non-SQL-expressible)
         "e_sample": e_sample,
         "emb_knn_ivf": emb_knn_ivf,
@@ -1172,6 +1234,24 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         "e_hash_sample": """
 SELECT event_id, event_type FROM events
 WHERE (event_id * 2654435761) % 4294967296 < 429496729
+""",
+        "e_asof": """
+WITH clicks AS (
+  SELECT user_id, ts, max(event_id) AS click_event_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+), p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, epoch_us(c.ts) AS click_ts, c.click_event_id
+FROM p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+        "e_rolling": """
+SELECT event_id, user_id,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 6) AS run_sum
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """,
     })
     return sql

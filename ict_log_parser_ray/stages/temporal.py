@@ -1,0 +1,151 @@
+"""Temporal operators the Dataset API lacks (task brief: "as-of join,
+range join, windowed aggregate"): implemented as compositions of
+``map_batches`` + partition tasks per the brief's (a)/(b) guidance.
+
+- ``asof_join_broadcast``: LEFT AS-OF join — each left row gets the right
+  row with the greatest ``on`` ≤ its own, per ``by`` key.  Small right side:
+  prepared ONCE driver-side (sorted per-key segments), ``ray.put`` once,
+  probed with vectorized ``np.searchsorted`` per batch (stateless tasks, no
+  shuffle — the left side streams).  Big-big as-of joins need both sides
+  hash-partitioned by ``by`` and a per-partition sort-merge; that variant
+  is the documented scale path, not implemented until a caller needs it.
+- ``running_sum_partitioned``: per-key running aggregate (SQL
+  ``SUM(v) OVER (PARTITION BY k ORDER BY ts, id ROWS UNBOUNDED
+  PRECEDING)``).  The rows of one key must meet in one task, but a Ray
+  groupby at ~all-distinct keys pays ~100 µs/group scheduling (CLAUDE.md
+  measured rule), so: one narrow projection pass tags each row with
+  ``hash(key) % nparts``, then ``nparts`` tasks each lexsort their
+  partition and segment-cumsum with numpy — the same partition-task shape
+  as the streaming flagship's rank finish.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+
+def _col_np(tbl: pa.Table, name: str) -> np.ndarray:
+    arr = tbl[name]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    out = arr.to_numpy(zero_copy_only=False)
+    if out.dtype.kind == "M":  # timestamp → epoch int64 (micros)
+        out = out.astype("datetime64[us]").view("int64")
+    return out
+
+
+def prepare_asof_side(right: pa.Table, by: str, on: str) -> tuple:
+    """Driver-side prep of the broadcast side: sort by (by, on), require
+    unique (by, on) rows (dedupe upstream — ties would make the join
+    nondeterministic), and return (key_index, seg_start, seg_end, ts,
+    attach_table) ready for per-batch searchsorted probes."""
+    order = pc.sort_indices(right, sort_keys=[(by, "ascending"),
+                                              (on, "ascending")])
+    right = right.take(order).combine_chunks()
+    keys = _col_np(right, by)
+    ts = _col_np(right, on)
+    b = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+    if len(right) > 1:
+        ndup = int(((keys[1:] == keys[:-1]) & (ts[1:] == ts[:-1])).sum())
+        if ndup:
+            # ties would make "the" latest-≤ row nondeterministic
+            raise ValueError(
+                f"asof right side has {ndup} duplicate ({by}, {on}) "
+                f"rows — aggregate them first (e.g. keep max id per ts)")
+    seg_start = b
+    seg_end = np.r_[b[1:], len(keys)]
+    return (pd.Index(keys[b]), seg_start, seg_end, ts, right)
+
+
+def asof_join_broadcast(left_ds, right: pa.Table, by: str, on: str,
+                        attach: dict[str, str]):
+    """LEFT AS-OF: for each left row, attach ``attach`` columns (src→dst
+    names) from the right row with max ``on`` ≤ left's ``on`` within the
+    same ``by`` key; nulls when no such row.  Right side broadcast once."""
+    side_ref = ray.put(prepare_asof_side(right, by, on))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        key_ix, seg_start, seg_end, r_ts, r_tbl = ray.get(side_ref)
+        codes = key_ix.get_indexer(_col_np(batch, by))
+        bts = _col_np(batch, on)
+        out = np.full(len(batch), -1, np.int64)
+        order = np.argsort(codes, kind="stable")
+        sc = codes[order]
+        uq, starts = np.unique(sc, return_index=True)
+        bounds = np.r_[starts, len(sc)]
+        for i, u in enumerate(uq):
+            if u < 0:
+                continue
+            rows = order[bounds[i]:bounds[i + 1]]
+            lo, hi = seg_start[u], seg_end[u]
+            pos = np.searchsorted(r_ts[lo:hi], bts[rows], side="right") - 1
+            ok = pos >= 0
+            out[rows[ok]] = lo + pos[ok]
+        idx = pa.array(out, pa.int64(), mask=(out < 0))
+        for src, dst in attach.items():
+            batch = batch.append_column(dst, pc.take(r_tbl[src], idx))
+        return batch
+
+    return left_ds.map_batches(probe, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
+@ray.remote
+def _running_part(p: int, refs, key: str, ts: str, idc: str, val: str):
+    tbls = [t.filter(pc.equal(t["part"], p)) for t in ray.get(refs)]
+    t = pa.concat_tables(tbls).combine_chunks()
+    if t.num_rows == 0:
+        return pa.table({idc: pa.array([], pa.int64()),
+                         key: pa.array([], pa.int64()),
+                         "rn": pa.array([], pa.int64()),
+                         "run_sum": pa.array([], pa.float64())})
+    k = _col_np(t, key)
+    tsv = _col_np(t, ts)
+    ids = _col_np(t, idc)
+    v = _col_np(t, val).astype(np.float64)
+    order = np.lexsort((ids, tsv, k))
+    k, ids, v = k[order], ids[order], v[order]
+    cs = np.cumsum(v)
+    b = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+    seg = np.repeat(np.arange(len(b)), np.diff(np.r_[b, len(k)]))
+    base = np.where(b > 0, cs[np.maximum(b - 1, 0)], 0.0)
+    run = cs - base[seg]
+    rn = np.arange(len(k)) - b[seg] + 1
+    return pa.table({idc: pa.array(ids, pa.int64()),
+                     key: pa.array(k, pa.int64()),
+                     "rn": pa.array(rn, pa.int64()),
+                     "run_sum": pa.array(np.round(run, 6), pa.float64())})
+
+
+def running_sum_partitioned(ds, key: str, ts: str, idc: str, val: str,
+                            nparts: int | None = None) -> pa.Table:
+    """Per-key running sum + row number ordered by (ts, id): one narrow
+    tagging pass, then nparts partition tasks (lexsort + segment cumsum).
+    run_sum is rounded to 6 — cumulative float sums are association-
+    sensitive across engines (DuckDB's window sum uses a segment tree)."""
+    if nparts is None:
+        ncpu = int(ray.available_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+        nparts = max(4, min(ncpu, 32))
+
+    def tag(b: pa.Table) -> pa.Table:
+        kv = _col_np(b, key)
+        part = (kv.astype(np.uint64) % np.uint64(nparts)).astype(np.int64)
+        return pa.table({
+            "part": pa.array(part),
+            key: pa.array(kv, pa.int64()),
+            ts: pa.array(_col_np(b, ts), pa.int64()),
+            idc: pa.array(_col_np(b, idc), pa.int64()),
+            val: pa.array(_col_np(b, val).astype(np.float64)),
+        })
+
+    narrow = ds.map_batches(tag, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    refs = narrow.to_arrow_refs()
+    parts = ray.get([_running_part.remote(p, refs, key, ts, idc, val)
+                     for p in range(nparts)])
+    return pa.concat_tables(parts)

@@ -58,7 +58,7 @@ ORACLE_NAMES = [
     "e_window", "e_point_lookup", "q1_lineitem", "d_token_counts",
     "d_char_stats", "d_exact_dups", "emb_knn",
     "emb_knn_ivf_full", "emb_near_dups_exact", "d_quality", "media_digest",
-    "e_hash_sample",
+    "e_hash_sample", "e_asof", "e_rolling",
 ]
 
 

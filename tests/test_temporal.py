@@ -1,0 +1,100 @@
+"""Unit tests for stages/temporal.py: as-of join and running aggregate."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _events_tbl():
+    # user 1: clicks at t=10, 15; purchases at 10, 12, 20
+    # user 2: no clicks; purchase at 5
+    # user 3: click at 100 only (no purchases)
+    return pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 1, 1, 2, 3], pa.int64()),
+        "ts": pa.array([10, 15, 10, 12, 20, 5, 100], pa.int64()),
+        "kind": pa.array(["c", "c", "p", "p", "p", "p", "c"]),
+    })
+
+
+def test_asof_join_basic(ray_session):
+    import ray.data as rd
+
+    from ict_log_parser_ray.stages.temporal import asof_join_broadcast
+
+    t = _events_tbl()
+    clicks = t.filter(pa.compute.equal(t["kind"], "c")).select(
+        ["user_id", "ts", "event_id"]).rename_columns(
+        ["user_id", "ts", "click_id"])
+    left = rd.from_arrow(t.filter(pa.compute.equal(t["kind"], "p")))
+    out = asof_join_broadcast(left, clicks, by="user_id", on="ts",
+                              attach={"click_id": "click_id"}).to_pandas()
+    out = out.sort_values("event_id").reset_index(drop=True)
+    # purchase@10 matches click@10 (ts >= semantics); @12 → click@10;
+    # @20 → click@15; user 2 → null; user 3 has no purchases
+    assert out["click_id"].tolist()[:3] == [1, 1, 2]
+    assert pd.isna(out["click_id"].iloc[3])
+
+
+def test_asof_rejects_duplicate_key_ts(ray_session):
+    import ray.data as rd
+
+    from ict_log_parser_ray.stages.temporal import prepare_asof_side
+
+    dup = pa.table({"user_id": pa.array([1, 1], pa.int64()),
+                    "ts": pa.array([10, 10], pa.int64()),
+                    "x": pa.array([1, 2], pa.int64())})
+    with pytest.raises(ValueError, match="duplicate"):
+        prepare_asof_side(dup, by="user_id", on="ts")
+
+
+def test_asof_timestamp_column(ray_session):
+    import ray.data as rd
+
+    from ict_log_parser_ray.stages.temporal import asof_join_broadcast
+
+    ts = pa.array(pd.to_datetime(["2024-01-01", "2024-01-03"]),
+                  pa.timestamp("us"))
+    right = pa.table({"k": pa.array([7, 7], pa.int64()), "ts": ts,
+                      "v": pa.array([100, 200], pa.int64())})
+    lts = pa.array(pd.to_datetime(["2024-01-02", "2024-01-04",
+                                   "2023-12-31"]), pa.timestamp("us"))
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([7, 7, 7], pa.int64()), "ts": lts,
+        "id": pa.array([1, 2, 3], pa.int64())}))
+    out = asof_join_broadcast(left, right, by="k", on="ts",
+                              attach={"v": "v"}).to_pandas()
+    out = out.sort_values("id")
+    assert out["v"].tolist()[:2] == [100, 200]
+    assert pd.isna(out["v"].iloc[2])
+
+
+def test_running_sum_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from ict_log_parser_ray.stages.temporal import running_sum_partitioned
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 37, n).astype(np.int64),
+        "ts": rng.integers(0, 1000, n).astype(np.int64),
+        "value": rng.normal(size=n).round(3),
+    })
+    ds = rd.from_pandas(df)
+    # nparts > 1 forces the partition-task path with keys split across tasks
+    out = running_sum_partitioned(ds, key="user_id", ts="ts",
+                                  idc="event_id", val="value",
+                                  nparts=5).to_pandas()
+    out = out.sort_values("event_id").reset_index(drop=True)
+
+    ref = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    ref["run_sum"] = ref.groupby("user_id")["value"].cumsum().round(6)
+    ref["rn"] = ref.groupby("user_id").cumcount() + 1
+    ref = ref.sort_values("event_id").reset_index(drop=True)
+    assert (out["rn"].values == ref["rn"].values).all()
+    np.testing.assert_allclose(out["run_sum"].values,
+                               ref["run_sum"].values, atol=1e-6)
+    assert len(out) == n
