@@ -979,14 +979,24 @@ def d_analysis(sf_dir):
 
 
 def d_minhash_pairs(sf_dir):
-    """MinHash+LSH near-dup pairs over documents (rows-only)."""
+    """MinHash+LSH near-dup pairs over documents — value-checked.
+
+    The final stage filters candidates by EXACT shingle Jaccard >= 0.6, so
+    the output is the exact all-pairs threshold set whenever LSH recall is
+    1.0.  The fixture's planted near-dups all sit at J >= 0.92 (verified
+    empirically at sf0.01: the 25 pairs equal the exact set), where a
+    16-band/4-row signature misses with probability ~4e-8 — and the data +
+    seeded hash family are deterministic, so the oracle match is stable.
+    Jaccard is rounded to 4 decimals on both sides (the repo's float-oracle
+    convention)."""
     from ..functions.dedup_docs import minhash_duplicate_pairs
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     df = minhash_duplicate_pairs(ds, threshold=0.6).to_pandas()
     if len(df):
-        df["jaccard"] = df["jaccard"].round(6)
+        df["jaccard"] = df["jaccard"].round(4)
         df = _i64(df, ["doc_a", "doc_b"])
+        df = df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     return df
 
 
@@ -1196,6 +1206,39 @@ FROM documents
 """,
         "d_char_stats": """
 SELECT doc_id, length(text) AS text_len, n_chars FROM documents
+""",
+        # Exact all-pairs 5-char-shingle Jaccard at threshold 0.6 — equals
+        # the MinHash+LSH output because the engine verifies candidates
+        # with exact Jaccard and the fixture's near-dups (J >= 0.92) are
+        # deterministically recalled (see d_minhash_pairs docstring).
+        # generate_series takes constants only: 4096 >> max doc length at
+        # the driver's sf0.01 (553 chars).
+        "d_minhash_pairs": r"""
+WITH d AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+  FROM documents
+),
+idx AS (SELECT CAST(i AS INT) AS i FROM generate_series(1, 4096) g(i)),
+sh AS (
+  SELECT DISTINCT doc_id, substr(t, i, 5) AS s
+  FROM d JOIN idx ON idx.i <= greatest(1, length(d.t) - 4)
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS isz
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT doc_a, doc_b, isz * 1.0 / (ca.n + cb.n - isz) AS jac
+  FROM inter
+  JOIN cnt ca ON ca.doc_id = inter.doc_a
+  JOIN cnt cb ON cb.doc_id = inter.doc_b
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       round(jac, 4) AS jaccard
+FROM j WHERE jac >= 0.6
+ORDER BY doc_a, doc_b
 """,
         "d_exact_dups": """
 SELECT text, count(*) AS n, min(doc_id) AS keep_doc_id

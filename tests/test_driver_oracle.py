@@ -58,7 +58,7 @@ ORACLE_NAMES = [
     "e_window", "e_point_lookup", "q1_lineitem", "d_token_counts",
     "d_char_stats", "d_exact_dups", "emb_knn",
     "emb_knn_ivf_full", "emb_near_dups_exact", "d_quality", "media_digest",
-    "e_hash_sample", "e_asof", "e_rolling",
+    "e_hash_sample", "e_asof", "e_rolling", "d_minhash_pairs",
 ]
 
 
@@ -80,8 +80,8 @@ def test_query_matches_oracle(contract, con, name):
                                   check_exact=False, rtol=1e-9, atol=1e-9)
 
 
-ROWS_ONLY = ["e_sample", "emb_knn_ivf", "emb_near_dups", "d_analysis", "d_minhash_pairs", "d_simhash",
-             "media_features"]
+ROWS_ONLY = ["e_sample", "emb_knn_ivf", "emb_near_dups", "d_analysis",
+             "d_simhash", "media_features"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
