@@ -224,6 +224,26 @@ def _route_write(sb: pa.Table, out_dir: str) -> None:
                        write_statistics=False)
 
 
+@ray.remote(num_cpus=0)
+def _metric_rows(*blks: pa.Table) -> pa.Table:
+    """Strip a group of pass-2 output blocks to their tiny metric rows.
+
+    Runs as a remote task (blocks arrive as top-level ObjectRef varargs →
+    auto-resolved, locality-scheduled) so the driver collects only metric
+    rows — it never pulls the collision IPC blobs across the network.
+    A driver-side ``ray.get`` of every block is the streaming pipeline's
+    remaining driver-collect scale bound on a multi-node cluster, so this
+    path engages past ICT_METRIC_COLLECT_BYTES (default 2 GiB) of pass-2
+    output; below it the driver's zero-copy plasma read wins (remote
+    tasks pay ~16 worker spawns ≈ 0.6 s, measured A/B interleaved).
+    Grouped ~16 refs/task — one task per block cost ~1 s of dispatch at
+    128 blocks; num_cpus=0 keeps the tasks off the CPU slots like the
+    rest of the finish chain."""
+    tbls = [b.filter(pc.invert(pc.equal(b["metric"], "collision")))
+            .drop_columns(["part", "collision_ipc"]) for b in blks]
+    return pa.concat_tables(tbls).combine_chunks()
+
+
 @ray.remote
 def _keeper_part(p: int, refs, flags_tbl: pa.Table, out_dir: str):
     """Dedup + route + write the collision keepers of kh-partition p.
@@ -457,10 +477,20 @@ def run_streaming(transcripts_path, tool_meta: pa.Table | None, out_dir: str,
         keeper_futs = [_keeper_part.remote(p, prefs, flags_ref, out_dir)
                        for p in range(nparts)]
     # metric rows are tiny; the collision blobs stay in plasma for the
-    # keeper tasks — the driver never deserializes them
-    mblocks = [blk.filter(pc.invert(pc.equal(blk["metric"], "collision")))
-               .drop_columns(["part", "collision_ipc"])
-               for blk in ray.get(prefs)]
+    # keeper tasks — the driver collects only the remote-filtered metric
+    # rows (tree-merge leaf step), never the blobs
+    if part.size_bytes() <= int(os.environ.get(
+            "ICT_METRIC_COLLECT_BYTES", 2 * 1024 ** 3)):
+        # single-node / small case: the driver's plasma read is zero-copy
+        # mmap, and remote tasks pay ~16 worker spawns (~0.6 s measured)
+        mblocks = [blk.filter(pc.invert(pc.equal(blk["metric"],
+                                                 "collision")))
+                   .drop_columns(["part", "collision_ipc"])
+                   for blk in ray.get(prefs)]
+    else:
+        ngrp = min(len(prefs), 16) or 1
+        groups = [prefs[i::ngrp] for i in range(ngrp) if prefs[i::ngrp]]
+        mblocks = ray.get([_metric_rows.remote(*g) for g in groups])
     mdf = pa.concat_tables(mblocks).combine_chunks().to_pandas()
     if os.environ.get("ICT_P2_PROF") == "1":
         pm = mdf["metric"].str.startswith("prof:")

@@ -112,3 +112,21 @@ def test_streaming_garbage_only_transcripts(ray_session, tmp_path):
     assert ys == {"first": (0, 0), "final": (0, 0), "all": (0, 0)}
     for mode in ("all", "first_pass", "after_retest"):
         assert len(res["reports"][f"pareto_{mode}"]) == 0
+
+
+def test_streaming_remote_metric_collect_path(fixture_sf0001, tmp_path,
+                                              monkeypatch):
+    """ICT_METRIC_COLLECT_BYTES=0 forces the grouped-remote metric-row
+    collect (the multi-node path that keeps collision blobs off the
+    driver) — reports must match the default driver-side collect."""
+    from ict_log_parser_ray.pipelines.streaming import run_streaming
+
+    monkeypatch.setenv("ICT_METRIC_COLLECT_BYTES", "0")
+    res = run_streaming(f"{fixture_sf0001['dir']}/transcripts",
+                        fixture_sf0001["tool_meta"], str(tmp_path / "s"))
+    got = {r["sink"]: r["n"]
+           for r in res["reports"]["sink_counts"].to_dict("records")}
+    assert got == fixture_sf0001["golden"]["sink_counts"]
+    assert {r["phase"]: (r["ok"], r["nok"])
+            for r in res["reports"]["yields_sb"].to_pylist()} == \
+        fixture_sf0001["golden"]["yields_sb"]
