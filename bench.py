@@ -32,8 +32,13 @@ def _quiet_ray(num_cpus: int):
     warnings.filterwarnings("ignore")
     import ray
 
+    # log_to_driver=False: raylet/worker log forwarding prints to the
+    # driver's STDOUT (e.g. "N PYTHON worker processes have been started"
+    # when the overlapped finish chain blocks first-wave map tasks) and
+    # would corrupt the one-JSON-line stdout contract the driver parses.
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-             ignore_reinit_error=True, logging_level=logging.ERROR)
+             ignore_reinit_error=True, logging_level=logging.ERROR,
+             log_to_driver=False)
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
@@ -228,12 +233,19 @@ def scaling(sf_dir: str, cpus=(2, 8), repeats: int = 3,
             if streaming:
                 env["ICT_BENCH_STREAMING"] = "1"
             subprocess.run(["sync"], check=False)  # flush prior dirty pages
-            subprocess.run(
+            # capture the child's stdout (it reports via --json-out): an
+            # inherited stdout let stray ray log lines land ahead of the
+            # parent's final JSON line, breaking the driver's parse
+            cp = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--single-run",
                  "--num-cpus", str(n), "--sf-dir", sf_dir, "--json-out", path,
                  "--no-queries"],
-                check=True, env=env,
+                check=True, env=env, stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
                 cwd=os.path.dirname(os.path.abspath(__file__)))
+            for chunk in (cp.stdout, cp.stderr):
+                if chunk:
+                    sys.stderr.write(chunk.decode(errors="replace"))
             out = json.load(open(path))
             obs[n].append(out["turns_per_sec"])
             if n not in outs or out["turns_per_sec"] > outs[n]["turns_per_sec"]:
