@@ -949,6 +949,52 @@ def e_rolling(sf_dir):
                                    idc="event_id", val="value")
 
 
+def e_window_join(sf_dir):
+    """Range/interval join (task-brief custom operator): derive the top-3
+    busiest hours from the event stream itself (per-batch partial hour
+    counts + driver finish — ties broken by hour ascending on both sides),
+    widen each to an OVERLAPPING window [hour-30min, hour+90min), then
+    interval-join every event falling inside a window.  A single event can
+    match two windows when adjacent hours are both in the top 3."""
+    from ..stages.temporal import interval_join_broadcast
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts"])
+
+    HOUR = 3_600_000_000  # µs
+
+    def hour_part(b: pa.Table) -> pa.Table:
+        ts = b["ts"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        us = ts.cast(pa.int64())
+        hs = pc.multiply(pc.divide(us, HOUR), HOUR)
+        return pa.TableGroupBy(pa.table({"hs": hs}),
+                               "hs").aggregate([("hs", "count")])
+
+    import ray
+    parts = pa.concat_tables(ray.get(
+        ds.map_batches(hour_part, batch_format="pyarrow",
+                       zero_copy_batch=True).to_arrow_refs()))
+    hdf = (parts.to_pandas().groupby("hs", as_index=False)["hs_count"]
+           .sum().sort_values(["hs_count", "hs"], ascending=[False, True],
+                              kind="stable").head(3))
+    ws = (hdf["hs"] - HOUR // 2).to_numpy()
+    windows = pa.table({
+        "ws": pa.array(ws, pa.int64()),
+        "we": pa.array(hdf["hs"].to_numpy() + HOUR * 3 // 2, pa.int64()),
+        "window_start": pa.array(ws, pa.int64()),
+    })
+
+    joined = interval_join_broadcast(ds, windows, on="ts", start="ws",
+                                     end="we",
+                                     attach={"window_start": "window_start"})
+
+    def sel(b: pa.Table) -> pa.Table:
+        return b.select(["event_id", "window_start"])
+
+    return joined.map_batches(sel, batch_format="pyarrow")
+
+
 def e_hash_sample(sf_dir):
     """Deterministic hash-based 10% sample over events: a stateless per-row
     predicate ((id·2654435761) mod 2³² < 0.1·2³²) that any engine can
@@ -1145,6 +1191,7 @@ def build_queries() -> dict:
         "e_hash_sample": e_hash_sample,
         "e_asof": e_asof,
         "e_rolling": e_rolling,
+        "e_window_join": e_window_join,
         # rows-only (non-SQL-expressible)
         "e_sample": e_sample,
         "emb_knn_ivf": emb_knn_ivf,
@@ -1295,6 +1342,18 @@ SELECT event_id, user_id,
        round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING), 6) AS run_sum
 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+        "e_window_join": """
+WITH h AS (
+  SELECT epoch_us(date_trunc('hour', ts)) AS hs, count(*) AS c
+  FROM events GROUP BY 1
+), w AS (
+  SELECT hs - 1800000000 AS ws, hs + 5400000000 AS we,
+         hs - 1800000000 AS window_start
+  FROM h ORDER BY c DESC, hs LIMIT 3
+)
+SELECT e.event_id, w.window_start
+FROM events e JOIN w ON epoch_us(e.ts) >= w.ws AND epoch_us(e.ts) < w.we
 """,
     })
     return sql

@@ -98,3 +98,78 @@ def test_running_sum_matches_pandas(ray_session):
     np.testing.assert_allclose(out["run_sum"].values,
                                ref["run_sum"].values, atol=1e-6)
     assert len(out) == n
+
+
+def test_interval_join_overlapping(ray_session):
+    import ray.data as rd
+
+    from ict_log_parser_ray.stages.temporal import interval_join_broadcast
+
+    left = rd.from_arrow(pa.table({
+        "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "ts": pa.array([5, 10, 15, 25, 40], pa.int64()),
+    }))
+    # overlapping windows: [0,12), [10,30); point 10 matches BOTH;
+    # half-open: ts=30 would not match w2; ts=40 matches nothing
+    windows = pa.table({
+        "ws": pa.array([0, 10], pa.int64()),
+        "we": pa.array([12, 30], pa.int64()),
+        "wid": pa.array([100, 200], pa.int64()),
+    })
+    out = interval_join_broadcast(left, windows, on="ts", start="ws",
+                                  end="we", attach={"wid": "wid"}).to_pandas()
+    pairs = sorted(zip(out["id"], out["wid"]))
+    assert pairs == [(1, 100), (2, 100), (2, 200), (3, 200), (4, 200)]
+
+
+def test_interval_join_boundary_and_empty(ray_session):
+    import ray.data as rd
+
+    from ict_log_parser_ray.stages.temporal import interval_join_broadcast
+
+    left = rd.from_arrow(pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "ts": pa.array([10, 20], pa.int64()),
+    }))
+    # start inclusive, end exclusive: ts=10 in [10,20), ts=20 not
+    w = pa.table({"ws": pa.array([10], pa.int64()),
+                  "we": pa.array([20], pa.int64()),
+                  "wid": pa.array([1], pa.int64())})
+    out = interval_join_broadcast(left, w, on="ts", start="ws", end="we",
+                                  attach={"wid": "wid"}).to_pandas()
+    assert out["id"].tolist() == [1]
+
+    # empty interval table → empty result; the probe's per-batch output
+    # keeps the schema, but Ray's to_pandas over all-empty blocks drops
+    # columns (known trap, CLAUDE.md) — assert emptiness via the batch UDF
+    w0 = w.slice(0, 0)
+    ds0 = interval_join_broadcast(left, w0, on="ts", start="ws", end="we",
+                                  attach={"wid": "wid"})
+    batches = [b for b in ds0.iter_batches(batch_format="pyarrow")]
+    assert sum(b.num_rows for b in batches) == 0
+    for b in batches:
+        assert b.column_names == ["id", "ts", "wid"]
+
+
+def test_interval_join_matches_pandas_crosscheck(ray_session):
+    import ray.data as rd
+
+    from ict_log_parser_ray.stages.temporal import interval_join_broadcast
+
+    rng = np.random.default_rng(7)
+    ts = rng.integers(0, 1000, 500)
+    left_tbl = pa.table({"id": pa.array(np.arange(500), pa.int64()),
+                         "ts": pa.array(ts, pa.int64())})
+    ws = rng.integers(0, 900, 20)
+    we = ws + rng.integers(1, 200, 20)
+    w = pa.table({"ws": pa.array(ws, pa.int64()),
+                  "we": pa.array(we, pa.int64()),
+                  "wid": pa.array(np.arange(20), pa.int64())})
+    left = rd.from_arrow(left_tbl).repartition(4)
+    out = interval_join_broadcast(left, w, on="ts", start="ws", end="we",
+                                  attach={"wid": "wid"}).to_pandas()
+    got = sorted(zip(out["id"], out["wid"]))
+    want = sorted((int(i), int(j))
+                  for i in range(500) for j in range(20)
+                  if ws[j] <= ts[i] < we[j])
+    assert got == want
