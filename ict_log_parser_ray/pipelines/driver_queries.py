@@ -995,6 +995,18 @@ def e_window_join(sf_dir):
     return joined.map_batches(sel, batch_format="pyarrow")
 
 
+def e_sliding(sf_dir):
+    """Sliding-window count (task-brief "streaming window" custom op):
+    events per (1-hour window sliding 15 min, event_type).  Width = 4 ×
+    slide, so each event lands in exactly 4 windows — the SQL twin is a
+    constant 4-way unnest, and all aggregates are exact-int counts."""
+    from ..stages.temporal import sliding_window_count
+
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type"])
+    return sliding_window_count(ds, on="ts", key="event_type",
+                                slide_us=900_000_000, nwin=4)
+
+
 def e_hash_sample(sf_dir):
     """Deterministic hash-based 10% sample over events: a stateless per-row
     predicate ((id·2654435761) mod 2³² < 0.1·2³²) that any engine can
@@ -1192,6 +1204,7 @@ def build_queries() -> dict:
         "e_asof": e_asof,
         "e_rolling": e_rolling,
         "e_window_join": e_window_join,
+        "e_sliding": e_sliding,
         # rows-only (non-SQL-expressible)
         "e_sample": e_sample,
         "emb_knn_ivf": emb_knn_ivf,
@@ -1354,6 +1367,12 @@ WITH h AS (
 )
 SELECT e.event_id, w.window_start
 FROM events e JOIN w ON epoch_us(e.ts) >= w.ws AND epoch_us(e.ts) < w.we
+""",
+        "e_sliding": """
+SELECT (epoch_us(ts) // 900000000 - j) * 900000000 AS window_start,
+       event_type, count(*) AS n
+FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) shifts
+GROUP BY 1, 2
 """,
     })
     return sql

@@ -143,6 +143,49 @@ def interval_join_broadcast(left_ds, intervals: pa.Table, on: str,
                                zero_copy_batch=True)
 
 
+def sliding_window_count(ds, on: str, key: str, slide_us: int,
+                         nwin: int = 4) -> pa.Table:
+    """Sliding event-time window count (task-brief "streaming window"
+    custom op): per (window_start, key) row counts for windows of width
+    ``nwin × slide_us`` advancing every ``slide_us`` — width an exact
+    multiple of the slide, so every event belongs to exactly ``nwin``
+    windows and the explode factor is a constant, not data-dependent.
+
+    Shape: per-batch vectorized window assignment (one int divide + nwin
+    shifted copies) + per-batch arrow partial combine (≤ windows-per-batch
+    × keys groups), then a driver finish over the tiny partial stream —
+    the CLAUDE.md partial-combine rule; a Ray groupby here would shuffle
+    every exploded row.  The finish is driver-side because the group
+    count is (time-span / slide) × nwin × |keys| — small for coarse
+    slides; a fine-slide/high-cardinality-key variant must swap the
+    finish for the distributed groupby fallback like the other report
+    finishes."""
+    S = np.int64(slide_us)
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = _col_np(b, on)
+        base = us // S
+        kcol = b[key]
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        tiles = []
+        for j in range(nwin):
+            ws = (base - j) * S
+            tiles.append(pa.table({"window_start": pa.array(ws, pa.int64()),
+                                   key: kcol}))
+        return pa.TableGroupBy(pa.concat_tables(tiles),
+                               ["window_start", key]).aggregate(
+            [([], "count_all")])
+
+    parts = pa.concat_tables(ray.get(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True).to_arrow_refs()))
+    df = (parts.to_pandas().groupby(["window_start", key], as_index=False)
+          ["count_all"].sum().rename(columns={"count_all": "n"}))
+    df["n"] = df["n"].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 @ray.remote
 def _running_part(p: int, refs, key: str, ts: str, idc: str, val: str):
     tbls = [t.filter(pc.equal(t["part"], p)) for t in ray.get(refs)]

@@ -173,3 +173,30 @@ def test_interval_join_matches_pandas_crosscheck(ray_session):
                   for i in range(500) for j in range(20)
                   if ws[j] <= ts[i] < we[j])
     assert got == want
+
+
+def test_sliding_window_count_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from ict_log_parser_ray.stages.temporal import sliding_window_count
+
+    rng = np.random.default_rng(11)
+    n = 2000
+    us = rng.integers(0, 50_000, n).astype("int64")
+    keys = rng.choice(["a", "b", "c"], n)
+    ds = rd.from_arrow(pa.table({"ts": pa.array(us, pa.int64()),
+                                 "k": pa.array(keys)})).repartition(4)
+    out = sliding_window_count(ds, on="ts", key="k", slide_us=1000,
+                               nwin=4).to_pandas()
+    # brute force: event at t belongs to windows (t//S - j)*S, j=0..3
+    rows = {}
+    for t, k in zip(us, keys):
+        for j in range(4):
+            ws = (t // 1000 - j) * 1000
+            rows[(ws, k)] = rows.get((ws, k), 0) + 1
+    want = sorted(rows.items())
+    got = sorted(((int(r.window_start), r.k), int(r.n))
+                 for r in out.itertuples())
+    assert got == want
+    # every event in exactly nwin windows
+    assert out["n"].sum() == n * 4
