@@ -937,6 +937,59 @@ def e_asof(sf_dir):
     return joined.map_batches(sel, batch_format="pyarrow")
 
 
+def e_asof_big(sf_dir):
+    """Same join as e_asof but through the BIG-BIG hash-partitioned
+    sort-merge path (asof_join_partitioned): both sides stream through a
+    narrow tagging pass and nparts partition tasks sort-merge their slice
+    — the cluster-scale variant, value-checked against the identical
+    DuckDB ASOF oracle.  The click side is deduped per (user, ts) with a
+    per-batch partial max + tiny driver finish (few distinct click keys),
+    then re-wrapped as a Dataset so the join's right side exercises the
+    Dataset→tag→partition machinery."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.temporal import asof_join_partitioned
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "event_type"])
+
+    def click_part(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b["event_type"], "click"))
+        return pa.TableGroupBy(f.select(["user_id", "ts", "event_id"]),
+                               ["user_id", "ts"]).aggregate(
+            [("event_id", "max")])
+
+    parts = pa.concat_tables(ray.get(
+        ds.map_batches(click_part, batch_format="pyarrow",
+                       zero_copy_batch=True).to_arrow_refs()))
+    cdf = (parts.to_pandas().groupby(["user_id", "ts"], as_index=False)
+           ["event_id_max"].max())
+    clicks = rd.from_arrow(pa.table({
+        "user_id": pa.array(cdf["user_id"], pa.int64()),
+        "ts": pa.array(cdf["ts"]),
+        "click_ts": pa.array(cdf["ts"].astype("datetime64[us]")
+                             .astype("int64"), pa.int64()),
+        "click_event_id": pa.array(cdf["event_id_max"], pa.int64()),
+    }))
+
+    def only_purchases(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["event_type"], "purchase"))
+
+    left = ds.map_batches(only_purchases, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    joined = asof_join_partitioned(
+        left, clicks, by="user_id", on="ts",
+        attach={"click_ts": "click_ts", "click_event_id": "click_event_id"},
+        left_cols=["event_id"])
+
+    def sel(b: pa.Table) -> pa.Table:
+        return b.select(["event_id", "user_id", "click_ts",
+                         "click_event_id"])
+
+    return joined.map_batches(sel, batch_format="pyarrow")
+
+
 def e_rolling(sf_dir):
     """Windowed running aggregate (task-brief custom operator): per-user
     running sum of value + row number ordered by (ts, event_id), via the
@@ -1205,6 +1258,7 @@ def build_queries() -> dict:
         "e_rolling": e_rolling,
         "e_window_join": e_window_join,
         "e_sliding": e_sliding,
+        "e_asof_big": e_asof_big,
         # rows-only (non-SQL-expressible)
         "e_sample": e_sample,
         "emb_knn_ivf": emb_knn_ivf,
@@ -1339,6 +1393,18 @@ SELECT event_id, event_type FROM events
 WHERE (event_id * 2654435761) % 4294967296 < 429496729
 """,
         "e_asof": """
+WITH clicks AS (
+  SELECT user_id, ts, max(event_id) AS click_event_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+), p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, epoch_us(c.ts) AS click_ts, c.click_event_id
+FROM p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+        # identical join, exercised through the big-big partitioned path
+        "e_asof_big": """
 WITH clicks AS (
   SELECT user_id, ts, max(event_id) AS click_event_id
   FROM events WHERE event_type = 'click' GROUP BY user_id, ts

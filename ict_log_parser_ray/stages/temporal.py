@@ -6,9 +6,11 @@ range join, windowed aggregate"): implemented as compositions of
   row with the greatest ``on`` ≤ its own, per ``by`` key.  Small right side:
   prepared ONCE driver-side (sorted per-key segments), ``ray.put`` once,
   probed with vectorized ``np.searchsorted`` per batch (stateless tasks, no
-  shuffle — the left side streams).  Big-big as-of joins need both sides
-  hash-partitioned by ``by`` and a per-partition sort-merge; that variant
-  is the documented scale path, not implemented until a caller needs it.
+  shuffle — the left side streams).
+- ``asof_join_partitioned``: the big-big scale path — both sides
+  hash-partitioned by ``by`` through a narrow tagging pass, per-partition
+  sort-merge with the same searchsorted kernel, result re-wrapped as a
+  Dataset (``from_arrow_refs``) with no driver materialization.
 - ``interval_join_broadcast``: INNER range join against a small broadcast
   interval table (possibly overlapping intervals) — per batch one sort of
   the probe column + two ``searchsorted`` calls per interval.
@@ -64,6 +66,33 @@ def prepare_asof_side(right: pa.Table, by: str, on: str) -> tuple:
     return (pd.Index(keys[b]), seg_start, seg_end, ts, right)
 
 
+def _asof_probe(batch: pa.Table, side, by: str, on: str,
+                attach: dict[str, str]) -> pa.Table:
+    """Attach as-of matches from a prepared side (see prepare_asof_side)
+    to one left batch — the shared kernel of the broadcast and the
+    hash-partitioned variants."""
+    key_ix, seg_start, seg_end, r_ts, r_tbl = side
+    codes = key_ix.get_indexer(_col_np(batch, by))
+    bts = _col_np(batch, on)
+    out = np.full(len(batch), -1, np.int64)
+    order = np.argsort(codes, kind="stable")
+    sc = codes[order]
+    uq, starts = np.unique(sc, return_index=True)
+    bounds = np.r_[starts, len(sc)]
+    for i, u in enumerate(uq):
+        if u < 0:
+            continue
+        rows = order[bounds[i]:bounds[i + 1]]
+        lo, hi = seg_start[u], seg_end[u]
+        pos = np.searchsorted(r_ts[lo:hi], bts[rows], side="right") - 1
+        ok = pos >= 0
+        out[rows[ok]] = lo + pos[ok]
+    idx = pa.array(out, pa.int64(), mask=(out < 0))
+    for src, dst in attach.items():
+        batch = batch.append_column(dst, pc.take(r_tbl[src], idx))
+    return batch
+
+
 def asof_join_broadcast(left_ds, right: pa.Table, by: str, on: str,
                         attach: dict[str, str]):
     """LEFT AS-OF: for each left row, attach ``attach`` columns (src→dst
@@ -72,29 +101,78 @@ def asof_join_broadcast(left_ds, right: pa.Table, by: str, on: str,
     side_ref = ray.put(prepare_asof_side(right, by, on))
 
     def probe(batch: pa.Table) -> pa.Table:
-        key_ix, seg_start, seg_end, r_ts, r_tbl = ray.get(side_ref)
-        codes = key_ix.get_indexer(_col_np(batch, by))
-        bts = _col_np(batch, on)
-        out = np.full(len(batch), -1, np.int64)
-        order = np.argsort(codes, kind="stable")
-        sc = codes[order]
-        uq, starts = np.unique(sc, return_index=True)
-        bounds = np.r_[starts, len(sc)]
-        for i, u in enumerate(uq):
-            if u < 0:
-                continue
-            rows = order[bounds[i]:bounds[i + 1]]
-            lo, hi = seg_start[u], seg_end[u]
-            pos = np.searchsorted(r_ts[lo:hi], bts[rows], side="right") - 1
-            ok = pos >= 0
-            out[rows[ok]] = lo + pos[ok]
-        idx = pa.array(out, pa.int64(), mask=(out < 0))
-        for src, dst in attach.items():
-            batch = batch.append_column(dst, pc.take(r_tbl[src], idx))
-        return batch
+        return _asof_probe(batch, ray.get(side_ref), by, on, attach)
 
     return left_ds.map_batches(probe, batch_format="pyarrow",
                                zero_copy_batch=True)
+
+
+@ray.remote
+def _asof_part(p: int, left_refs, right_refs, by: str, on: str,
+               attach: dict[str, str]):
+    """Sort-merge one hash partition of a big-big as-of join: every row of
+    a ``by`` key lands in exactly one partition, so the per-partition
+    result equals the global one.  Returns an ObjectRef-able table (the
+    driver never sees the rows — from_arrow_refs re-wraps them)."""
+    lt = pa.concat_tables([t.filter(pc.equal(t["part"], p))
+                           .drop_columns(["part"])
+                           for t in ray.get(left_refs)]).combine_chunks()
+    rt = pa.concat_tables([t.filter(pc.equal(t["part"], p))
+                           .drop_columns(["part"])
+                           for t in ray.get(right_refs)]).combine_chunks()
+    if lt.num_rows == 0 or rt.num_rows == 0:
+        # no left rows, or no right rows to match (all-null attach)
+        for src, dst in attach.items():
+            lt = lt.append_column(dst,
+                                  pa.nulls(lt.num_rows, rt[src].type))
+        return lt
+    side = prepare_asof_side(rt, by, on)
+    return _asof_probe(lt, side, by, on, attach)
+
+
+def asof_join_partitioned(left_ds, right_ds, by: str, on: str,
+                          attach: dict[str, str],
+                          left_cols: list[str] | None = None,
+                          nparts: int | None = None):
+    """Big-big LEFT AS-OF join — the scale path the broadcast variant's
+    docstring promises: BOTH sides stream through a narrow tagging pass
+    (``hash(by) % nparts``), then ``nparts`` partition tasks each
+    sort-merge their slice with the shared searchsorted kernel.  The
+    result comes back as a Dataset over the partition tasks' output refs
+    (``from_arrow_refs``) — no driver materialization.
+
+    ``left_cols``: columns of the left side to carry through (default all;
+    project to what you need — this is the shuffled payload).  Same
+    partition-task shape as the streaming flagship's rank finish; at
+    cluster scale the scan-and-filter becomes a real hash shuffle."""
+    if nparts is None:
+        ncpu = int(ray.available_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+        nparts = max(4, min(ncpu, 32))
+
+    def tagger(cols):
+        def tag(b: pa.Table) -> pa.Table:
+            kv = _col_np(b, by)
+            part = (pd.util.hash_pandas_object(
+                pd.Series(kv), index=False).to_numpy()
+                % np.uint64(nparts)).astype("int64")
+            out = b.select(cols)
+            return out.append_column("part", pa.array(part))
+        return tag
+
+    lcols = left_cols if left_cols is not None else left_ds.schema().names
+    lcols = list(dict.fromkeys([by, on] + [c for c in lcols
+                                           if c not in (by, on)]))
+    rcols = list(dict.fromkeys([by, on] + list(attach)))
+    ln = left_ds.map_batches(tagger(lcols), batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+    rn = right_ds.map_batches(tagger(rcols), batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    left_refs, right_refs = ln.to_arrow_refs(), rn.to_arrow_refs()
+    import ray.data as rd
+    refs = [_asof_part.remote(p, left_refs, right_refs, by, on, attach)
+            for p in range(nparts)]
+    return rd.from_arrow_refs(refs)
 
 
 def interval_join_broadcast(left_ds, intervals: pa.Table, on: str,

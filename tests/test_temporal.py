@@ -200,3 +200,60 @@ def test_sliding_window_count_matches_pandas(ray_session):
     assert got == want
     # every event in exactly nwin windows
     assert out["n"].sum() == n * 4
+
+
+def test_asof_partitioned_matches_broadcast(ray_session):
+    import ray.data as rd
+
+    from ict_log_parser_ray.stages.temporal import (asof_join_broadcast,
+                                                    asof_join_partitioned)
+
+    rng = np.random.default_rng(13)
+    nl, nr = 3000, 800
+    left_tbl = pa.table({
+        "id": pa.array(np.arange(nl), pa.int64()),
+        "k": pa.array(rng.integers(0, 50, nl), pa.int64()),
+        "ts": pa.array(rng.integers(0, 10_000, nl), pa.int64()),
+    })
+    # unique (k, ts) pairs on the right (as-of precondition)
+    rk = rng.integers(0, 60, nr)          # keys 50-59 never match a left row
+    rts = np.arange(nr) * 13 % 10_000     # unique per key via dedup below
+    rdf = pd.DataFrame({"k": rk, "ts": rts}).drop_duplicates(["k", "ts"])
+    right_tbl = pa.table({
+        "k": pa.array(rdf["k"].to_numpy(), pa.int64()),
+        "ts": pa.array(rdf["ts"].to_numpy(), pa.int64()),
+        "v": pa.array(np.arange(len(rdf)), pa.int64()),
+    })
+    left = rd.from_arrow(left_tbl).repartition(5)
+    right = rd.from_arrow(right_tbl).repartition(3)
+
+    got = asof_join_partitioned(left, right, by="k", on="ts",
+                                attach={"v": "v"}, nparts=7).to_pandas()
+    want = asof_join_broadcast(rd.from_arrow(left_tbl), right_tbl, by="k",
+                               on="ts", attach={"v": "v"}).to_pandas()
+    got = got.sort_values("id").reset_index(drop=True)
+    want = want.sort_values("id").reset_index(drop=True)
+    assert len(got) == nl
+    pd.testing.assert_series_equal(got["v"], want["v"], check_names=False)
+
+
+def test_asof_partitioned_string_keys_and_empty_parts(ray_session):
+    import ray.data as rd
+
+    from ict_log_parser_ray.stages.temporal import asof_join_partitioned
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(["a", "a", "zz"]),
+        "ts": pa.array([5, 50, 1], pa.int64()),
+        "id": pa.array([1, 2, 3], pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array(["a", "a"]),
+        "ts": pa.array([4, 40], pa.int64()),
+        "v": pa.array([100, 200], pa.int64()),
+    }))
+    out = asof_join_partitioned(left, right, by="k", on="ts",
+                                attach={"v": "v"}, nparts=9).to_pandas()
+    out = out.sort_values("id").reset_index(drop=True)
+    assert out["v"].tolist()[:2] == [100, 200]
+    assert pd.isna(out["v"].iloc[2])  # key with no right rows → null
