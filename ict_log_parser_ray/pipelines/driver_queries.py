@@ -1075,6 +1075,28 @@ def e_hash_sample(sf_dir):
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def d_token_percentiles(sf_dir):
+    """Exact distributed percentiles (task-brief "sketch" family, the
+    oracle-checkable baseline): median/p90/p99 of per-document whitespace
+    token counts via per-batch value-count histogram partials + a driver
+    histogram finish — partial size is bounded by DISTINCT counts, not
+    rows.  Semantics = DuckDB quantile_disc."""
+    from ..functions.quantiles import histogram_quantiles
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def tok(df):
+        import pandas as pd
+
+        t = df["text"].fillna("")
+        return pd.DataFrame({
+            "v": t.str.split().str.len().fillna(0).astype("int64")})
+
+    counts = ds.map_batches(tok, batch_format="pandas")
+    return histogram_quantiles(counts, "v",
+                               {"q50": 0.5, "q90": 0.9, "q99": 0.99})
+
+
 def d_analysis(sf_dir):
     """Language-ID / quality / fingerprint (heuristics; rows-only check)."""
     from ..functions.text import analyze_documents
@@ -1246,6 +1268,7 @@ def build_queries() -> dict:
         "e_point_lookup": e_point_lookup,
         "q1_lineitem": q1_lineitem,
         "d_token_counts": d_token_counts,
+        "d_token_percentiles": d_token_percentiles,
         "d_char_stats": d_char_stats,
         "d_exact_dups": d_exact_dups,
         "emb_knn": emb_knn,
@@ -1320,6 +1343,13 @@ FROM documents
 """,
         "d_char_stats": """
 SELECT doc_id, length(text) AS text_len, n_chars FROM documents
+""",
+        "d_token_percentiles": r"""
+WITH c AS (SELECT len(regexp_extract_all(COALESCE(text, ''), '\S+')) AS v
+           FROM documents)
+SELECT count(*) AS n, quantile_disc(v, 0.5) AS q50,
+       quantile_disc(v, 0.9) AS q90, quantile_disc(v, 0.99) AS q99
+FROM c
 """,
         # Exact all-pairs 5-char-shingle Jaccard at threshold 0.6 — equals
         # the MinHash+LSH output because the engine verifies candidates

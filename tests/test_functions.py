@@ -405,3 +405,38 @@ def test_lookup_indices_matches_index_in_and_survives_collisions(monkeypatch):
                                                ).astype("int64"))
     got2 = join.lookup_indices(values, right, memo_token="t-weak")
     assert got2.equals(expected)
+
+
+def test_histogram_quantiles_matches_duckdb_semantics(ray_session):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.quantiles import histogram_quantiles
+
+    rng = np.random.default_rng(3)
+    v = rng.integers(0, 40, 1777).astype("int64")
+    ds = rd.from_arrow(pa.table({"v": pa.array(v, pa.int64())})).repartition(5)
+    out = histogram_quantiles(ds, "v", {"q50": 0.5, "q90": 0.9,
+                                        "q01": 0.01, "q100": 1.0}).to_pylist()[0]
+    con = duckdb.connect()
+    want = con.execute(
+        "SELECT count(*), quantile_disc(x, 0.5), quantile_disc(x, 0.9),"
+        " quantile_disc(x, 0.01), quantile_disc(x, 1.0)"
+        " FROM (SELECT unnest($1) AS x)", [v.tolist()]).fetchone()
+    con.close()
+    assert (out["n"], out["q50"], out["q90"], out["q01"], out["q100"]) == want
+
+
+def test_histogram_quantiles_nulls_and_empty(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.quantiles import histogram_quantiles
+
+    ds = rd.from_arrow(pa.table({
+        "v": pa.array([5, None, 7, None, 5], pa.int64())}))
+    out = histogram_quantiles(ds, "v", {"q50": 0.5}).to_pylist()[0]
+    # nulls excluded: population {5,5,7}, median = 5
+    assert out == {"n": 3, "q50": 5}
