@@ -1060,6 +1060,19 @@ def e_sliding(sf_dir):
                                 slide_us=900_000_000, nwin=4)
 
 
+def e_sessions(sf_dir):
+    """Gap-based sessionization (classic log-pipeline operator): split
+    each user's event stream into sessions at >30-min gaps (ordering ties
+    broken by event_id); one row per session with start/end/count."""
+    from ..stages.temporal import sessionize_partitioned
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts"])
+    return sessionize_partitioned(ds, key="user_id", ts="ts",
+                                  idc="event_id",
+                                  gap_us=1_800_000_000)
+
+
 def e_hash_sample(sf_dir):
     """Deterministic hash-based 10% sample over events: a stateless per-row
     predicate ((id·2654435761) mod 2³² < 0.1·2³²) that any engine can
@@ -1282,6 +1295,7 @@ def build_queries() -> dict:
         "e_window_join": e_window_join,
         "e_sliding": e_sliding,
         "e_asof_big": e_asof_big,
+        "e_sessions": e_sessions,
         # rows-only (non-SQL-expressible)
         "e_sample": e_sample,
         "emb_knn_ivf": emb_knn_ivf,
@@ -1469,6 +1483,23 @@ SELECT (epoch_us(ts) // 900000000 - j) * 900000000 AS window_start,
        event_type, count(*) AS n
 FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) shifts
 GROUP BY 1, 2
+""",
+        "e_sessions": """
+WITH o AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER w AS prev
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, us,
+         sum(CASE WHEN prev IS NULL OR us - prev > 1800000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, min(us) AS session_start, max(us) AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid
 """,
     })
     return sql

@@ -265,6 +265,76 @@ def sliding_window_count(ds, on: str, key: str, slide_us: int,
 
 
 @ray.remote
+def _session_part(p: int, refs, key: str, ts: str, idc: str,
+                  gap_us: int) -> pa.Table:
+    """Sessionize one hash partition: lexsort (key, ts, id), flag rows
+    whose gap to the previous same-key row exceeds ``gap_us``, segment by
+    cumulative boundary count, and reduce each segment to one session
+    row — all numpy, no per-row Python."""
+    tbls = [t.filter(pc.equal(t["part"], p)) for t in ray.get(refs)]
+    t = pa.concat_tables(tbls).combine_chunks()
+    if t.num_rows == 0:
+        return pa.table({key: pa.array([], pa.int64()),
+                         "session_start": pa.array([], pa.int64()),
+                         "session_end": pa.array([], pa.int64()),
+                         "n_events": pa.array([], pa.int64())})
+    k = _col_np(t, key)
+    tsv = _col_np(t, ts)
+    ids = _col_np(t, idc)
+    order = np.lexsort((ids, tsv, k))
+    k, tsv = k[order], tsv[order]
+    new_key = np.r_[True, k[1:] != k[:-1]]
+    gap = np.r_[np.int64(0), tsv[1:] - tsv[:-1]]
+    boundary = new_key | (gap > gap_us)
+    b = np.flatnonzero(boundary)
+    ends = np.r_[b[1:], len(k)] - 1
+    return pa.table({
+        key: pa.array(k[b], pa.int64()),
+        "session_start": pa.array(tsv[b], pa.int64()),
+        "session_end": pa.array(tsv[ends], pa.int64()),
+        "n_events": pa.array(np.diff(np.r_[b, len(k)]), pa.int64()),
+    })
+
+
+def sessionize_partitioned(ds, key: str, ts: str, idc: str,
+                           gap_us: int, nparts: int | None = None):
+    """Gap-based sessionization (the classic log-pipeline operator): split
+    each key's event stream into sessions wherever the gap to the previous
+    event exceeds ``gap_us``; emit one row per session with start/end and
+    event count.  Ordering within a key is (ts, id) so ties are
+    deterministic.
+
+    Same shape as ``running_sum_partitioned``: a narrow tagging pass
+    (``hash(key) % nparts``) so every key's rows meet in exactly one
+    partition task, then numpy lexsort + boundary-flag + segment reduce
+    per partition.  Returns a Dataset over the partition outputs
+    (``from_arrow_refs``) — session counts can rival event counts, so the
+    result must not funnel through the driver."""
+    if nparts is None:
+        ncpu = int(ray.available_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+        nparts = max(4, min(ncpu, 32))
+
+    def tag(b: pa.Table) -> pa.Table:
+        kv = _col_np(b, key)
+        part = (kv.astype(np.uint64) % np.uint64(nparts)).astype(np.int64)
+        return pa.table({
+            "part": pa.array(part),
+            key: pa.array(kv, pa.int64()),
+            ts: pa.array(_col_np(b, ts), pa.int64()),
+            idc: pa.array(_col_np(b, idc), pa.int64()),
+        })
+
+    narrow = ds.map_batches(tag, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    refs = narrow.to_arrow_refs()
+    import ray.data as rd
+    return rd.from_arrow_refs([
+        _session_part.remote(p, refs, key, ts, idc, gap_us)
+        for p in range(nparts)])
+
+
+@ray.remote
 def _running_part(p: int, refs, key: str, ts: str, idc: str, val: str):
     tbls = [t.filter(pc.equal(t["part"], p)) for t in ray.get(refs)]
     t = pa.concat_tables(tbls).combine_chunks()

@@ -257,3 +257,50 @@ def test_asof_partitioned_string_keys_and_empty_parts(ray_session):
     out = out.sort_values("id").reset_index(drop=True)
     assert out["v"].tolist()[:2] == [100, 200]
     assert pd.isna(out["v"].iloc[2])  # key with no right rows → null
+
+
+def test_sessionize_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from ict_log_parser_ray.stages.temporal import sessionize_partitioned
+
+    rng = np.random.default_rng(21)
+    n = 4000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 60, n).astype(np.int64),
+        "ts": rng.integers(0, 100_000, n).astype(np.int64),
+    })
+    GAP = 500
+    out = sessionize_partitioned(rd.from_pandas(df), key="user_id",
+                                 ts="ts", idc="event_id", gap_us=GAP,
+                                 nparts=7).to_pandas()
+    # pandas reference: per-user sort by (ts, event_id), split on gap>GAP
+    ref_rows = []
+    for uid, g in df.sort_values(["ts", "event_id"]).groupby("user_id"):
+        t = g["ts"].to_numpy()
+        boundary = np.r_[True, (t[1:] - t[:-1]) > GAP]
+        sid = np.cumsum(boundary)
+        for s in np.unique(sid):
+            seg = t[sid == s]
+            ref_rows.append((uid, int(seg[0]), int(seg[-1]), len(seg)))
+    got = sorted(map(tuple, out[["user_id", "session_start", "session_end",
+                                 "n_events"]].itertuples(index=False)))
+    assert got == sorted(ref_rows)
+    assert out["n_events"].sum() == n
+
+
+def test_sessionize_boundary_exact_gap(ray_session):
+    import ray.data as rd
+
+    from ict_log_parser_ray.stages.temporal import sessionize_partitioned
+
+    # gap strictly greater than gap_us splits; equal does NOT
+    df = pd.DataFrame({"event_id": [1, 2, 3], "user_id": [9, 9, 9],
+                       "ts": [0, 100, 201]})
+    out = sessionize_partitioned(rd.from_pandas(df), key="user_id",
+                                 ts="ts", idc="event_id", gap_us=100,
+                                 nparts=4).to_pandas()
+    out = out.sort_values("session_start").reset_index(drop=True)
+    assert out["n_events"].tolist() == [2, 1]
+    assert out["session_start"].tolist() == [0, 201]
