@@ -1110,6 +1110,17 @@ def d_token_percentiles(sf_dir):
                                {"q50": 0.5, "q90": 0.9, "q99": 0.99})
 
 
+def d_top_tokens(sf_dir):
+    """Top-20 whitespace tokens by global count (vocab-building pass):
+    per-batch token-count partials hash-partitioned by token, exact
+    per-partition top-k candidate cut, tiny driver merge.  Ties broken by
+    token ascending on both sides."""
+    from ..functions.vocab import top_tokens
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    return top_tokens(ds, "text", k=20)
+
+
 def d_analysis(sf_dir):
     """Language-ID / quality / fingerprint (heuristics; rows-only check)."""
     from ..functions.text import analyze_documents
@@ -1282,6 +1293,7 @@ def build_queries() -> dict:
         "q1_lineitem": q1_lineitem,
         "d_token_counts": d_token_counts,
         "d_token_percentiles": d_token_percentiles,
+        "d_top_tokens": d_top_tokens,
         "d_char_stats": d_char_stats,
         "d_exact_dups": d_exact_dups,
         "emb_knn": emb_knn,
@@ -1364,6 +1376,14 @@ WITH c AS (SELECT len(regexp_extract_all(COALESCE(text, ''), '\S+')) AS v
 SELECT count(*) AS n, quantile_disc(v, 0.5) AS q50,
        quantile_disc(v, 0.9) AS q90, quantile_disc(v, 0.99) AS q99
 FROM c
+""",
+        "d_top_tokens": r"""
+WITH t AS (
+  SELECT unnest(regexp_extract_all(COALESCE(text, ''), '\S+')) AS token
+  FROM documents
+)
+SELECT token, count(*) AS n FROM t
+GROUP BY token ORDER BY n DESC, token LIMIT 20
 """,
         # Exact all-pairs 5-char-shingle Jaccard at threshold 0.6 — equals
         # the MinHash+LSH output because the engine verifies candidates

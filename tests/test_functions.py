@@ -440,3 +440,47 @@ def test_histogram_quantiles_nulls_and_empty(ray_session):
     out = histogram_quantiles(ds, "v", {"q50": 0.5}).to_pylist()[0]
     # nulls excluded: population {5,5,7}, median = 5
     assert out == {"n": 3, "q50": 5}
+
+
+def test_top_tokens_exact_vs_pandas(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.vocab import top_tokens
+
+    rng = np.random.default_rng(5)
+    words = [f"w{i:03d}" for i in range(120)]
+    texts = [" ".join(rng.choice(words, rng.integers(0, 30)))
+             for _ in range(400)]
+    texts[7] = None  # null text must contribute nothing
+    df = pd.DataFrame({"text": pd.array(texts, dtype="object")})
+    ds = rd.from_pandas(df).repartition(6)
+    got = top_tokens(ds, "text", k=15, nparts=5)
+
+    all_toks = pd.Series([t for s in texts if s for t in s.split()])
+    vc = all_toks.value_counts()
+    ref = (pd.DataFrame({"token": vc.index, "n": vc.to_numpy()})
+           .sort_values(["n", "token"], ascending=[False, True],
+                        kind="stable").head(15).reset_index(drop=True))
+    assert got["token"].tolist() == ref["token"].tolist()
+    assert got["n"].tolist() == ref["n"].tolist()
+
+
+def test_top_tokens_cross_partition_sum(ray_session):
+    """A token frequent overall but never top-k within one batch must
+    still win — the case per-batch top-k partials get wrong."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.vocab import top_tokens
+
+    # 10 blocks; in each block 'rare_i' appears 3 times, 'steady' twice.
+    # Per-block top-1 is rare_i, but globally steady (20) beats any
+    # rare_i (3).
+    rows = []
+    for i in range(10):
+        rows.append(" ".join([f"rare{i}"] * 3 + ["steady"] * 2))
+    ds = rd.from_pandas(pd.DataFrame({"text": rows})).repartition(10)
+    got = top_tokens(ds, "text", k=1, nparts=4)
+    assert got["token"].tolist() == ["steady"]
+    assert got["n"].tolist() == [20]
