@@ -601,6 +601,35 @@ def e_topk(sf_dir):
     return _i64(df[["event_id", "value"]], ["event_id"])
 
 
+def e_top_per_user(sf_dir):
+    """Per-group top-N (N=3 by value): the partial cut IS sound here —
+    the global per-user top-3 is a subset of the union of per-batch
+    per-user top-3s — so each batch ships ≤ 3×users rows and the driver
+    finish re-cuts the concatenated candidates.  Ties broken by event_id
+    ascending on both sides.  At scale the finish becomes a hash
+    partition by user + per-partition cut (the vocab.top_tokens shape)."""
+    import ray
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "value"])
+
+    def partial(df):
+        return (df.sort_values(["value", "event_id"],
+                               ascending=[False, True], kind="stable")
+                .groupby("user_id", sort=False).head(3))
+
+    parts = ray.get(ds.map_batches(partial, batch_format="pandas")
+                    .to_arrow_refs())
+    cand = pa.concat_tables(parts).to_pandas()
+    cand = (cand.sort_values(["value", "event_id"],
+                             ascending=[False, True], kind="stable")
+            .groupby("user_id", sort=False).head(3))
+    cand["rk"] = cand.groupby("user_id", sort=False).cumcount() + 1
+    out = (cand.sort_values(["user_id", "rk"])
+           .reset_index(drop=True)[["user_id", "event_id", "value", "rk"]])
+    return _i64(out, ["user_id", "event_id", "rk"])
+
+
 def e_window(sf_dir):
     """M7 time-window filter: purchases in a fixed 2-day window."""
     import datetime as dt
@@ -1002,17 +1031,10 @@ def e_rolling(sf_dir):
                                    idc="event_id", val="value")
 
 
-def e_window_join(sf_dir):
-    """Range/interval join (task-brief custom operator): derive the top-3
-    busiest hours from the event stream itself (per-batch partial hour
-    counts + driver finish — ties broken by hour ascending on both sides),
-    widen each to an OVERLAPPING window [hour-30min, hour+90min), then
-    interval-join every event falling inside a window.  A single event can
-    match two windows when adjacent hours are both in the top 3."""
-    from ..stages.temporal import interval_join_broadcast
-
-    ds = read_table(sf_dir, "events", columns=["event_id", "ts"])
-
+def _top3_hour_windows(ds) -> pa.Table:
+    """Top-3 busiest hours (per-batch partial hour counts + driver
+    finish, ties broken by hour ascending — mirrored in the oracle CTE),
+    each widened to an OVERLAPPING [hour-30min, hour+90min) window."""
     HOUR = 3_600_000_000  # µs
 
     def hour_part(b: pa.Table) -> pa.Table:
@@ -1032,15 +1054,47 @@ def e_window_join(sf_dir):
            .sum().sort_values(["hs_count", "hs"], ascending=[False, True],
                               kind="stable").head(3))
     ws = (hdf["hs"] - HOUR // 2).to_numpy()
-    windows = pa.table({
+    return pa.table({
         "ws": pa.array(ws, pa.int64()),
         "we": pa.array(hdf["hs"].to_numpy() + HOUR * 3 // 2, pa.int64()),
         "window_start": pa.array(ws, pa.int64()),
     })
 
+
+def e_window_join(sf_dir):
+    """Range/interval join (task-brief custom operator): derive the top-3
+    busiest hours from the event stream itself, widen each to an
+    overlapping window, then interval-join every event falling inside a
+    window.  A single event can match two windows when adjacent hours are
+    both in the top 3."""
+    from ..stages.temporal import interval_join_broadcast
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts"])
+    windows = _top3_hour_windows(ds)
     joined = interval_join_broadcast(ds, windows, on="ts", start="ws",
                                      end="we",
                                      attach={"window_start": "window_start"})
+
+    def sel(b: pa.Table) -> pa.Table:
+        return b.select(["event_id", "window_start"])
+
+    return joined.map_batches(sel, batch_format="pyarrow")
+
+
+def e_window_join_big(sf_dir):
+    """Same range join as e_window_join through the BIG-BIG time-bucket
+    banding path (interval_join_partitioned, 1-hour buckets ≈ half the
+    2-hour window width), value-checked against the identical oracle."""
+    import ray.data as rd
+
+    from ..stages.temporal import interval_join_partitioned
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts"])
+    windows = _top3_hour_windows(ds)
+    joined = interval_join_partitioned(
+        ds, rd.from_arrow(windows), on="ts", start="ws", end="we",
+        attach={"window_start": "window_start"},
+        bucket_us=3_600_000_000, left_cols=["event_id"])
 
     def sel(b: pa.Table) -> pa.Table:
         return b.select(["event_id", "window_start"])
@@ -1308,6 +1362,8 @@ def build_queries() -> dict:
         "e_sliding": e_sliding,
         "e_asof_big": e_asof_big,
         "e_sessions": e_sessions,
+        "e_top_per_user": e_top_per_user,
+        "e_window_join_big": e_window_join_big,
         # rows-only (non-SQL-expressible)
         "e_sample": e_sample,
         "emb_knn_ivf": emb_knn_ivf,
@@ -1498,11 +1554,34 @@ WITH h AS (
 SELECT e.event_id, w.window_start
 FROM events e JOIN w ON epoch_us(e.ts) >= w.ws AND epoch_us(e.ts) < w.we
 """,
+        # identical join through the bucket-banded big-big path
+        "e_window_join_big": """
+WITH h AS (
+  SELECT epoch_us(date_trunc('hour', ts)) AS hs, count(*) AS c
+  FROM events GROUP BY 1
+), w AS (
+  SELECT hs - 1800000000 AS ws, hs + 5400000000 AS we,
+         hs - 1800000000 AS window_start
+  FROM h ORDER BY c DESC, hs LIMIT 3
+)
+SELECT e.event_id, w.window_start
+FROM events e JOIN w ON epoch_us(e.ts) >= w.ws AND epoch_us(e.ts) < w.we
+""",
         "e_sliding": """
 SELECT (epoch_us(ts) // 900000000 - j) * 900000000 AS window_start,
        event_type, count(*) AS n
 FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) shifts
 GROUP BY 1, 2
+""",
+        "e_top_per_user": """
+WITH r AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rk
+  FROM events
+)
+SELECT user_id, event_id, value, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= 3
 """,
         "e_sessions": """
 WITH o AS (

@@ -14,6 +14,10 @@ range join, windowed aggregate"): implemented as compositions of
 - ``interval_join_broadcast``: INNER range join against a small broadcast
   interval table (possibly overlapping intervals) — per batch one sort of
   the probe column + two ``searchsorted`` calls per interval.
+- ``interval_join_partitioned``: the big-big scale path — left rows
+  tagged by time bucket, intervals exploded over covered buckets, both
+  hash-partitioned by bucket; each pair meets in exactly one bucket (the
+  left row's), so no dedup pass is needed.
 - ``running_sum_partitioned``: per-key running aggregate (SQL
   ``SUM(v) OVER (PARTITION BY k ORDER BY ts, id ROWS UNBOUNDED
   PRECEDING)``).  The rows of one key must meet in one task, but a Ray
@@ -262,6 +266,140 @@ def sliding_window_count(ds, on: str, key: str, slide_us: int,
           ["count_all"].sum().rename(columns={"count_all": "n"}))
     df["n"] = df["n"].astype("int64")
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+@ray.remote
+def _ijoin_part(p: int, left_refs, right_refs, on: str,
+                attach: dict[str, str]) -> pa.Table:
+    """Join one bucket-hash partition of a big-big interval join.  Each
+    left row lives in exactly ONE bucket and an interval is probed only
+    against the left segment of each bucket it covers, so every matched
+    (row, interval) pair is emitted exactly once even though intervals
+    explode across buckets."""
+    lt = pa.concat_tables([t.filter(pc.equal(t["part"], p))
+                           .drop_columns(["part"])
+                           for t in ray.get(left_refs)]).combine_chunks()
+    rt = pa.concat_tables([t.filter(pc.equal(t["part"], p))
+                           .drop_columns(["part"])
+                           for t in ray.get(right_refs)]).combine_chunks()
+    base = lt.drop_columns(["bucket"])
+    empty = base.slice(0, 0)
+    for src, dst in attach.items():
+        empty = empty.append_column(dst, pa.nulls(0, rt[src].type))
+    if lt.num_rows == 0 or rt.num_rows == 0:
+        return empty
+    lb = _col_np(lt, "bucket")
+    lts = _col_np(lt, on)
+    order = np.lexsort((lts, lb))
+    sb, st = lb[order], lts[order]
+    uqb, seg_lo = np.unique(sb, return_index=True)
+    seg_hi = np.r_[seg_lo[1:], len(sb)]
+
+    rb = _col_np(rt, "bucket")
+    rs = _col_np(rt, "__start")
+    re_ = _col_np(rt, "__end")
+    rorder = np.argsort(rb, kind="stable")
+
+    lpos_parts, ipos_parts = [], []
+    rbs = rb[rorder]
+    grp_b = np.flatnonzero(np.r_[True, rbs[1:] != rbs[:-1]])
+    grp_e = np.r_[grp_b[1:], len(rbs)]
+    for gi in range(len(grp_b)):
+        bkt = rbs[grp_b[gi]]
+        si = np.searchsorted(uqb, bkt)
+        if si >= len(uqb) or uqb[si] != bkt:
+            continue  # no left rows in this bucket
+        lo0, hi0 = seg_lo[si], seg_hi[si]
+        seg_ts = st[lo0:hi0]
+        ivs = rorder[grp_b[gi]:grp_e[gi]]
+        lo = np.searchsorted(seg_ts, rs[ivs], side="left")
+        hi = np.searchsorted(seg_ts, re_[ivs], side="left")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if not total:
+            continue
+        offs = np.r_[np.int64(0), np.cumsum(cnt)[:-1]]
+        pos = np.arange(total, dtype=np.int64) + np.repeat(lo - offs, cnt)
+        lpos_parts.append(order[lo0 + pos])
+        ipos_parts.append(np.repeat(ivs, cnt))
+    if not lpos_parts:
+        return empty
+    lpos = np.concatenate(lpos_parts)
+    ipos = np.concatenate(ipos_parts)
+    out = base.take(pa.array(lpos, pa.int64()))
+    for src, dst in attach.items():
+        out = out.append_column(dst, pc.take(rt[src],
+                                             pa.array(ipos, pa.int64())))
+    return out
+
+
+def interval_join_partitioned(left_ds, right_ds, on: str, start: str,
+                              end: str, attach: dict[str, str],
+                              bucket_us: int,
+                              left_cols: list[str] | None = None,
+                              nparts: int | None = None):
+    """Big-big range/interval join — the time-bucket-banding scale path
+    of ``interval_join_broadcast``: left rows are tagged with their time
+    bucket (``on // bucket_us``), intervals are EXPLODED over every
+    bucket they cover, both streams are hash-partitioned by bucket, and
+    each partition task probes its buckets' left segments with the same
+    searchsorted kernel.  Pick ``bucket_us`` near the typical interval
+    width: the interval explode factor is ~(width / bucket_us) + 1.
+    Returns a Dataset over the partition outputs (no driver
+    materialization).  Same half-open [start, end) semantics; overlap
+    allowed; each matched pair emitted exactly once."""
+    if nparts is None:
+        ncpu = int(ray.available_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+        nparts = max(4, min(ncpu, 32))
+    W = np.int64(bucket_us)
+    MULT = np.uint64(0x9E3779B97F4A7C15)  # decorrelate adjacent buckets
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        cols = left_cols if left_cols is not None else \
+            [c for c in b.column_names]
+        cols = list(dict.fromkeys([on] + cols))
+        ts = _col_np(b, on)
+        bucket = ts // W
+        part = ((bucket.astype(np.uint64) * MULT)
+                % np.uint64(nparts)).astype("int64")
+        out = b.select(cols)
+        out = out.append_column("bucket", pa.array(bucket, pa.int64()))
+        return out.append_column("part", pa.array(part))
+
+    def explode_right(b: pa.Table) -> pa.Table:
+        s = _col_np(b, start)
+        e = _col_np(b, end)
+        b0 = s // W
+        b1 = np.maximum((e - 1) // W, b0)  # empty intervals explode once
+        cnt = (b1 - b0 + 1).astype(np.int64)
+        cnt[e <= s] = 0                    # ...and are then dropped
+        total = int(cnt.sum())
+        offs = np.r_[np.int64(0), np.cumsum(cnt)[:-1]] if len(cnt) \
+            else np.empty(0, np.int64)
+        rows = np.repeat(np.arange(len(s), dtype=np.int64), cnt)
+        bucket = np.arange(total, dtype=np.int64) \
+            + np.repeat(b0 - offs, cnt)
+        part = ((bucket.astype(np.uint64) * MULT)
+                % np.uint64(nparts)).astype("int64")
+        idx = pa.array(rows, pa.int64())
+        cols = {"part": pa.array(part),
+                "bucket": pa.array(bucket, pa.int64()),
+                "__start": pa.array(s[rows], pa.int64()),
+                "__end": pa.array(e[rows], pa.int64())}
+        for src in attach:
+            cols[src] = pc.take(b[src], idx)
+        return pa.table(cols)
+
+    ln = left_ds.map_batches(tag_left, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+    rn = right_ds.map_batches(explode_right, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    left_refs, right_refs = ln.to_arrow_refs(), rn.to_arrow_refs()
+    import ray.data as rd
+    return rd.from_arrow_refs([
+        _ijoin_part.remote(p, left_refs, right_refs, on, attach)
+        for p in range(nparts)])
 
 
 @ray.remote

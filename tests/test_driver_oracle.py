@@ -60,7 +60,7 @@ ORACLE_NAMES = [
     "emb_knn_ivf_full", "emb_near_dups_exact", "d_quality", "media_digest",
     "e_hash_sample", "e_asof", "e_rolling", "d_minhash_pairs",
     "e_window_join", "e_sliding", "e_asof_big", "d_token_percentiles",
-    "e_sessions", "d_top_tokens",
+    "e_sessions", "d_top_tokens", "e_top_per_user", "e_window_join_big",
 ]
 
 

@@ -304,3 +304,49 @@ def test_sessionize_boundary_exact_gap(ray_session):
     out = out.sort_values("session_start").reset_index(drop=True)
     assert out["n_events"].tolist() == [2, 1]
     assert out["session_start"].tolist() == [0, 201]
+
+
+@pytest.mark.parametrize("bucket_us", [7, 50, 1000])
+def test_interval_join_partitioned_matches_broadcast(ray_session, bucket_us):
+    import ray.data as rd
+
+    from ict_log_parser_ray.stages.temporal import (
+        interval_join_broadcast, interval_join_partitioned)
+
+    rng = np.random.default_rng(bucket_us)
+    ts = rng.integers(0, 2000, 800)
+    left_tbl = pa.table({"id": pa.array(np.arange(800), pa.int64()),
+                         "ts": pa.array(ts, pa.int64())})
+    ws = rng.integers(0, 1900, 30)
+    we = ws + rng.integers(1, 400, 30)   # spans many buckets at small W
+    w = pa.table({"ws": pa.array(ws, pa.int64()),
+                  "we": pa.array(we, pa.int64()),
+                  "wid": pa.array(np.arange(30), pa.int64())})
+    got = interval_join_partitioned(
+        rd.from_arrow(left_tbl).repartition(4), rd.from_arrow(w),
+        on="ts", start="ws", end="we", attach={"wid": "wid"},
+        bucket_us=bucket_us, nparts=6).to_pandas()
+    want = interval_join_broadcast(
+        rd.from_arrow(left_tbl), w, on="ts", start="ws", end="we",
+        attach={"wid": "wid"}).to_pandas()
+    assert sorted(zip(got["id"], got["wid"])) \
+        == sorted(zip(want["id"], want["wid"]))
+
+
+def test_interval_join_partitioned_empty_and_degenerate(ray_session):
+    import ray.data as rd
+
+    from ict_log_parser_ray.stages.temporal import interval_join_partitioned
+
+    left = rd.from_arrow(pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "ts": pa.array([10, 20], pa.int64())}))
+    # one degenerate (end <= start) interval and one real one
+    w = pa.table({"ws": pa.array([5, 30], pa.int64()),
+                  "we": pa.array([15, 30], pa.int64()),
+                  "wid": pa.array([1, 2], pa.int64())})
+    out = interval_join_partitioned(left, rd.from_arrow(w), on="ts",
+                                    start="ws", end="we",
+                                    attach={"wid": "wid"}, bucket_us=8,
+                                    nparts=4).to_pandas()
+    assert sorted(zip(out["id"], out["wid"])) == [(1, 1)]
