@@ -26,6 +26,77 @@ import pyarrow.compute as pc
 import ray
 
 
+@ray.remote
+def _gq_part(p: int, refs, key: str, val: str,
+             qs: dict[str, float]) -> pa.Table:
+    """Exact per-group disc quantiles for one hash partition: every row
+    of a group lands here, so one lexsort + segment-offset indexing reads
+    each group's quantiles off its sorted slice."""
+    tbls = [t.filter(pc.equal(t["part"], p)) for t in ray.get(refs)]
+    t = pa.concat_tables(tbls).combine_chunks()
+    cols = {key: pa.array([], t[key].type if t.num_rows else pa.string()),
+            "n": pa.array([], pa.int64())}
+    for name in qs:
+        cols[name] = pa.array([], pa.float64())
+    if t.num_rows == 0:
+        return pa.table(cols)
+    kdf = t.select([key, val]).to_pandas()
+    codes, uniques = pd.factorize(kdf[key], sort=True)
+    v = kdf[val].to_numpy().astype(np.float64)
+    order = np.lexsort((v, codes))
+    sc, sv = codes[order], v[order]
+    b = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+    n = np.diff(np.r_[b, len(sc)])
+    out = {key: pa.array(uniques[sc[b]]),
+           "n": pa.array(n, pa.int64())}
+    for name, q in qs.items():
+        rank = np.minimum(np.maximum(
+            np.ceil(q * n).astype(np.int64), 1), n)
+        out[name] = pa.array(sv[b + rank - 1], pa.float64())
+    return pa.table(out)
+
+
+def grouped_quantiles_partitioned(ds, key: str, val: str,
+                                  qs: dict[str, float],
+                                  nparts: int | None = None) -> pa.Table:
+    """Exact per-group disc quantiles for CONTINUOUS values, where the
+    histogram shape degenerates (distinct ≈ rows): hash-partition by
+    group so each group's rows meet in one task, per-partition lexsort +
+    segment indexing, tiny per-group result concat.  Quantile semantics
+    match DuckDB ``quantile_disc`` (the returned number IS a data value,
+    so the oracle comparison is exact — no float arithmetic).  Nulls in
+    ``val`` are excluded, mirroring SQL aggregate semantics."""
+    if nparts is None:
+        ncpu = int(ray.available_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+        nparts = max(4, min(ncpu, 32))
+
+    def tag(b: pa.Table) -> pa.Table:
+        t = b.select([key, val]).combine_chunks()
+        t = t.filter(pc.is_valid(t[val]))
+        kcol = t[key]
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        part = (pd.util.hash_pandas_object(
+            pd.Series(kcol.to_pandas()), index=False).to_numpy()
+            % np.uint64(nparts)).astype("int64")
+        return t.append_column("part", pa.array(part))
+
+    narrow = ds.map_batches(tag, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    refs = narrow.to_arrow_refs()
+    parts = ray.get([_gq_part.remote(p, refs, key, val, qs)
+                     for p in range(nparts)])
+    parts = [t for t in parts if t.num_rows]
+    if not parts:
+        cols = {key: pa.array([], pa.string()),
+                "n": pa.array([], pa.int64())}
+        for name in qs:
+            cols[name] = pa.array([], pa.float64())
+        return pa.table(cols)
+    return pa.concat_tables(parts).sort_by(key)
+
+
 def histogram_quantiles(ds, column: str, qs: dict[str, float]) -> pa.Table:
     """One-row table: ``n`` (count) + one int64 column per entry of
     ``qs`` (name → quantile in (0, 1]), computed exactly from merged

@@ -1164,6 +1164,19 @@ def d_token_percentiles(sf_dir):
                                {"q50": 0.5, "q90": 0.9, "q99": 0.99})
 
 
+def e_value_quantiles(sf_dir):
+    """Exact per-group disc quantiles over a CONTINUOUS column (the
+    grouped complement of d_token_percentiles' histogram path): median +
+    p90 of event value per event_type via hash-partition-by-group +
+    per-partition lexsort.  The quantile IS a data value — no float
+    arithmetic — so the oracle match is exact."""
+    from ..functions.quantiles import grouped_quantiles_partitioned
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_quantiles_partitioned(
+        ds, key="event_type", val="value", qs={"q50": 0.5, "q90": 0.9})
+
+
 def d_top_tokens(sf_dir):
     """Top-20 whitespace tokens by global count (vocab-building pass):
     per-batch token-count partials hash-partitioned by token, exact
@@ -1348,6 +1361,7 @@ def build_queries() -> dict:
         "d_token_counts": d_token_counts,
         "d_token_percentiles": d_token_percentiles,
         "d_top_tokens": d_top_tokens,
+        "e_value_quantiles": e_value_quantiles,
         "d_char_stats": d_char_stats,
         "d_exact_dups": d_exact_dups,
         "emb_knn": emb_knn,
@@ -1432,6 +1446,11 @@ WITH c AS (SELECT len(regexp_extract_all(COALESCE(text, ''), '\S+')) AS v
 SELECT count(*) AS n, quantile_disc(v, 0.5) AS q50,
        quantile_disc(v, 0.9) AS q90, quantile_disc(v, 0.99) AS q99
 FROM c
+""",
+        "e_value_quantiles": """
+SELECT event_type, count(value) AS n,
+       quantile_disc(value, 0.5) AS q50, quantile_disc(value, 0.9) AS q90
+FROM events GROUP BY event_type
 """,
         "d_top_tokens": r"""
 WITH t AS (

@@ -484,3 +484,37 @@ def test_top_tokens_cross_partition_sum(ray_session):
     got = top_tokens(ds, "text", k=1, nparts=4)
     assert got["token"].tolist() == ["steady"]
     assert got["n"].tolist() == [20]
+
+
+def test_grouped_quantiles_matches_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.quantiles import (
+        grouped_quantiles_partitioned)
+
+    rng = np.random.default_rng(17)
+    n = 3000
+    df = pd.DataFrame({
+        "g": rng.choice(["x", "y", "z", "w"], n),
+        "v": rng.normal(size=n),
+    })
+    df.loc[5, "v"] = None  # null exclusion
+    ds = rd.from_pandas(df).repartition(6)
+    got = grouped_quantiles_partitioned(ds, key="g", val="v",
+                                        qs={"q50": 0.5, "q90": 0.9},
+                                        nparts=5).to_pandas()
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        "SELECT g, count(v) AS n, quantile_disc(v, 0.5) AS q50,"
+        " quantile_disc(v, 0.9) AS q90 FROM t GROUP BY g ORDER BY g").df()
+    con.close()
+    got = got.sort_values("g").reset_index(drop=True)
+    want = want.sort_values("g").reset_index(drop=True)
+    assert got["g"].tolist() == want["g"].tolist()
+    assert got["n"].astype("int64").tolist() == want["n"].astype("int64").tolist()
+    # disc quantiles are data values — exact equality expected
+    assert got["q50"].tolist() == want["q50"].tolist()
+    assert got["q90"].tolist() == want["q90"].tolist()
