@@ -1164,6 +1164,94 @@ def d_token_percentiles(sf_dir):
                                {"q50": 0.5, "q90": 0.9, "q99": 0.99})
 
 
+def q_nation_revenue(sf_dir):
+    """Multi-table broadcast-join rollup (orders ⋈ customer ⋈ nation →
+    revenue per nation): the two small dimension tables are pre-joined
+    driver-side into one custkey→nation map and broadcast ONCE; the fact
+    table streams through a lookup + per-batch partial sum (25 groups) —
+    no shuffle join anywhere.  Revenue is summed in integer CENTS
+    (o_totalprice has 2 decimals, so round(x·100) is exact int64) to keep
+    the sum association-free and hash-exact vs the oracle."""
+    import ray
+
+    from ..stages.join import _lookup_batch
+
+    cust = _read_tbl(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nat = _read_tbl(sf_dir, "nation", ["n_nationkey", "n_name"])
+    idx = pc.index_in(cust["c_nationkey"], nat["n_nationkey"])
+    cmap = pa.table({"o_custkey": cust["c_custkey"],
+                     "n_name": pc.take(nat["n_name"], idx)})
+    cref = ray.put(cmap)
+
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = _lookup_batch(b, ray.get(cref), "o_custkey")
+        cents = pc.cast(pc.round(pc.multiply(b["o_totalprice"], 100.0)),
+                        pa.int64())
+        t = pa.table({"n_name": b["n_name"], "revenue_cents": cents})
+        return pa.TableGroupBy(t, "n_name").aggregate(
+            [("revenue_cents", "sum"), ([], "count_all")])
+
+    parts = pa.concat_tables(ray.get(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True).to_arrow_refs()))
+    df = (parts.to_pandas().groupby("n_name", as_index=False)
+          .agg(revenue_cents=("revenue_cents_sum", "sum"),
+               n_orders=("count_all", "sum")))
+    return _i64(df, ["revenue_cents", "n_orders"])
+
+
+def _read_tbl(sf_dir, name, columns):
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def e_daily_active(sf_dir):
+    """Exact distributed count-distinct (daily active users): per-batch
+    distinct (day, user) partials — bounded by distinct pairs, not rows —
+    then hash-partition by the pair so each pair lands in exactly one
+    task, count unique pairs per day per partition, sum the tiny per-day
+    results.  The scale-safe exact shape; HLL is the approximate path."""
+    import ray
+
+    ds = read_table(sf_dir, "events", columns=["ts", "user_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.strftime(b["ts"], format="%Y-%m-%d")
+        t = pa.table({"day": day, "user_id": b["user_id"]})
+        g = pa.TableGroupBy(t, ["day", "user_id"]).aggregate([])
+        kh = pd.util.hash_pandas_object(
+            g.to_pandas()[["day", "user_id"]], index=False).to_numpy()
+        part = (kh % np.uint64(16)).astype("int64")
+        return g.append_column("part", pa.array(part))
+
+    narrow = ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    refs = narrow.to_arrow_refs()
+
+    @ray.remote
+    def count_part(p, refs):
+        tbls = [t.filter(pc.equal(t["part"], p)).drop_columns(["part"])
+                for t in ray.get(refs)]
+        t = pa.concat_tables(tbls)
+        if t.num_rows == 0:
+            return pa.table({"day": pa.array([], pa.string()),
+                             "n_users": pa.array([], pa.int64())})
+        u = t.to_pandas().drop_duplicates(["day", "user_id"])
+        c = u.groupby("day", as_index=False).size()
+        return pa.table({"day": pa.array(c["day"], pa.string()),
+                         "n_users": pa.array(c["size"].to_numpy(),
+                                             pa.int64())})
+
+    parts = pa.concat_tables(ray.get(
+        [count_part.remote(p, refs) for p in range(16)]))
+    df = (parts.to_pandas().groupby("day", as_index=False)["n_users"]
+          .sum())
+    return _i64(df, ["n_users"])
+
+
 def e_value_quantiles(sf_dir):
     """Exact per-group disc quantiles over a CONTINUOUS column (the
     grouped complement of d_token_percentiles' histogram path): median +
@@ -1362,6 +1450,8 @@ def build_queries() -> dict:
         "d_token_percentiles": d_token_percentiles,
         "d_top_tokens": d_top_tokens,
         "e_value_quantiles": e_value_quantiles,
+        "q_nation_revenue": q_nation_revenue,
+        "e_daily_active": e_daily_active,
         "d_char_stats": d_char_stats,
         "d_exact_dups": d_exact_dups,
         "emb_knn": emb_knn,
@@ -1451,6 +1541,21 @@ FROM c
 SELECT event_type, count(value) AS n,
        quantile_disc(value, 0.5) AS q50, quantile_disc(value, 0.9) AS q90
 FROM events GROUP BY event_type
+""",
+        "q_nation_revenue": """
+SELECT n.n_name,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       count(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+        "e_daily_active": """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
 """,
         "d_top_tokens": r"""
 WITH t AS (
