@@ -1252,6 +1252,18 @@ def e_daily_active(sf_dir):
     return _i64(df, ["n_users"])
 
 
+def e_distinct_users_approx(sf_dir):
+    """Approximate count-distinct via mergeable HyperLogLog (rows-only by
+    design — approximate; the exact twin is e_daily_active and the pytest
+    accuracy bound is <3% at p=14).  Each batch ships a fixed 16 KiB
+    register array; the driver merges with elementwise max."""
+    from ..functions.sketch import approx_distinct
+
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+    n = approx_distinct(ds, "user_id")
+    return pd.DataFrame({"n_users_approx": pd.array([n], dtype="int64")})
+
+
 def e_value_quantiles(sf_dir):
     """Exact per-group disc quantiles over a CONTINUOUS column (the
     grouped complement of d_token_percentiles' histogram path): median +
@@ -1452,6 +1464,7 @@ def build_queries() -> dict:
         "e_value_quantiles": e_value_quantiles,
         "q_nation_revenue": q_nation_revenue,
         "e_daily_active": e_daily_active,
+        "e_distinct_users_approx": e_distinct_users_approx,
         "d_char_stats": d_char_stats,
         "d_exact_dups": d_exact_dups,
         "emb_knn": emb_knn,

@@ -518,3 +518,51 @@ def test_grouped_quantiles_matches_duckdb(ray_session):
     # disc quantiles are data values — exact equality expected
     assert got["q50"].tolist() == want["q50"].tolist()
     assert got["q90"].tolist() == want["q90"].tolist()
+
+
+def test_hll_accuracy_and_mergeability(ray_session):
+    import pandas as pd
+
+    from ict_log_parser_ray.functions.sketch import (hll_estimate,
+                                                     hll_merge, hll_partial)
+
+    rng = np.random.default_rng(23)
+    vals = rng.integers(0, 50_000, 200_000)  # ~49k distinct
+    exact = len(np.unique(vals))
+
+    whole = hll_partial(pd.Series(vals))
+    est = hll_estimate(whole)
+    assert abs(est - exact) / exact < 0.03  # p=14 → sigma ~0.8%
+
+    # mergeability: partials over any split produce identical registers
+    parts = [hll_partial(pd.Series(chunk))
+             for chunk in np.array_split(vals, 7)]
+    assert np.array_equal(hll_merge(parts), whole)
+    # determinism across calls
+    assert np.array_equal(hll_partial(pd.Series(vals)), whole)
+
+
+def test_hll_small_range_linear_counting():
+    import pandas as pd
+
+    from ict_log_parser_ray.functions.sketch import (hll_estimate,
+                                                     hll_partial)
+
+    est = hll_estimate(hll_partial(pd.Series(np.arange(100))))
+    assert abs(est - 100) <= 3
+
+    assert hll_estimate(hll_partial(pd.Series([], dtype="int64"))) == 0
+
+
+def test_approx_distinct_dataset(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.sketch import approx_distinct
+
+    rng = np.random.default_rng(29)
+    vals = rng.integers(0, 5000, 40_000)
+    exact = len(np.unique(vals))
+    ds = rd.from_arrow(pa.table({"u": pa.array(vals, pa.int64())}))
+    est = approx_distinct(ds.repartition(8), "u")
+    assert abs(est - exact) / exact < 0.05
