@@ -131,3 +131,84 @@ def test_sparse_dedup_auto_fallback(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(a[key], b[key])
     # (i%50, i%6) has lcm(50,6)=150 distinct pairs, each duplicated once
     assert len(b) == 150 == len(df.drop_duplicates(["conv_id", "turn_idx"]))
+
+
+# ---------------- hypothesis properties for the temporal operators ----------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _events_and_windows(draw):
+    n = draw(st.integers(1, 60))
+    ts = draw(st.lists(st.integers(0, 300), min_size=n, max_size=n))
+    nw = draw(st.integers(0, 6))
+    ws = draw(st.lists(st.integers(-10, 310), min_size=nw, max_size=nw))
+    wlen = draw(st.lists(st.integers(0, 80), min_size=nw, max_size=nw))
+    return ts, ws, wlen
+
+
+@settings(max_examples=25, deadline=None)
+@given(_events_and_windows())
+def test_interval_join_property(ray_session, data):
+    """Engine output == brute-force set of (row, interval) pairs under
+    half-open semantics, for arbitrary ts/window layouts including
+    duplicates, empty windows, and windows outside the data range."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ict_log_parser_ray.stages.temporal import interval_join_broadcast
+
+    ts, ws, wlen = data
+    left = rd.from_arrow(pa.table({
+        "id": pa.array(range(len(ts)), pa.int64()),
+        "ts": pa.array(ts, pa.int64())}))
+    w = pa.table({"ws": pa.array(ws, pa.int64()),
+                  "we": pa.array([a + b for a, b in zip(ws, wlen)],
+                                 pa.int64()),
+                  "wid": pa.array(range(len(ws)), pa.int64())})
+    out = interval_join_broadcast(left, w, on="ts", start="ws", end="we",
+                                  attach={"wid": "wid"}).to_pandas()
+    got = sorted(zip(out.get("id", []), out.get("wid", [])))
+    want = sorted((i, j) for i, t in enumerate(ts)
+                  for j in range(len(ws))
+                  if ws[j] <= t < ws[j] + wlen[j])
+    assert got == want
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 1000)),
+                min_size=1, max_size=80),
+       st.integers(1, 200))
+def test_sessionize_property(ray_session, rows, gap):
+    """Per-key session rows partition the events: counts sum to n, starts/
+    ends bracket every session, and consecutive sessions of a key are
+    separated by more than gap."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ict_log_parser_ray.stages.temporal import sessionize_partitioned
+
+    df = pd.DataFrame({
+        "event_id": range(len(rows)),
+        "user_id": [r[0] for r in rows],
+        "ts": [r[1] for r in rows],
+    })
+    out = sessionize_partitioned(rd.from_pandas(df), key="user_id",
+                                 ts="ts", idc="event_id", gap_us=gap,
+                                 nparts=3).to_pandas()
+    assert out["n_events"].sum() == len(rows)
+    assert (out["session_end"] >= out["session_start"]).all()
+    for uid, g in out.groupby("user_id"):
+        g = g.sort_values("session_start")
+        # sessions don't overlap and are separated by > gap
+        prev_end = None
+        for _, r in g.iterrows():
+            if prev_end is not None:
+                assert r["session_start"] - prev_end > gap
+            prev_end = r["session_end"]
+        # per-key totals match the input
+        n_u = (df["user_id"] == uid).sum()
+        assert g["n_events"].sum() == n_u
