@@ -73,7 +73,11 @@ def grouped_quantiles_partitioned(ds, key: str, val: str,
 
     def tag(b: pa.Table) -> pa.Table:
         t = b.select([key, val]).combine_chunks()
-        t = t.filter(pc.is_valid(t[val]))
+        # drop null VALUES (SQL aggregate semantics) and null KEYS (a
+        # null key would factorize to the -1 sentinel in _gq_part and
+        # silently alias the last group; callers needing a null group
+        # should fill_null to a sentinel key first)
+        t = t.filter(pc.and_(pc.is_valid(t[val]), pc.is_valid(t[key])))
         kcol = t[key]
         if isinstance(kcol, pa.ChunkedArray):
             kcol = kcol.combine_chunks()

@@ -442,8 +442,9 @@ def sessionize_partitioned(ds, key: str, ts: str, idc: str,
     event count.  Ordering within a key is (ts, id) so ties are
     deterministic.
 
-    Same shape as ``running_sum_partitioned``: a narrow tagging pass
-    (``hash(key) % nparts``) so every key's rows meet in exactly one
+    Same shape as ``running_sum_partitioned`` (and the same int64-key
+    restriction — hash string keys to int64 upstream): a narrow tagging
+    pass (``hash(key) % nparts``) so every key's rows meet in exactly one
     partition task, then numpy lexsort + boundary-flag + segment reduce
     per partition.  Returns a Dataset over the partition outputs
     (``from_arrow_refs``) — session counts can rival event counts, so the

@@ -566,3 +566,20 @@ def test_approx_distinct_dataset(ray_session):
     ds = rd.from_arrow(pa.table({"u": pa.array(vals, pa.int64())}))
     est = approx_distinct(ds.repartition(8), "u")
     assert abs(est - exact) / exact < 0.05
+
+
+def test_grouped_quantiles_null_keys_excluded(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.quantiles import (
+        grouped_quantiles_partitioned)
+
+    df = pd.DataFrame({"g": ["a", None, "b", "a", None],
+                       "v": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    out = grouped_quantiles_partitioned(rd.from_pandas(df), key="g",
+                                        val="v", qs={"q50": 0.5},
+                                        nparts=4).to_pandas()
+    # null keys dropped, NOT aliased into another group
+    assert sorted(out["g"]) == ["a", "b"]
+    assert out.set_index("g")["n"].to_dict() == {"a": 2, "b": 1}
