@@ -240,12 +240,16 @@ def scaling(sf_dir: str, cpus=(2, 8), repeats: int = 3,
                 [sys.executable, os.path.abspath(__file__), "--single-run",
                  "--num-cpus", str(n), "--sf-dir", sf_dir, "--json-out", path,
                  "--no-queries"],
-                check=True, env=env, stdout=subprocess.PIPE,
+                check=False, env=env, stdout=subprocess.PIPE,
                 stderr=subprocess.PIPE,
                 cwd=os.path.dirname(os.path.abspath(__file__)))
+            # forward BEFORE raising so a crashed child's ray traceback
+            # isn't swallowed by CalledProcessError
             for chunk in (cp.stdout, cp.stderr):
                 if chunk:
                     sys.stderr.write(chunk.decode(errors="replace"))
+            if cp.returncode != 0:
+                raise subprocess.CalledProcessError(cp.returncode, cp.args)
             out = json.load(open(path))
             obs[n].append(out["turns_per_sec"])
             if n not in outs or out["turns_per_sec"] > outs[n]["turns_per_sec"]:

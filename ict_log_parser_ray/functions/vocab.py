@@ -30,7 +30,13 @@ import ray
 
 @ray.remote
 def _vocab_part(p: int, refs, k: int) -> pa.Table:
-    tbls = [t.filter(pc.equal(t["part"], p)) for t in ray.get(refs)]
+    # zero-row input blocks skip the partial UDF entirely and surface
+    # here with the ORIGINAL dataset schema (no "part" column) — drop them
+    tbls = [t.filter(pc.equal(t["part"], p)) for t in ray.get(refs)
+            if "part" in t.schema.names]
+    if not tbls:
+        return pa.table({"token": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
     t = pa.concat_tables(tbls).combine_chunks()
     if t.num_rows == 0:
         return pa.table({"token": pa.array([], pa.string()),
@@ -53,15 +59,19 @@ def top_tokens(ds, text_col: str, k: int = 20,
             if ray.is_initialized() else 8
         nparts = max(4, min(ncpu, 32))
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(df: pd.DataFrame) -> pa.Table:
         toks = df[text_col].fillna("").str.split().explode().dropna()
         vc = toks.value_counts()
         tokens = vc.index.to_series().reset_index(drop=True)
         part = (pd.util.hash_pandas_object(tokens, index=False).to_numpy()
                 % np.uint64(nparts)).astype("int64")
-        return pd.DataFrame({"token": tokens,
-                             "c": vc.to_numpy().astype("int64"),
-                             "part": part})
+        # explicit arrow types: an all-empty/null-text block would
+        # otherwise emit an OBJECT-dtype empty column that converts to
+        # arrow `null` and breaks pa.concat_tables in _vocab_part
+        return pa.table({"token": pa.array(tokens, pa.string()),
+                         "c": pa.array(vc.to_numpy().astype("int64"),
+                                       pa.int64()),
+                         "part": pa.array(part, pa.int64())})
 
     narrow = ds.map_batches(partial, batch_format="pandas").materialize()
     refs = narrow.to_arrow_refs()

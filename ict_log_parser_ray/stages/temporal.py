@@ -206,7 +206,9 @@ def interval_join_broadcast(left_ds, intervals: pa.Table, on: str,
         st = ts[order]
         lo = np.searchsorted(st, s, side="left")
         hi = np.searchsorted(st, e, side="left")
-        cnt = hi - lo
+        # reversed/empty intervals (end <= start) match nothing — clamp,
+        # matching interval_join_partitioned's explicit drop
+        cnt = np.maximum(hi - lo, 0)
         total = int(cnt.sum())
         ii = np.repeat(np.arange(len(s), dtype=np.int64), cnt)
         offs = np.r_[np.int64(0), np.cumsum(cnt)[:-1]] if len(cnt) \

@@ -486,6 +486,28 @@ def test_top_tokens_cross_partition_sum(ray_session):
     assert got["n"].tolist() == [20]
 
 
+def test_top_tokens_empty_and_null_blocks(ray_session):
+    """Zero-row blocks bypass the partial UDF and reach the partition
+    tasks with the ORIGINAL dataset schema; all-null blocks emit empty
+    typed partials.  Both must produce an empty/correct result, not a
+    KeyError on the missing 'part' column."""
+    import pandas as pd
+    import ray.data as rd
+    import pyarrow as pa
+
+    from ict_log_parser_ray.functions.vocab import top_tokens
+
+    all_null = rd.from_arrow(pa.table(
+        {"text": pa.array([None, None], pa.string())})).repartition(3)
+    assert top_tokens(all_null, "text", k=5).empty
+
+    sparse = rd.from_arrow(pa.table(
+        {"text": pa.array(["x y x", None], pa.string())})).repartition(4)
+    got = top_tokens(sparse, "text", k=5)
+    assert got["token"].tolist() == ["x", "y"]
+    assert got["n"].tolist() == [2, 1]
+
+
 def test_grouped_quantiles_matches_duckdb(ray_session):
     import duckdb
     import pandas as pd

@@ -145,7 +145,10 @@ def _events_and_windows(draw):
     ts = draw(st.lists(st.integers(0, 300), min_size=n, max_size=n))
     nw = draw(st.integers(0, 6))
     ws = draw(st.lists(st.integers(-10, 310), min_size=nw, max_size=nw))
-    wlen = draw(st.lists(st.integers(0, 80), min_size=nw, max_size=nw))
+    # negative lengths produce REVERSED (end < start) intervals, which
+    # must match nothing (searchsorted hi-lo goes negative there — the
+    # engine clamps)
+    wlen = draw(st.lists(st.integers(-40, 80), min_size=nw, max_size=nw))
     return ts, ws, wlen
 
 
