@@ -1202,6 +1202,48 @@ def q_nation_revenue(sf_dir):
     return _i64(df, ["revenue_cents", "n_orders"])
 
 
+def q_priority_revenue(sf_dir):
+    """Big-big hash equi-join (lineitem ⋈ orders on orderkey) through Ray
+    Data's native shuffle join — the join family every other q_/e_ query
+    deliberately avoids by broadcasting its small side.  This one pins the
+    all-to-all path itself: both sides are fact-scale, ``Dataset.join``
+    hash-partitions each on the key (num_partitions ∝ CPUs), and the
+    5-group priority rollup happens AFTER the join as per-batch arrow
+    partial sums + a driver finish — no second shuffle.  Revenue is summed
+    in integer 10⁻⁴ units (extendedprice and discount each carry ≤2
+    decimals, so round(x·10⁴) is exact int64), keeping the sum
+    order-independent and hash-exact vs the oracle."""
+    import ray
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderpriority"])
+    ncpu = int(ray.available_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    joined = li.join(orders, "inner",
+                     num_partitions=max(8, min(2 * ncpu, 64)),
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        rev = pc.cast(pc.round(pc.multiply(pc.multiply(
+            b["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), b["l_discount"])), 10000.0)),
+            pa.int64())
+        t = pa.table({"o_orderpriority": b["o_orderpriority"],
+                      "revenue_e4": rev})
+        return pa.TableGroupBy(t, "o_orderpriority").aggregate(
+            [("revenue_e4", "sum"), ([], "count_all")])
+
+    parts = pa.concat_tables(ray.get(
+        joined.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_arrow_refs()))
+    df = (parts.to_pandas().groupby("o_orderpriority", as_index=False)
+          .agg(revenue_e4=("revenue_e4_sum", "sum"),
+               n_items=("count_all", "sum")))
+    return _i64(df, ["revenue_e4", "n_items"])
+
+
 def _read_tbl(sf_dir, name, columns):
     import pyarrow.parquet as pq
 
@@ -1463,6 +1505,7 @@ def build_queries() -> dict:
         "d_top_tokens": d_top_tokens,
         "e_value_quantiles": e_value_quantiles,
         "q_nation_revenue": q_nation_revenue,
+        "q_priority_revenue": q_priority_revenue,
         "e_daily_active": e_daily_active,
         "e_distinct_users_approx": e_distinct_users_approx,
         "d_char_stats": d_char_stats,
@@ -1564,6 +1607,15 @@ FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name
+""",
+        "q_priority_revenue": """
+SELECT o.o_orderpriority,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                     AS BIGINT)) AS BIGINT) AS revenue_e4,
+       count(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
 """,
         "e_daily_active": """
 SELECT strftime(ts, '%Y-%m-%d') AS day,
