@@ -1244,6 +1244,46 @@ def q_priority_revenue(sf_dir):
     return _i64(df, ["revenue_e4", "n_items"])
 
 
+def q_semi_bloom(sf_dir):
+    """Broadcast Bloom-filter semi-join (lineitems belonging to URGENT
+    orders): the shuffle-avoiding pattern for "filter a 100-TB fact table
+    by a large key set" — a tree-OR-merged bloom (fixed nbits/8 bytes
+    regardless of key count) prefilters the fact stream, and only the
+    bloom survivors hit the exact verify, so the result is EXACT while
+    the broadcast stays constant-size.  Rolled up per l_returnflag as
+    per-batch arrow partials (3 groups) + a driver finish."""
+    import ray
+
+    from ..stages.bloom import bloom_semi_join
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_quantity", "l_returnflag"])
+    def urgent_keys(b: pa.Table) -> pa.Table:
+        m = pc.equal(b["o_orderpriority"], "1-URGENT")
+        return b.filter(m).select(["o_orderkey"])
+
+    urgent = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderpriority"]) \
+        .map_batches(urgent_keys, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    hit = bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"l_returnflag": b["l_returnflag"],
+                      "sum_qty": pc.cast(pc.round(b["l_quantity"]),
+                                         pa.int64())})
+        return pa.TableGroupBy(t, "l_returnflag").aggregate(
+            [("sum_qty", "sum"), ([], "count_all")])
+
+    parts = pa.concat_tables(ray.get(
+        hit.map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True).to_arrow_refs()))
+    df = (parts.to_pandas().groupby("l_returnflag", as_index=False)
+          .agg(sum_qty=("sum_qty_sum", "sum"),
+               n_items=("count_all", "sum")))
+    return _i64(df, ["sum_qty", "n_items"])
+
+
 def _read_tbl(sf_dir, name, columns):
     import pyarrow.parquet as pq
 
@@ -1506,6 +1546,7 @@ def build_queries() -> dict:
         "e_value_quantiles": e_value_quantiles,
         "q_nation_revenue": q_nation_revenue,
         "q_priority_revenue": q_priority_revenue,
+        "q_semi_bloom": q_semi_bloom,
         "e_daily_active": e_daily_active,
         "e_distinct_users_approx": e_distinct_users_approx,
         "d_char_stats": d_char_stats,
@@ -1616,6 +1657,15 @@ SELECT o.o_orderpriority,
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderpriority
+""",
+        "q_semi_bloom": """
+SELECT l_returnflag,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
 """,
         "e_daily_active": """
 SELECT strftime(ts, '%Y-%m-%d') AS day,

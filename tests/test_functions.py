@@ -605,3 +605,57 @@ def test_grouped_quantiles_null_keys_excluded(ray_session):
     # null keys dropped, NOT aliased into another group
     assert sorted(out["g"]) == ["a", "b"]
     assert out.set_index("g")["n"].to_dict() == {"a": 2, "b": 1}
+
+
+# --------------------------- bloom semi-join ------------------------------
+
+def test_bloom_kernel_no_false_negatives():
+    import numpy as np
+
+    from ict_log_parser_ray.stages.bloom import bloom_from_keys, bloom_probe
+
+    rng = np.random.default_rng(0)
+    keys = rng.integers(0, 2**62, 50_000).astype(np.uint64)
+    other = np.setdiff1d(
+        rng.integers(0, 2**62, 50_000).astype(np.uint64), keys)
+    bits = bloom_from_keys(keys, 1 << 20, 5)
+    assert bloom_probe(keys, bits, 1 << 20, 5).all()   # never a false neg
+    # ~21 bits/key, k=5 → theoretical fp ≈ 1e-3; assert an order above
+    assert bloom_probe(other, bits, 1 << 20, 5).mean() < 0.01
+
+
+def test_bloom_semi_join_exact_vs_isin(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ict_log_parser_ray.stages.bloom import bloom_semi_join
+
+    rng = np.random.default_rng(1)
+    left = pa.table({"k": pa.array(rng.integers(0, 1000, 20000), pa.int64()),
+                     "v": pa.array(rng.normal(size=20000))})
+    right = pa.table({"rk": pa.array(rng.integers(0, 1000, 300), pa.int64())})
+    got = bloom_semi_join(rd.from_arrow(left).repartition(6),
+                          rd.from_arrow(right).repartition(3),
+                          "k", "rk",
+                          # tiny bloom → DENSE false positives, so this
+                          # also proves the exact verify removes them
+                          nbits=1 << 10, k=2).to_pandas()
+    want = left.to_pandas()[
+        left.to_pandas()["k"].isin(right["rk"].to_numpy())]
+    assert len(got) == len(want)
+    assert sorted(got["k"]) == sorted(want["k"])
+    assert np.isclose(got["v"].sum(), want["v"].sum())
+
+
+def test_bloom_semi_join_null_left_keys(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ict_log_parser_ray.stages.bloom import bloom_semi_join
+
+    left = rd.from_arrow(pa.table({"k": pa.array([1, None, 2, 9], pa.int64())}))
+    right = rd.from_arrow(pa.table({"rk": pa.array([1, 2], pa.int64())}))
+    got = bloom_semi_join(left, right, "k", "rk",
+                          nbits=1 << 12, k=3).to_pandas()
+    assert sorted(got["k"]) == [1, 2]
