@@ -630,6 +630,42 @@ def e_top_per_user(sf_dir):
     return _i64(out, ["user_id", "event_id", "rk"])
 
 
+def e_stratified_sample(sf_dir):
+    """Deterministic stratified sample (the per-group eval-set carve-out of
+    a training-data pipeline): for each event_type keep the N=20 events
+    with the SMALLEST multiplicative hash of their id — pure integer
+    arithmetic, so any engine reproduces the exact row set (the weighted/
+    seeded variants are rows-only by nature; this is the value-checkable
+    family member).  The per-batch partial cut is sound — the global
+    per-group bottom-20 is a subset of the union of per-batch per-group
+    bottom-20s — so each batch ships ≤ 20×groups rows and the driver
+    finish re-cuts; at scale the finish hash-partitions by group (the
+    vocab.top_tokens shape)."""
+    import ray
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_type", "event_id", "value"])
+
+    def _hash(ids: np.ndarray) -> np.ndarray:
+        return (ids.astype(np.int64) * np.int64(2654435761)) \
+            % np.int64(1 << 32)
+
+    def partial(df):
+        df = df.assign(hkey=_hash(df["event_id"].to_numpy()))
+        return (df.sort_values(["hkey", "event_id"], kind="stable")
+                .groupby("event_type", sort=False).head(20))
+
+    parts = ray.get(ds.map_batches(partial, batch_format="pandas")
+                    .to_arrow_refs())
+    cand = pa.concat_tables(parts).to_pandas()
+    cand = (cand.sort_values(["hkey", "event_id"], kind="stable")
+            .groupby("event_type", sort=False).head(20))
+    cand["rn"] = cand.groupby("event_type", sort=False).cumcount() + 1
+    out = (cand.sort_values(["event_type", "rn"])
+           .reset_index(drop=True)[["event_type", "event_id", "value", "rn"]])
+    return _i64(out, ["event_id", "rn"])
+
+
 def e_window(sf_dir):
     """M7 time-window filter: purchases in a fixed 2-day window."""
     import datetime as dt
@@ -1557,6 +1593,7 @@ def build_queries() -> dict:
         "d_quality": d_quality,
         "media_digest": media_digest_q,
         "e_hash_sample": e_hash_sample,
+        "e_stratified_sample": e_stratified_sample,
         "e_asof": e_asof,
         "e_rolling": e_rolling,
         "e_window_join": e_window_join,
@@ -1750,6 +1787,15 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         "e_hash_sample": """
 SELECT event_id, event_type FROM events
 WHERE (event_id * 2654435761) % 4294967296 < 429496729
+""",
+        "e_stratified_sample": """
+SELECT event_type, event_id, value, rn FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY (event_id * 2654435761) % 4294967296, event_id) AS rn
+  FROM events)
+WHERE rn <= 20
 """,
         "e_asof": """
 WITH clicks AS (
