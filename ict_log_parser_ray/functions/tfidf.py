@@ -1,0 +1,108 @@
+"""Distributed TF-IDF-style term scoring — the "what are this document's
+characteristic terms" pass of a training-data pipeline (topic tagging,
+near-dup explanation, quality filtering).
+
+Shape (read + tokenize exactly once):
+
+1. one ``map_batches`` pass over documents → the narrow term-frequency
+   stream (doc_id, token, tf) — exact per batch because a document is one
+   row, never split across batches; materialized and pinned;
+2. document frequencies: per-batch tokens are already distinct per doc,
+   so DF partials are per-batch token counts over the PINNED tf blocks
+   (zero-copy scans, no re-read of text); the driver sums the partials —
+   bounded by vocabulary size, not corpus size.  At 100-TB vocabulary
+   (~10⁸+ tokens) this finish becomes a hash partition by token (the
+   vocab.top_tokens shape) and the DF map a cluster-side join instead of
+   a broadcast — documented, not needed at driver scale;
+3. score + per-doc top-k: broadcast the DF map once (``ray.put``), score
+   each pinned tf block and cut top-k per doc — exact within one batch
+   (again: doc ⊆ batch).
+
+Score is INTEGER-exact so any engine reproduces the row set bit-for-bit
+(IEEE ``log`` differs by ulps across libms, which would flip rank-boundary
+rows vs a SQL oracle):
+
+    score_e6 = (tf * 10⁶ * (N + 1)) // (df + 1)
+
+— a monotone rarity weight in the idf spirit (rarer token → bigger
+multiplier) without the transcendental.  Ties: score desc, token asc.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def _tf_batch(df: pd.DataFrame, text_col: str, id_col: str) -> pd.DataFrame:
+    toks = df[[id_col]].assign(
+        token=df[text_col].fillna("").str.split()).explode("token")
+    toks = toks.dropna(subset=["token"])
+    if toks.empty:
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "token": pd.Series([], dtype="object"),
+                             "tf": pd.Series([], dtype="int64")})
+    tf = (toks.groupby([id_col, "token"], sort=False)
+          .size().rename("tf").reset_index())
+    tf["tf"] = tf["tf"].astype("int64")
+    tf[id_col] = tf[id_col].astype("int64")
+    return tf
+
+
+@ray.remote
+def _df_partial(tf_tbl: pa.Table) -> pa.Table:
+    """Token → number of docs in this block (docs are block-disjoint)."""
+    if tf_tbl.num_rows == 0 or "token" not in tf_tbl.schema.names:
+        return pa.table({"token": pa.array([], pa.string()),
+                         "df": pa.array([], pa.int64())})
+    vc = tf_tbl["token"].to_pandas().value_counts()
+    return pa.table({"token": pa.array(vc.index, pa.string()),
+                     "df": pa.array(vc.to_numpy().astype("int64"))})
+
+
+@ray.remote
+def _score_block(tf_tbl: pa.Table, df_map_ref, n_docs: int, k: int,
+                 id_col: str) -> pa.Table:
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "token": pa.array([], pa.string()),
+                      "score_e6": pa.array([], pa.int64()),
+                      "rk": pa.array([], pa.int64())})
+    if tf_tbl.num_rows == 0 or "token" not in tf_tbl.schema.names:
+        return empty
+    df_map = ray.get(df_map_ref) if hasattr(df_map_ref, "hex") else df_map_ref
+    t = tf_tbl.to_pandas()
+    dfs = t["token"].map(df_map).to_numpy(dtype="int64")
+    score = (t["tf"].to_numpy(dtype="int64") * np.int64(1_000_000)
+             * np.int64(n_docs + 1)) // (dfs + np.int64(1))
+    t = t.assign(score_e6=score)
+    t = t.sort_values(["score_e6", "token"], ascending=[False, True],
+                      kind="stable")
+    t = t.groupby(id_col, sort=False).head(k)
+    t["rk"] = t.groupby(id_col, sort=False).cumcount() + 1
+    t = t.sort_values([id_col, "rk"])
+    return pa.table({id_col: pa.array(t[id_col].to_numpy(), pa.int64()),
+                     "token": pa.array(t["token"], pa.string()),
+                     "score_e6": pa.array(t["score_e6"].to_numpy(),
+                                          pa.int64()),
+                     "rk": pa.array((t["rk"].to_numpy()).astype("int64"))})
+
+
+def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
+                    k: int = 3):
+    """Top-``k`` terms per document by the integer rarity score.  Returns a
+    ``ray.data.Dataset`` with (id_col, token, score_e6, rk)."""
+    import ray.data as rd
+
+    n_docs = ds.count()
+    tf = ds.map_batches(_tf_batch, batch_format="pandas",
+                        fn_kwargs={"text_col": text_col, "id_col": id_col}
+                        ).materialize()
+    refs = tf.to_arrow_refs()
+    parts = pa.concat_tables(ray.get([_df_partial.remote(r) for r in refs]))
+    df_map = (parts.to_pandas().groupby("token", sort=False)["df"].sum()
+              .to_dict())
+    df_ref = ray.put(df_map)
+    out = [_score_block.remote(r, df_ref, n_docs, k, id_col) for r in refs]
+    return rd.from_arrow_refs(out)

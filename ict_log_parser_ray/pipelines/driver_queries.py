@@ -1200,6 +1200,17 @@ def d_token_percentiles(sf_dir):
                                {"q50": 0.5, "q90": 0.9, "q99": 0.99})
 
 
+def d_tfidf_top_terms(sf_dir):
+    """Distributed TF-IDF-style characteristic terms (top-3 per document
+    by the integer rarity score — see functions/tfidf.py for why the
+    score avoids IEEE log): tokenize once, DF partials over the pinned
+    narrow tf blocks, broadcast DF map, per-doc top-k cut."""
+    from ..functions.tfidf import tfidf_top_terms
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return tfidf_top_terms(ds, text_col="text", id_col="doc_id", k=3)
+
+
 def q_nation_revenue(sf_dir):
     """Multi-table broadcast-join rollup (orders ⋈ customer ⋈ nation →
     revenue per nation): the two small dimension tables are pre-joined
@@ -1579,6 +1590,7 @@ def build_queries() -> dict:
         "d_token_counts": d_token_counts,
         "d_token_percentiles": d_token_percentiles,
         "d_top_tokens": d_top_tokens,
+        "d_tfidf_top_terms": d_tfidf_top_terms,
         "e_value_quantiles": e_value_quantiles,
         "q_nation_revenue": q_nation_revenue,
         "q_priority_revenue": q_priority_revenue,
@@ -1708,6 +1720,29 @@ GROUP BY l_returnflag
 SELECT strftime(ts, '%Y-%m-%d') AS day,
        count(DISTINCT user_id) AS n_users
 FROM events GROUP BY 1
+""",
+        "d_tfidf_top_terms": r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(COALESCE(text, ''), '\S+')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+), dfreq AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token
+), n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         CAST((tf.tf * 1000000 * (n.n + 1)) // (dfreq.df + 1) AS BIGINT)
+           AS score_e6
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, token, score_e6,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_e6 DESC, token) AS rk
+  FROM scored)
+SELECT doc_id, token, score_e6, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 3
 """,
         "d_top_tokens": r"""
 WITH t AS (

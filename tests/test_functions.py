@@ -659,3 +659,47 @@ def test_bloom_semi_join_null_left_keys(ray_session):
     got = bloom_semi_join(left, right, "k", "rk",
                           nbits=1 << 12, k=3).to_pandas()
     assert sorted(got["k"]) == [1, 2]
+
+
+# ------------------------------ tf-idf ------------------------------------
+
+def test_tfidf_top_terms_vs_pandas(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.tfidf import tfidf_top_terms
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["apple apple banana common",
+                 "banana common common",
+                 None,                      # null text → absent from output
+                 "apple unique common"]})
+    got = tfidf_top_terms(rd.from_pandas(docs).repartition(3),
+                          k=2).to_pandas()
+    n = 4
+
+    rows = []
+    tf = {}
+    df_ = {}
+    for _, r in docs.iterrows():
+        toks = (r["text"] or "").split()
+        for t in set(toks):
+            df_[t] = df_.get(t, 0) + 1
+        for t in toks:
+            tf[(r["doc_id"], t)] = tf.get((r["doc_id"], t), 0) + 1
+    for (d, t), f in tf.items():
+        rows.append((d, t, f * 1_000_000 * (n + 1) // (df_[t] + 1)))
+    ref = pd.DataFrame(rows, columns=["doc_id", "token", "score_e6"])
+    ref = ref.sort_values(["score_e6", "token"],
+                          ascending=[False, True], kind="stable")
+    ref = ref.groupby("doc_id", sort=False).head(2)
+    ref["rk"] = ref.groupby("doc_id", sort=False).cumcount() + 1
+    ref = ref.sort_values(["doc_id", "rk"]).reset_index(drop=True)
+
+    got = got.sort_values(["doc_id", "rk"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "token", "score_e6", "rk"]].astype(
+            {"doc_id": "int64", "score_e6": "int64", "rk": "int64"}),
+        ref.astype({"doc_id": "int64", "score_e6": "int64", "rk": "int64"}))
+    assert 2 not in set(got["doc_id"])  # null-text doc emits nothing
