@@ -82,3 +82,97 @@ def approx_distinct(ds, column: str, p: int = 14) -> int:
     regs = hll_merge(np.frombuffer(blob, np.uint8)
                      for t in parts for blob in t["regs"].to_pylist())
     return int(round(hll_estimate(regs)))
+
+
+# ---------------------------------------------------------------------------
+# DDSketch-style relative-error quantile sketch (Masson, Rim & Lee, VLDB'19 —
+# public algorithm).  The approximate scale path that the exact
+# histogram/grouped quantiles (functions/quantiles.py) document: an exact
+# quantile over 10^12 CONTINUOUS values needs a shuffle bounded by distinct
+# values; this sketch is a fixed small dict of log-bucket counts per partial
+# and merges by summing counts — associative/commutative, so any combine
+# tree yields identical buckets, and the answer carries a GUARANTEED
+# relative-error bound alpha for nonzero values.
+# ---------------------------------------------------------------------------
+
+def dd_partial(values: np.ndarray, alpha: float = 0.01) -> dict:
+    """Log-bucket counts for one batch: positive values to bucket
+    ceil(log_gamma v) with gamma = (1+a)/(1-a); negatives mirrored into
+    negative keys offset by a sign flag; zeros (and |v| below float-tiny)
+    counted separately.  Returns {"pos": {idx: n}, "neg": {...}, "zero": n}
+    — the partial is bounded by the number of OCCUPIED buckets
+    (~log-range/alpha), not rows."""
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    lg = np.log(gamma)
+    v = np.asarray(values, np.float64)
+    v = v[~np.isnan(v)]
+    out = {"pos": {}, "neg": {}, "zero": 0, "n": int(len(v))}
+    tiny = 1e-12
+    zero = np.abs(v) <= tiny
+    out["zero"] = int(zero.sum())
+    for sign, key in ((1.0, "pos"), (-1.0, "neg")):
+        side = v[(~zero) & ((v > 0) if sign > 0 else (v < 0))] * sign
+        if not len(side):
+            continue
+        idx = np.ceil(np.log(side) / lg).astype(np.int64)
+        u, c = np.unique(idx, return_counts=True)
+        out[key] = {int(i): int(n) for i, n in zip(u, c)}
+    return out
+
+
+def dd_merge(parts) -> dict:
+    """Sum bucket counts — the mergeable-combine step."""
+    out = {"pos": {}, "neg": {}, "zero": 0, "n": 0}
+    for p in parts:
+        out["zero"] += p["zero"]
+        out["n"] += p["n"]
+        for key in ("pos", "neg"):
+            for i, n in p[key].items():
+                out[key][i] = out[key].get(i, 0) + n
+    return out
+
+
+def dd_quantile(sk: dict, q: float, alpha: float = 0.01) -> float:
+    """Value x with |x - x_true| <= alpha * |x_true| for nonzero answers
+    (bucket midpoint in log space: 2·gamma^i/(gamma+1))."""
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    n = sk["n"]
+    if n == 0:
+        return float("nan")
+    rank = q * (n - 1)
+    # ascending order: negatives (most-negative first = largest idx), zeros,
+    # positives (smallest idx first)
+    acc = 0
+    for i in sorted(sk["neg"], reverse=True):
+        acc += sk["neg"][i]
+        if acc > rank:
+            return -2.0 * gamma ** i / (gamma + 1.0)
+    acc += sk["zero"]
+    if acc > rank:
+        return 0.0
+    for i in sorted(sk["pos"]):
+        acc += sk["pos"][i]
+        if acc > rank:
+            return 2.0 * gamma ** i / (gamma + 1.0)
+    return float("nan")
+
+
+def approx_quantiles(ds, column: str, qs: dict[str, float],
+                     alpha: float = 0.01) -> dict[str, float]:
+    """Approximate quantiles of ``column``: per-batch log-bucket partials
+    (size ∝ occupied buckets) merged on the driver; each answer within
+    relative error ``alpha`` of the exact quantile for nonzero values."""
+    import pickle
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b[column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        sk = dd_partial(col.to_numpy(zero_copy_only=False), alpha)
+        return pa.table({"sk": pa.array([pickle.dumps(sk)], pa.binary())})
+
+    parts = ray.get(ds.map_batches(partial, batch_format="pyarrow",
+                                   zero_copy_batch=True).to_arrow_refs())
+    sk = dd_merge(pickle.loads(blob)
+                  for t in parts for blob in t["sk"].to_pylist())
+    return {name: dd_quantile(sk, q, alpha) for name, q in qs.items()}

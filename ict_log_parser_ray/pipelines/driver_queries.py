@@ -1393,6 +1393,20 @@ def e_distinct_users_approx(sf_dir):
     return pd.DataFrame({"n_users_approx": pd.array([n], dtype="int64")})
 
 
+def e_value_quantiles_approx(sf_dir):
+    """Approximate quantiles via a mergeable DDSketch-style log-bucket
+    sketch (rows-only by design — approximate; the exact twin is
+    e_value_quantiles and the pytest asserts the alpha=1% relative-error
+    guarantee vs numpy).  Each batch ships a dict of occupied bucket
+    counts (~log-range/alpha entries), merged by summation."""
+    from ..functions.sketch import approx_quantiles
+
+    ds = read_table(sf_dir, "events", columns=["value"])
+    out = approx_quantiles(ds, "value", {"q50": 0.5, "q90": 0.9,
+                                         "q99": 0.99})
+    return pd.DataFrame({k: [float(v)] for k, v in out.items()})
+
+
 def e_value_quantiles(sf_dir):
     """Exact per-group disc quantiles over a CONTINUOUS column (the
     grouped complement of d_token_percentiles' histogram path): median +
@@ -1616,6 +1630,7 @@ def build_queries() -> dict:
         "e_window_join_big": e_window_join_big,
         # rows-only (non-SQL-expressible)
         "e_sample": e_sample,
+        "e_value_quantiles_approx": e_value_quantiles_approx,
         "emb_knn_ivf": emb_knn_ivf,
         "emb_near_dups": emb_near_dups,
         "d_analysis": d_analysis,

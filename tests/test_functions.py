@@ -703,3 +703,40 @@ def test_tfidf_top_terms_vs_pandas(ray_session):
             {"doc_id": "int64", "score_e6": "int64", "rk": "int64"}),
         ref.astype({"doc_id": "int64", "score_e6": "int64", "rk": "int64"}))
     assert 2 not in set(got["doc_id"])  # null-text doc emits nothing
+
+
+# --------------------------- ddsketch quantiles ---------------------------
+
+def test_ddsketch_merge_and_error_bound(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.sketch import (approx_quantiles,
+                                                     dd_merge, dd_partial,
+                                                     dd_quantile)
+
+    rng = np.random.default_rng(0)
+    vals = np.concatenate([rng.lognormal(3, 2, 60_000),
+                           -rng.lognormal(1, 1, 15_000), np.zeros(500)])
+    rng.shuffle(vals)
+
+    # mergeability: chunked partials == single partial
+    merged = dd_merge(dd_partial(c, 0.01) for c in np.array_split(vals, 9))
+    single = dd_partial(vals, 0.01)
+    assert merged["pos"] == single["pos"] and merged["neg"] == single["neg"]
+    assert merged["zero"] == single["zero"] and merged["n"] == single["n"]
+
+    # guaranteed alpha=1% relative error at every tested quantile
+    for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+        got = dd_quantile(merged, q, 0.01)
+        want = np.quantile(vals, q)
+        assert abs(got - want) <= 0.0101 * abs(want) + 1e-9
+
+    # distributed path over a Dataset (nulls ignored)
+    df = pd.DataFrame({"v": np.append(vals[:5000], [np.nan, np.nan])})
+    out = approx_quantiles(rd.from_pandas(df).repartition(6), "v",
+                           {"q50": 0.5, "q90": 0.9})
+    ex = np.quantile(vals[:5000], [0.5, 0.9])
+    assert abs(out["q50"] - ex[0]) <= 0.0101 * abs(ex[0])
+    assert abs(out["q90"] - ex[1]) <= 0.0101 * abs(ex[1])
