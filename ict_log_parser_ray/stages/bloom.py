@@ -97,8 +97,14 @@ def build_bloom_distributed(ds, col: str, nbits: int = 1 << 23,
                            zero_copy_batch=True).materialize()
     refs = []
     for t in ray.get(parts.to_arrow_refs()):
+        # zero-row input blocks skip the UDF and surface with the
+        # ORIGINAL schema (no "bloom" column) — contribute nothing
+        if "bloom" not in t.schema.names:
+            continue
         for blob in t["bloom"].to_pylist():
             refs.append(ray.put(np.frombuffer(blob, dtype=np.uint8)))
+    if not refs:
+        return ray.put(np.zeros(nbits // 8, dtype=np.uint8))
     # tree OR-merge: O(log_{fanin} nblocks) rounds, each task ORs ≤fanin
     while len(refs) > 1:
         refs = [_or_merge.remote(*refs[i:i + fanin])
@@ -144,3 +150,92 @@ def bloom_semi_join(left_ds, right_ds, left_on: str, right_on: str,
 
     return left_ds.map_batches(probe, batch_format="pyarrow",
                                zero_copy_batch=True)
+
+
+@ray.remote
+def _verify_part(p: int, surv_refs, key_refs, left_on: str, right_on: str):
+    import pandas as pd
+
+    surv = [t.filter(pc.equal(t["_part"], p)) for t in ray.get(surv_refs)
+            if "_part" in t.schema.names]
+    surv = [t for t in surv if t.num_rows]
+    keys = [t.filter(pc.equal(t["_part"], p))[right_on]
+            for t in ray.get(key_refs) if "_part" in t.schema.names]
+    if not surv:
+        return None
+    s = pa.concat_tables(surv).combine_chunks()
+    if not keys:
+        return s.slice(0, 0).drop_columns(["_part"])
+    kvals = np.concatenate(
+        [c.to_numpy(zero_copy_only=False)
+         for k in keys for c in (k.chunks if isinstance(k, pa.ChunkedArray)
+                                 else [k])])
+    # khash probe needs a UNIQUE index (get_indexer raises on dupes)
+    kset = pd.Index(np.unique(kvals))
+    mask = kset.get_indexer(
+        s[left_on].to_numpy(zero_copy_only=False)) >= 0
+    return s.filter(pa.array(mask)).drop_columns(["_part"])
+
+
+def _part_tag(col, nparts: int) -> pa.Array:
+    vals = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    v = vals.to_numpy(zero_copy_only=False).astype(np.uint64)
+    return pa.array((_mix(v, _M1) % np.uint64(nparts)).astype(np.int64))
+
+
+def bloom_semi_join_partitioned(left_ds, right_ds, left_on: str,
+                                right_on: str, nbits: int = 1 << 23,
+                                k: int = 5, nparts: int | None = None):
+    """The big-right-side scale path `bloom_semi_join` documents: the
+    exact verify never broadcasts the key set.  Bloom prefilter as in the
+    broadcast variant (constant-size), then the SURVIVORS (small by the
+    bloom's fp bound) and the right keys are hash-tagged on the join key
+    and verified per partition — each verify task sees one key shard, so
+    memory is bounded by shard size, not key count.  Exact output; rows
+    with null join keys drop (semi-join semantics)."""
+    if nparts is None:
+        ncpu = int(ray.available_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+        nparts = max(4, min(ncpu, 32))
+
+    right_mat = right_ds.select_columns([right_on]).materialize()
+    bloom_ref = build_bloom_distributed(right_mat, right_on, nbits, k)
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        col = b[right_on]
+        valid = pc.is_valid(col)
+        b = b.filter(valid) if col.null_count else b
+        return b.append_column("_part", _part_tag(b[right_on], nparts))
+
+    key_refs = right_mat.map_batches(
+        tag_right, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize().to_arrow_refs()
+
+    def prefilter(b: pa.Table) -> pa.Table:
+        bits = ray.get(bloom_ref)
+        vals = b[left_on]
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        keys = vals.to_numpy(zero_copy_only=False).astype(np.uint64)
+        maybe = bloom_probe(keys, bits, nbits, k)
+        if vals.null_count:
+            maybe &= pc.is_valid(vals).to_numpy(zero_copy_only=False)
+        surv = b.filter(pa.array(maybe))
+        if surv.num_rows == 0:
+            return surv.append_column("_part",
+                                      pa.array([], pa.int64()))
+        return surv.append_column("_part", _part_tag(surv[left_on], nparts))
+
+    surv_refs = left_ds.map_batches(
+        prefilter, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize().to_arrow_refs()
+
+    import ray.data as rd
+    out = ray.get([_verify_part.remote(p, surv_refs, key_refs,
+                                       left_on, right_on)
+                   for p in range(nparts)])
+    out = [r for r in out if r is not None]
+    if not out:
+        # schema-preserving empty result
+        return left_ds.limit(0)
+    return rd.from_arrow_refs([ray.put(t) for t in out])

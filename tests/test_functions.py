@@ -740,3 +740,37 @@ def test_ddsketch_merge_and_error_bound(ray_session):
     ex = np.quantile(vals[:5000], [0.5, 0.9])
     assert abs(out["q50"] - ex[0]) <= 0.0101 * abs(ex[0])
     assert abs(out["q90"] - ex[1]) <= 0.0101 * abs(ex[1])
+
+
+def test_bloom_semi_join_partitioned_matches_broadcast(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ict_log_parser_ray.stages.bloom import (bloom_semi_join,
+                                                 bloom_semi_join_partitioned)
+
+    rng = np.random.default_rng(2)
+    left = pa.table({"k": pa.array(rng.integers(0, 800, 15000), pa.int64()),
+                     "v": pa.array(rng.normal(size=15000))})
+    # duplicate AND null right keys — the verify shard must dedupe and
+    # the tagger must drop nulls
+    rk = np.concatenate([rng.integers(0, 800, 250),
+                         rng.integers(0, 800, 250)])
+    right = pa.table({"rk": pa.array(
+        np.append(rk, [None] * 3), pa.int64())})
+    lds = rd.from_arrow(left).repartition(5)
+    rds = rd.from_arrow(right).repartition(3)
+    a = bloom_semi_join(lds, rds, "k", "rk",
+                        nbits=1 << 10, k=2).to_pandas()
+    b = bloom_semi_join_partitioned(lds, rds, "k", "rk",
+                                    nbits=1 << 10, k=2,
+                                    nparts=5).to_pandas()
+    want = left.to_pandas()[left.to_pandas()["k"].isin(rk)]
+    assert len(a) == len(b) == len(want)
+    assert sorted(b["k"]) == sorted(want["k"])
+    assert np.isclose(b["v"].sum(), want["v"].sum())
+    # empty right side → empty result through the zero-row-block path
+    er = rd.from_arrow(pa.table({"rk": pa.array([], pa.int64())}))
+    assert len(bloom_semi_join_partitioned(
+        lds, er, "k", "rk", nparts=4).to_pandas()) == 0
