@@ -146,12 +146,18 @@ def single_run(num_cpus: int, sf_dir: str, json_out: str | None,
     sf = fx.sf_from_dir(sf_dir, default=0.1)
     ray = _quiet_ray(num_cpus)
     _warmup(num_cpus)
-    # warm the OS page cache with one untimed narrow read so both scaling
-    # levels measure compute+shuffle, not the first cold disk read
-    import ray.data as rd
+    # warm the OS page cache with an untimed RAW read of the input files so
+    # both scaling levels measure compute+shuffle, not the first cold disk
+    # read.  Raw bytes, not a narrow parquet read: parquet is
+    # column-chunked, so reading one column warms only that column's pages
+    # and leaves `text` (the bulk) cold — measured as a ~35%-slow first
+    # run at the high level (BASELINE.md, the 0.745 invocation).
     d = fx.ensure_fixture(sf)
-    rd.read_parquet(os.path.join(d, "transcripts"),
-                    columns=["turn_idx"]).count()
+    tdir = os.path.join(d, "transcripts")
+    for fn in sorted(os.listdir(tdir)):
+        with open(os.path.join(tdir, fn), "rb") as f:
+            while f.read(1 << 24):
+                pass
     sink_root = os.environ.get("ICT_BENCH_SINK_DIR", "/tmp")
     sink_dir = os.path.join(sink_root, f"ict_ray_bench_sinks_{num_cpus}")
     if os.environ.get("ICT_BENCH_STREAMING") == "1":
