@@ -89,10 +89,75 @@ def _score_block(tf_tbl: pa.Table, df_map_ref, n_docs: int, k: int,
                      "rk": pa.array((t["rk"].to_numpy()).astype("int64"))})
 
 
+@ray.remote
+def _df_shard(p: int, nparts: int, part_refs) -> pa.Table:
+    """Sum the DF partials whose token hashes into shard ``p``."""
+    tbls = []
+    for t in ray.get(part_refs):
+        if t.num_rows == 0:
+            continue
+        h = pd.util.hash_pandas_object(t["token"].to_pandas(),
+                                       index=False).to_numpy()
+        tbls.append(t.filter(pa.array(
+            (h % np.uint64(nparts)).astype("int64") == p)))
+    if not tbls:
+        return pa.table({"token": pa.array([], pa.string()),
+                         "df": pa.array([], pa.int64())})
+    g = (pa.concat_tables(tbls).to_pandas()
+         .groupby("token", sort=False, as_index=False)["df"].sum())
+    return pa.table({"token": pa.array(g["token"], pa.string()),
+                     "df": pa.array(g["df"].to_numpy().astype("int64"))})
+
+
+@ray.remote
+def _score_shard(tf_tbl: pa.Table, df_shards, nparts: int,
+                 n_docs: int, k: int, id_col: str) -> pa.Table:
+    """Score one tf block against the SHARDED DF map (no single big
+    broadcast): look each token up in its own shard, then cut per-doc
+    top-k — docs are block-local, so the cut stays exact."""
+    if tf_tbl.num_rows == 0 or "token" not in tf_tbl.schema.names:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "token": pa.array([], pa.string()),
+                         "score_e6": pa.array([], pa.int64()),
+                         "rk": pa.array([], pa.int64())})
+    t = tf_tbl.to_pandas()
+    h = (pd.util.hash_pandas_object(t["token"], index=False).to_numpy()
+         % np.uint64(nparts)).astype("int64")
+    dfs = np.zeros(len(t), np.int64)
+    for p in np.unique(h):
+        shard = ray.get(df_shards[int(p)])
+        lut = pd.Series(shard["df"].to_numpy(),
+                        index=shard["token"].to_pandas())
+        m = h == p
+        dfs[m] = lut.reindex(t["token"].to_numpy()[m]).to_numpy()
+    score = (t["tf"].to_numpy(dtype="int64") * np.int64(1_000_000)
+             * np.int64(n_docs + 1)) // (dfs + np.int64(1))
+    t = t.assign(score_e6=score)
+    t = t.sort_values(["score_e6", "token"], ascending=[False, True],
+                      kind="stable")
+    t = t.groupby(id_col, sort=False).head(k)
+    t["rk"] = t.groupby(id_col, sort=False).cumcount() + 1
+    t = t.sort_values([id_col, "rk"])
+    return pa.table({id_col: pa.array(t[id_col].to_numpy(), pa.int64()),
+                     "token": pa.array(t["token"], pa.string()),
+                     "score_e6": pa.array(t["score_e6"].to_numpy(),
+                                          pa.int64()),
+                     "rk": pa.array((t["rk"].to_numpy()).astype("int64"))})
+
+
 def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
-                    k: int = 3):
+                    k: int = 3, max_broadcast_vocab: int = 2_000_000,
+                    nparts: int | None = None):
     """Top-``k`` terms per document by the integer rarity score.  Returns a
-    ``ray.data.Dataset`` with (id_col, token, score_e6, rk)."""
+    ``ray.data.Dataset`` with (id_col, token, score_e6, rk).
+
+    The DF finish auto-switches on vocabulary size: below
+    ``max_broadcast_vocab`` distinct-ish tokens (sum of per-block DF
+    partial rows — an upper bound on the vocabulary) the DF map is built
+    driver-side and broadcast once; above it, the DF partials are summed
+    in ``nparts`` token-hash shards and each scoring task fetches only
+    the shards its tokens hash into — no single node ever holds the full
+    vocabulary."""
     import ray.data as rd
 
     n_docs = ds.count()
@@ -100,9 +165,27 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
                         fn_kwargs={"text_col": text_col, "id_col": id_col}
                         ).materialize()
     refs = tf.to_arrow_refs()
-    parts = pa.concat_tables(ray.get([_df_partial.remote(r) for r in refs]))
-    df_map = (parts.to_pandas().groupby("token", sort=False)["df"].sum()
-              .to_dict())
-    df_ref = ray.put(df_map)
-    out = [_score_block.remote(r, df_ref, n_docs, k, id_col) for r in refs]
+    part_refs = [_df_partial.remote(r) for r in refs]
+    sizes = ray.get([_nrows.remote(r) for r in part_refs])
+    if sum(sizes) <= max_broadcast_vocab:
+        parts = pa.concat_tables(ray.get(part_refs))
+        df_map = (parts.to_pandas().groupby("token", sort=False)["df"].sum()
+                  .to_dict())
+        df_ref = ray.put(df_map)
+        out = [_score_block.remote(r, df_ref, n_docs, k, id_col)
+               for r in refs]
+        return rd.from_arrow_refs(out)
+    if nparts is None:
+        ncpu = int(ray.available_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+        nparts = max(8, min(4 * ncpu, 128))
+    df_shards = [_df_shard.remote(p, nparts, part_refs)
+                 for p in range(nparts)]
+    out = [_score_shard.remote(r, df_shards, nparts, n_docs, k, id_col)
+           for r in refs]
     return rd.from_arrow_refs(out)
+
+
+@ray.remote
+def _nrows(t: pa.Table) -> int:
+    return t.num_rows

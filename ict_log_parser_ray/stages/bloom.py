@@ -164,12 +164,12 @@ def _verify_part(p: int, surv_refs, key_refs, left_on: str, right_on: str):
     if not surv:
         return None
     s = pa.concat_tables(surv).combine_chunks()
-    if not keys:
+    chunks = [c.to_numpy(zero_copy_only=False)
+              for k in keys for c in (k.chunks if isinstance(k, pa.ChunkedArray)
+                                      else [k])]
+    if not chunks:  # no key blocks, or 0-row ChunkedArrays with 0 chunks
         return s.slice(0, 0).drop_columns(["_part"])
-    kvals = np.concatenate(
-        [c.to_numpy(zero_copy_only=False)
-         for k in keys for c in (k.chunks if isinstance(k, pa.ChunkedArray)
-                                 else [k])])
+    kvals = np.concatenate(chunks)
     # khash probe needs a UNIQUE index (get_indexer raises on dupes)
     kset = pd.Index(np.unique(kvals))
     mask = kset.get_indexer(

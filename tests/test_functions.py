@@ -774,3 +774,26 @@ def test_bloom_semi_join_partitioned_matches_broadcast(ray_session):
     er = rd.from_arrow(pa.table({"rk": pa.array([], pa.int64())}))
     assert len(bloom_semi_join_partitioned(
         lds, er, "k", "rk", nparts=4).to_pandas()) == 0
+
+
+def test_tfidf_sharded_df_path_matches_broadcast(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.tfidf import tfidf_top_terms
+
+    rng = np.random.default_rng(3)
+    words = [f"w{i:03d}" for i in range(150)]
+    docs = pd.DataFrame({
+        "doc_id": range(60),
+        "text": [" ".join(rng.choice(words, rng.integers(1, 40)))
+                 for _ in range(60)]})
+    ds = rd.from_pandas(docs).repartition(5)
+    a = (tfidf_top_terms(ds, k=3).to_pandas()
+         .sort_values(["doc_id", "rk"]).reset_index(drop=True))
+    # force the sharded-DF scale path (vocab threshold 0)
+    b = (tfidf_top_terms(ds, k=3, max_broadcast_vocab=0, nparts=7)
+         .to_pandas().sort_values(["doc_id", "rk"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    want_rows = sum(min(3, len(set(t.split()))) for t in docs["text"])
+    assert len(a) == want_rows
