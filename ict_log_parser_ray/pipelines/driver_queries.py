@@ -1268,8 +1268,13 @@ def q_priority_revenue(sf_dir):
                         columns=["o_orderkey", "o_orderpriority"])
     ncpu = int(ray.available_resources().get("CPU", 8)) \
         if ray.is_initialized() else 8
+    # each shuffle partition is an aggregator actor: measured at sf0.1 /
+    # 32 CPUs, 16 partitions = 7.0 s vs 64 partitions = 25.6 s (the actor
+    # spawn + per-partition fixed cost dominates at single-node scale).
+    # At cluster scale num_partitions must instead grow with DATA so a
+    # partition fits a worker's heap — pass partition_size_hint there.
     joined = li.join(orders, "inner",
-                     num_partitions=max(8, min(2 * ncpu, 64)),
+                     num_partitions=max(8, min(ncpu // 2, 32)),
                      on=("l_orderkey",), right_on=("o_orderkey",))
 
     def partial(b: pa.Table) -> pa.Table:
