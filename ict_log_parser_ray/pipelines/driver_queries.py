@@ -1336,6 +1336,46 @@ def q_semi_bloom(sf_dir):
     return _i64(df, ["sum_qty", "n_items"])
 
 
+def q_anti_bloom(sf_dir):
+    """Broadcast Bloom-filter ANTI-join (lineitems NOT belonging to
+    URGENT orders).  The bloom's one-sided error flips in the anti-join's
+    favor: a bloom MISS is a definite absence, so the bulk of the stream
+    passes with zero exact-probe work and only bloom HITS (true members +
+    the small fp set) touch the exact key probe.  Rolled up per
+    l_returnflag as per-batch arrow partials + a driver finish."""
+    import ray
+
+    from ..stages.bloom import bloom_anti_join
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_quantity", "l_returnflag"])
+
+    def urgent_keys(b: pa.Table) -> pa.Table:
+        m = pc.equal(b["o_orderpriority"], "1-URGENT")
+        return b.filter(m).select(["o_orderkey"])
+
+    urgent = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderpriority"]) \
+        .map_batches(urgent_keys, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    miss = bloom_anti_join(li, urgent, "l_orderkey", "o_orderkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"l_returnflag": b["l_returnflag"],
+                      "sum_qty": pc.cast(pc.round(b["l_quantity"]),
+                                         pa.int64())})
+        return pa.TableGroupBy(t, "l_returnflag").aggregate(
+            [("sum_qty", "sum"), ([], "count_all")])
+
+    parts = pa.concat_tables(ray.get(
+        miss.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True).to_arrow_refs()))
+    df = (parts.to_pandas().groupby("l_returnflag", as_index=False)
+          .agg(sum_qty=("sum_qty_sum", "sum"),
+               n_items=("count_all", "sum")))
+    return _i64(df, ["sum_qty", "n_items"])
+
+
 def _read_tbl(sf_dir, name, columns):
     import pyarrow.parquet as pq
 
@@ -1614,6 +1654,7 @@ def build_queries() -> dict:
         "q_nation_revenue": q_nation_revenue,
         "q_priority_revenue": q_priority_revenue,
         "q_semi_bloom": q_semi_bloom,
+        "q_anti_bloom": q_anti_bloom,
         "e_daily_active": e_daily_active,
         "e_distinct_users_approx": e_distinct_users_approx,
         "d_char_stats": d_char_stats,
@@ -1734,6 +1775,17 @@ SELECT l_returnflag,
 FROM lineitem
 WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                      WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+""",
+        "q_anti_bloom": """
+SELECT l_returnflag,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       count(*) AS n_items
+FROM lineitem l
+WHERE l_orderkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_orderpriority = '1-URGENT'
+                    AND o.o_orderkey = l.l_orderkey)
 GROUP BY l_returnflag
 """,
         "e_daily_active": """

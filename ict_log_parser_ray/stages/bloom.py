@@ -116,8 +116,7 @@ def bloom_semi_join(left_ds, right_ds, left_on: str, right_on: str,
                     nbits: int = 1 << 23, k: int = 5):
     """EXACT semi-join: left rows whose ``left_on`` appears in
     ``right_ds[right_on]``.  Bloom prefilter + exact verify (broadcast
-    khash probe over the survivors).  Returns (dataset, stats_fn) where
-    stats_fn() reports prefilter selectivity after execution."""
+    khash probe over the survivors); rows with null join keys drop."""
     from .join import lookup_indices
 
     # one pass over the right side: materialize the key column once, feed
@@ -147,6 +146,52 @@ def bloom_semi_join(left_ds, right_ds, left_on: str, right_on: str,
             sv = sv.combine_chunks()
         idx = lookup_indices(sv, ray.get(exact_ref), memo_token=token)
         return survivors.filter(pc.is_valid(idx))
+
+    return left_ds.map_batches(probe, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
+def bloom_anti_join(left_ds, right_ds, left_on: str, right_on: str,
+                    nbits: int = 1 << 23, k: int = 5):
+    """EXACT anti-join: left rows whose non-null ``left_on`` does NOT
+    appear in ``right_ds[right_on]``'s non-null keys (null left keys drop,
+    mirroring the semi-join; the SQL twin is NOT EXISTS, since NOT IN
+    over a null-bearing subquery three-valued-logics to empty).
+
+    The bloom's one-sided error works FOR the anti-join: a bloom MISS is
+    a definite absence — those rows pass straight through with no exact
+    check; only the (few) bloom HITS need the exact probe to separate
+    true members (drop) from false positives (keep).  The exact-probe
+    volume is the same small survivor stream as the semi-join's."""
+    from .join import lookup_indices
+
+    right_mat = right_ds.select_columns([right_on]).materialize()
+    bloom_ref = build_bloom_distributed(right_mat, right_on, nbits, k)
+    keys_tbl = pa.concat_tables(
+        ray.get(right_mat.to_arrow_refs())).combine_chunks()
+    exact_ref = ray.put(pc.drop_null(pc.unique(keys_tbl[right_on])))
+    token = exact_ref.hex()
+
+    def probe(b: pa.Table) -> pa.Table:
+        bits = ray.get(bloom_ref)
+        vals = b[left_on]
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        keys = vals.to_numpy(zero_copy_only=False).astype(np.uint64)
+        maybe = bloom_probe(keys, bits, nbits, k)
+        valid = np.ones(len(keys), dtype=bool) if not vals.null_count \
+            else pc.is_valid(vals).to_numpy(zero_copy_only=False)
+        keep = valid & ~maybe          # definite absences: no exact check
+        check = valid & maybe
+        if check.any():
+            sus = b.filter(pa.array(check))
+            sv = sus[left_on]
+            if isinstance(sv, pa.ChunkedArray):
+                sv = sv.combine_chunks()
+            idx = lookup_indices(sv, ray.get(exact_ref), memo_token=token)
+            fp = pc.is_null(idx).to_numpy(zero_copy_only=False)
+            keep[np.flatnonzero(check)[fp]] = True  # false positives stay
+        return b.filter(pa.array(keep))
 
     return left_ds.map_batches(probe, batch_format="pyarrow",
                                zero_copy_batch=True)

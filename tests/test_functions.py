@@ -661,6 +661,46 @@ def test_bloom_semi_join_null_left_keys(ray_session):
     assert sorted(got["k"]) == [1, 2]
 
 
+def test_bloom_anti_join_exact_vs_isin(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ict_log_parser_ray.stages.bloom import bloom_anti_join
+
+    rng = np.random.default_rng(2)
+    left = pa.table({"k": pa.array(rng.integers(0, 1000, 20000), pa.int64()),
+                     "v": pa.array(rng.normal(size=20000))})
+    right = pa.table({"rk": pa.array(rng.integers(0, 1000, 300), pa.int64())})
+    got = bloom_anti_join(rd.from_arrow(left).repartition(6),
+                          rd.from_arrow(right).repartition(3),
+                          "k", "rk",
+                          # tiny bloom → DENSE false positives, so this
+                          # also proves the exact check KEEPS them
+                          nbits=1 << 10, k=2).to_pandas()
+    want = left.to_pandas()[
+        ~left.to_pandas()["k"].isin(right["rk"].to_numpy())]
+    assert len(got) == len(want)
+    assert sorted(got["k"]) == sorted(want["k"])
+    assert np.isclose(got["v"].sum(), want["v"].sum())
+
+
+def test_bloom_anti_join_nulls_both_sides(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ict_log_parser_ray.stages.bloom import bloom_anti_join
+
+    left = rd.from_arrow(pa.table(
+        {"k": pa.array([1, None, 2, 9, 7], pa.int64())}))
+    right = rd.from_arrow(pa.table(
+        {"rk": pa.array([1, None, 2], pa.int64())}))
+    got = bloom_anti_join(left, right, "k", "rk",
+                          nbits=1 << 12, k=3).to_pandas()
+    # null left keys drop; right-side null never matches anything
+    assert sorted(got["k"]) == [7, 9]
+
+
 # ------------------------------ tf-idf ------------------------------------
 
 def test_tfidf_top_terms_vs_pandas(ray_session):
