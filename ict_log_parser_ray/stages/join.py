@@ -18,9 +18,18 @@ Left-outer semantics in both paths: unmatched left keys get nulls.
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
+
+# right-side size above which a memo_token switches lookup_indices to the
+# worker-memoized probe.  Single-thread the paths tie at ~27k keys, but
+# index_in re-BUILDS its value-set hash table per call and that build
+# inflates ~4× under 16-core memory-bus contention while the read-only
+# memo probe scales — env-tunable for interleaved A/B measurement.
+_MEMO_MIN = int(os.environ.get("ICT_LOOKUP_MEMO_MIN", "50000"))
 
 
 def _pl_hash64(arr: pa.Array) -> "object":
@@ -52,7 +61,7 @@ def lookup_indices(values, right_keys: pa.Array, memo_token=None):
 
     if isinstance(values, pa.ChunkedArray):
         values = values.combine_chunks()
-    if memo_token is None or len(right_keys) < 50_000 or values.null_count:
+    if memo_token is None or len(right_keys) < _MEMO_MIN or values.null_count:
         return pc.index_in(values, value_set=right_keys)
 
     key = ("lkidx", memo_token)
