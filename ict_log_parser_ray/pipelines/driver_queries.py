@@ -1376,6 +1376,58 @@ def q_anti_bloom(sf_dir):
     return _i64(df, ["sum_qty", "n_items"])
 
 
+def q_cube_revenue(sf_dir):
+    """GROUP BY CUBE (l_returnflag, l_linestatus): per-batch arrow
+    partials at the FINEST grouping only; every coarser grouping set
+    derives from the finest int64 sums in the driver finish — one pass,
+    no per-level shuffle (functions/rollup.py)."""
+    from ..functions.rollup import cube_aggregate
+
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_linestatus",
+                             "l_extendedprice", "l_discount"])
+
+    def measures(b: pa.Table) -> pa.Table:
+        rev = pc.cast(pc.round(pc.multiply(pc.multiply(
+            b["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), b["l_discount"])), 10000.0)),
+            pa.int64())
+        return pa.table({"l_returnflag": b["l_returnflag"],
+                         "l_linestatus": b["l_linestatus"],
+                         "revenue_e4": rev})
+
+    ds = ds.map_batches(measures, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return cube_aggregate(ds, ["l_returnflag", "l_linestatus"],
+                          ["revenue_e4"], mode="cube")
+
+
+def e_value_corr(sf_dir):
+    """Grouped Pearson correlation (value vs hour-of-day per event_type)
+    from EXACT integer moment partials: per-batch int64 (n,Σx,Σy,Σxy,
+    Σx²,Σy²) arrow-groupby partials, Python-big-int driver finish, corr
+    computed from exact sums.  corr is scale-invariant and |r|≤1, so the
+    round-6 presentation reconciles with DuckDB's streaming double corr
+    (raw variance would NOT — ulp drift exceeds any decimal rounding at
+    var's magnitude; functions/moments.py documents the rule)."""
+    from ..functions.moments import grouped_corr
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value", "ts"])
+
+    def xy(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            # value has ≤2 decimals → ×1000 never lands on a .5 boundary,
+            # and |x| ≤ ~5e5 keeps per-batch Σx² far inside int64
+            "x": pc.cast(pc.round(pc.multiply(b["value"], 1000.0)),
+                         pa.int64()),
+            "y": pc.cast(pc.hour(b["ts"]), pa.int64()),
+        })
+
+    ds = ds.map_batches(xy, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_corr(ds, "event_type", "x", "y", digits=6)
+
+
 def _read_tbl(sf_dir, name, columns):
     import pyarrow.parquet as pq
 
@@ -1655,6 +1707,8 @@ def build_queries() -> dict:
         "q_priority_revenue": q_priority_revenue,
         "q_semi_bloom": q_semi_bloom,
         "q_anti_bloom": q_anti_bloom,
+        "q_cube_revenue": q_cube_revenue,
+        "e_value_corr": e_value_corr,
         "e_daily_active": e_daily_active,
         "e_distinct_users_approx": e_distinct_users_approx,
         "d_char_stats": d_char_stats,
@@ -1787,6 +1841,23 @@ WHERE l_orderkey IS NOT NULL
                   WHERE o.o_orderpriority = '1-URGENT'
                     AND o.o_orderkey = l.l_orderkey)
 GROUP BY l_returnflag
+""",
+        "q_cube_revenue": """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                     AS BIGINT)) AS BIGINT) AS revenue_e4,
+       count(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+        "e_value_corr": """
+SELECT event_type,
+       count(CASE WHEN value IS NOT NULL AND ts IS NOT NULL
+                  THEN 1 END) AS n,
+       round(corr(CAST(round(value * 1000) AS BIGINT), hour(ts)), 6)
+         AS corr6
+FROM events
+GROUP BY event_type
 """,
         "e_daily_active": """
 SELECT strftime(ts, '%Y-%m-%d') AS day,

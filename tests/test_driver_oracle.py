@@ -63,7 +63,7 @@ ORACLE_NAMES = [
     "e_sessions", "d_top_tokens", "e_top_per_user", "e_window_join_big",
     "e_value_quantiles", "q_nation_revenue", "q_priority_revenue",
     "q_semi_bloom", "q_anti_bloom", "e_daily_active", "e_stratified_sample",
-    "d_tfidf_top_terms",
+    "d_tfidf_top_terms", "q_cube_revenue", "e_value_corr",
 ]
 
 

@@ -701,6 +701,88 @@ def test_bloom_anti_join_nulls_both_sides(ray_session):
     assert sorted(got["k"]) == [7, 9]
 
 
+# --------------------------- cube / rollup --------------------------------
+
+def test_cube_aggregate_vs_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.rollup import cube_aggregate
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y", "z"], 5000),
+        "b": rng.choice(["p", None, "q"], 5000),   # data-null group key
+        "m": rng.integers(-100, 100, 5000)})
+    for mode, sql in [("cube", "CUBE (a, b)"), ("rollup", "ROLLUP (a, b)")]:
+        got = cube_aggregate(rd.from_pandas(df).repartition(5),
+                             ["a", "b"], ["m"], mode=mode)
+        want = duckdb.sql(
+            f"SELECT a, b, CAST(sum(m) AS BIGINT) AS m, count(*) AS n "
+            f"FROM df GROUP BY {sql}").df()
+        key = ["a", "b"]
+        g = got.fillna({"a": "∅", "b": "∅"}).sort_values(
+            key + ["m"]).reset_index(drop=True)
+        w = want.fillna({"a": "∅", "b": "∅"}).sort_values(
+            key + ["m"]).reset_index(drop=True)
+        assert len(g) == len(w), mode
+        pd.testing.assert_frame_equal(
+            g, w[g.columns], check_dtype=False), mode
+
+
+def test_cube_rollup_grouping_sets():
+    from ict_log_parser_ray.functions.rollup import _grouping_sets
+
+    assert _grouping_sets(["a", "b"], "rollup") == [("a", "b"), ("a",), ()]
+    assert set(_grouping_sets(["a", "b"], "cube")) == {
+        ("a", "b"), ("a",), ("b",), ()}
+
+
+# ------------------------- grouped moments / corr -------------------------
+
+def test_grouped_corr_vs_numpy(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.moments import grouped_corr
+
+    rng = np.random.default_rng(4)
+    n = 8000
+    g = rng.choice(["u", "v", "w"], n)
+    x = rng.integers(-10_000, 10_000, n)
+    y = (x // 100 + rng.integers(-50, 50, n)).astype(np.int64)  # correlated
+    df = pd.DataFrame({"g": g, "x": x, "y": y})
+    got = grouped_corr(rd.from_pandas(df).repartition(7), "g", "x", "y")
+    got = got.sort_values("g").reset_index(drop=True)
+    for i, grp in enumerate(["u", "v", "w"]):
+        sub = df[df["g"] == grp]
+        assert got.loc[i, "n"] == len(sub)
+        ref = np.corrcoef(sub["x"], sub["y"])[0, 1]
+        assert abs(got.loc[i, "corr6"] - round(ref, 6)) <= 1e-6
+
+
+def test_grouped_corr_null_pairs_and_degenerate(ray_session):
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.moments import (corr_from_moments,
+                                                      grouped_corr)
+
+    df = pd.DataFrame({
+        "g": ["a", "a", "a", "b", "b"],
+        "x": [1.0, 2.0, None, 5.0, 5.0],     # null x drops the pair
+        "y": [10.0, 20.0, 30.0, 1.0, 2.0]})  # b: zero x-variance → NaN
+    got = grouped_corr(rd.from_pandas(df), "g", "x", "y").set_index("g")
+    assert got.loc["a", "n"] == 2 and got.loc["a", "corr6"] == 1.0
+    assert got.loc["b", "n"] == 2 and math.isnan(got.loc["b", "corr6"])
+    assert corr_from_moments(1, 5, 5, 25, 25, 25) is None
+
+
 # ------------------------------ tf-idf ------------------------------------
 
 def test_tfidf_top_terms_vs_pandas(ray_session):
