@@ -1,0 +1,124 @@
+"""Connected components over an edge list — duplicate-CLUSTER labeling.
+
+Near-dup pair lists (MinHash/SimHash output) are edges; training-data
+dedup needs the transitive closure: one canonical doc per connected
+component.  This is distributed min-label propagation:
+
+- the symmetrized edge list is parsed ONCE into pinned Arrow blocks;
+  every iteration is a zero-copy ``map_batches`` scan over those blocks
+  (read+parse-exactly-once, the repo's core rule);
+- per iteration each edge block looks up its src labels (worker-memoized
+  khash over the FIXED node array — built once per worker, only the
+  label VECTOR ships per iteration) and emits per-batch arrow
+  ``(dst, min incoming label)`` partials — bounded by the block's
+  distinct dst count, never a Ray groupby at ~all-distinct keys;
+- the driver min-combines the partials (O(nodes) numpy) and then
+  POINTER-JUMPS the label table (labels are node ids, so label→label
+  lookups compress chains): propagation alone needs O(diameter)
+  distributed passes, with jumping the total is O(log n).
+
+Scale contract: the NODE table (nodes appearing in any dup pair — a
+small fraction of the corpus) fits the driver / one worker; the EDGE
+list streams and may be arbitrarily large.  An all-nodes graph would
+need a hash-partitioned label exchange instead — out of scope for the
+dedup-cluster use case and documented here.
+
+Public algorithm shape: label propagation / pointer jumping as in
+"Connected Components in MapReduce and Beyond" (Kiveris et al., SoCC'14).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _pointer_jump(nodes: np.ndarray, labels: np.ndarray) -> np.ndarray:
+    """Compress label chains: labels are node ids, so follow
+    label→label-of-that-node until fixpoint (vectorized; O(log chain))."""
+    idx = pd.Index(nodes)
+    while True:
+        pos = idx.get_indexer(labels)
+        # a label may be a node id outside the node table only if it IS
+        # its own component min that never appears as dst — keep as-is
+        nxt = np.where(pos >= 0, labels[np.maximum(pos, 0)], labels)
+        if (nxt == labels).all():
+            return labels
+        labels = nxt
+
+
+def connected_components(edges_ds, a_col: str = "a", b_col: str = "b",
+                         max_iters: int = 64) -> pd.DataFrame:
+    """→ (node, component) with component = min node id in the connected
+    component; isolated nodes never appear (no edges → no row), matching
+    the recursive-CTE SQL twin over the same edge list."""
+    import ray
+
+    from ..stages.join import lookup_indices
+
+    def sym(b: pa.Table) -> pa.Table:
+        a = pc.cast(b[a_col], pa.int64())
+        bb = pc.cast(b[b_col], pa.int64())
+        valid = pc.and_(pc.is_valid(a), pc.is_valid(bb))
+        if not pc.all(valid).as_py():
+            t = pa.table({"a": a, "b": bb}).filter(valid)
+            a, bb = t["a"], t["b"]
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        if isinstance(bb, pa.ChunkedArray):
+            bb = bb.combine_chunks()
+        return pa.table({
+            "src": pa.concat_arrays([a, bb]),
+            "dst": pa.concat_arrays([bb, a]),
+        })
+
+    edges = edges_ds.map_batches(sym, batch_format="pyarrow",
+                                 zero_copy_batch=True).materialize()
+
+    # node table: per-block uniques → driver unique (bounded by the
+    # dup-graph node count, the documented scale contract above)
+    blocks = [t for t in ray.get(edges.to_arrow_refs())
+              if "src" in t.schema.names and t.num_rows]
+    if not blocks:
+        return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                             "component": pd.Series([], dtype="int64")})
+    nodes = np.unique(np.concatenate(
+        [np.unique(t["src"].to_numpy(zero_copy_only=False))
+         for t in blocks]))
+    labels = nodes.copy()
+    nodes_arr = pa.array(nodes, pa.int64())
+    nodes_ref = ray.put(nodes_arr)       # fixed across iterations →
+    token = nodes_ref.hex()              # khash memo builds once/worker
+    idx_driver = pd.Index(nodes)
+
+    for _ in range(max_iters):
+        lbl_ref = ray.put(labels)
+
+        def step(b: pa.Table, _lbl=lbl_ref) -> pa.Table:
+            lv = ray.get(_lbl)
+            pos = lookup_indices(b["src"], ray.get(nodes_ref),
+                                 memo_token=token)
+            sl = lv[pos.to_numpy(zero_copy_only=False).astype(np.int64)]
+            t = pa.table({"dst": b["dst"], "lbl": pa.array(sl, pa.int64())})
+            return pa.TableGroupBy(t, "dst").aggregate([("lbl", "min")])
+
+        parts = [t for t in ray.get(
+            edges.map_batches(step, batch_format="pyarrow",
+                              zero_copy_batch=True).to_arrow_refs())
+            if "lbl_min" in t.schema.names]
+        inc = pa.concat_tables(parts)
+        dst = inc["dst"].to_numpy(zero_copy_only=False)
+        lbl = inc["lbl_min"].to_numpy(zero_copy_only=False)
+        new = labels.copy()
+        np.minimum.at(new, idx_driver.get_indexer(dst), lbl)
+        new = _pointer_jump(nodes, new)
+        if (new == labels).all():
+            break
+        labels = new
+    else:
+        raise RuntimeError(f"no convergence in {max_iters} iterations")
+
+    return pd.DataFrame({"node": nodes.astype("int64"),
+                         "component": labels.astype("int64")})

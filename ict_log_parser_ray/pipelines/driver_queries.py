@@ -1564,6 +1564,23 @@ def d_minhash_pairs(sf_dir):
     return df
 
 
+def d_dup_clusters(sf_dir):
+    """Duplicate CLUSTERS: connected components over the MinHash near-dup
+    pairs (training-data dedup keeps one canonical doc per component, not
+    per pair).  Distributed min-label propagation + driver pointer
+    jumping (functions/components.py); value-checked because the pair set
+    equals the exact all-pairs threshold set (see d_minhash_pairs) and
+    the component labeling is deterministic (min doc_id)."""
+    from ..functions.components import connected_components
+    from ..functions.dedup_docs import minhash_duplicate_pairs
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_duplicate_pairs(ds, threshold=0.6)
+    out = connected_components(pairs, "doc_a", "doc_b")
+    out = out.rename(columns={"node": "doc_id", "component": "cluster_id"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def d_simhash(sf_dir):
     """SimHash fingerprints over documents (rows-only)."""
     from ..functions.dedup_docs import simhash_documents
@@ -1735,6 +1752,7 @@ def build_queries() -> dict:
         "emb_near_dups": emb_near_dups,
         "d_analysis": d_analysis,
         "d_minhash_pairs": d_minhash_pairs,
+        "d_dup_clusters": d_dup_clusters,
         "d_simhash": d_simhash,
         "media_features": media_features,
     }
@@ -1927,6 +1945,38 @@ SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
        round(jac, 4) AS jaccard
 FROM j WHERE jac >= 0.6
 ORDER BY doc_a, doc_b
+""",
+        "d_dup_clusters": r"""
+WITH RECURSIVE
+d AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+  FROM documents
+),
+idx AS (SELECT CAST(i AS INT) AS i FROM generate_series(1, 4096) g(i)),
+sh AS (
+  SELECT DISTINCT doc_id, substr(t, i, 5) AS s
+  FROM d JOIN idx ON idx.i <= greatest(1, length(d.t) - 4)
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS isz
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+e AS (
+  SELECT doc_a AS a, doc_b AS b FROM inter
+  JOIN cnt ca ON ca.doc_id = inter.doc_a
+  JOIN cnt cb ON cb.doc_id = inter.doc_b
+  WHERE isz * 1.0 / (ca.n + cb.n - isz) >= 0.6
+),
+edges AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+walk(node, r) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT w.node, edges.b FROM walk w JOIN edges ON edges.a = w.r
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+FROM walk GROUP BY node ORDER BY doc_id
 """,
         "d_exact_dups": """
 SELECT text, count(*) AS n, min(doc_id) AS keep_doc_id

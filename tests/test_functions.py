@@ -740,6 +740,72 @@ def test_cube_rollup_grouping_sets():
         ("a", "b"), ("a",), ("b",), ()}
 
 
+# -------------------------- connected components --------------------------
+
+def _uf_components(edges):
+    """Pure-python union-find reference."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_connected_components_vs_union_find(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.components import connected_components
+
+    rng = np.random.default_rng(5)
+    # clustered random graph: nodes 0..999 in 50 latent groups + noise
+    a = rng.integers(0, 1000, 600)
+    b = (a // 20) * 20 + rng.integers(0, 20, 600)   # mostly intra-group
+    edges = list(zip(a.tolist(), b.tolist()))
+    df = pd.DataFrame({"a": a, "b": b})
+    got = connected_components(rd.from_pandas(df).repartition(5), "a", "b")
+    want = _uf_components(edges)
+    # canonical min-labels: union-find with min-root merging gives min ids
+    got_map = dict(zip(got["node"], got["component"]))
+    assert got_map == want
+
+
+def test_connected_components_long_chain(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.components import connected_components
+
+    # a 4000-node path: O(diameter) propagation alone would need 4000
+    # rounds — pointer jumping must converge way under max_iters=64
+    n = 4000
+    df = pd.DataFrame({"a": range(n - 1), "b": range(1, n)})
+    got = connected_components(rd.from_pandas(df).repartition(8), "a", "b")
+    assert (got["component"] == 0).all() and len(got) == n
+
+
+def test_connected_components_empty(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.components import connected_components
+
+    df = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                       "b": pd.Series([], dtype="int64")})
+    got = connected_components(rd.from_pandas(df), "a", "b")
+    assert len(got) == 0 and list(got.columns) == ["node", "component"]
+
+
 # ------------------------- grouped moments / corr -------------------------
 
 def test_grouped_corr_vs_numpy(ray_session):
