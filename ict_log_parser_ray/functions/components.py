@@ -79,8 +79,11 @@ def connected_components(edges_ds, a_col: str = "a", b_col: str = "b",
 
     # node table: per-block uniques → driver unique (bounded by the
     # dup-graph node count, the documented scale contract above)
+    # zero-row pass-through blocks can surface UNCONVERTED (pandas)
+    # from to_arrow_refs — they carry nothing, skip non-arrow blocks too
     blocks = [t for t in ray.get(edges.to_arrow_refs())
-              if "src" in t.schema.names and t.num_rows]
+              if isinstance(t, pa.Table) and "src" in t.schema.names
+              and t.num_rows]
     if not blocks:
         return pd.DataFrame({"node": pd.Series([], dtype="int64"),
                              "component": pd.Series([], dtype="int64")})
@@ -107,7 +110,7 @@ def connected_components(edges_ds, a_col: str = "a", b_col: str = "b",
         parts = [t for t in ray.get(
             edges.map_batches(step, batch_format="pyarrow",
                               zero_copy_batch=True).to_arrow_refs())
-            if "lbl_min" in t.schema.names]
+            if isinstance(t, pa.Table) and "lbl_min" in t.schema.names]
         inc = pa.concat_tables(parts)
         dst = inc["dst"].to_numpy(zero_copy_only=False)
         lbl = inc["lbl_min"].to_numpy(zero_copy_only=False)

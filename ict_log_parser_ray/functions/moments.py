@@ -68,7 +68,8 @@ def grouped_corr(ds, key: str, xcol: str, ycol: str,
     refs = ds.map_batches(
         lambda b: corr_partial_batch(b, key, xcol, ycol),
         batch_format="pyarrow", zero_copy_batch=True).to_arrow_refs()
-    parts = [t for t in ray.get(refs) if "count_all" in t.schema.names]
+    parts = [t for t in ray.get(refs)
+             if isinstance(t, pa.Table) and "count_all" in t.schema.names]
     df = pa.concat_tables(parts).to_pandas()
     sums = {c: f"{c}_sum" for c in _MOMS[1:]} | {"n": "count_all"}
     # object dtype → Python-int sums: EXACT regardless of magnitude

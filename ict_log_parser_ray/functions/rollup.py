@@ -53,7 +53,8 @@ def cube_aggregate(ds, keys: list[str], measures: list[str],
                           zero_copy_batch=True).to_arrow_refs()
     # zero-row input blocks skip the UDF and surface with the ORIGINAL
     # schema — they carry no partial columns and contribute nothing
-    parts = [t for t in ray.get(refs) if "count_all" in t.schema.names]
+    parts = [t for t in ray.get(refs)
+             if isinstance(t, pa.Table) and "count_all" in t.schema.names]
     df = pa.concat_tables(parts).to_pandas()
     finest = df.groupby(keys, as_index=False, dropna=False)[mcols].sum()
 

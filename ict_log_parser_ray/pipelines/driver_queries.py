@@ -1478,6 +1478,82 @@ def e_daily_active(sf_dir):
     return _i64(df, ["n_users"])
 
 
+def e_retention(sf_dir):
+    """Retention cohort matrix — distinct users active on day d from the
+    cohort whose FIRST active day is c.  Exact and partition-sound: the
+    stream reduces to distinct (user, day) pairs per batch (bounded by
+    pairs, not rows), pairs hash-partition by USER so each user's whole
+    history co-locates in exactly one task (first-day and the cohort
+    counts are per-user functions), and the per-partition (cohort, day)
+    counts are additive — the driver sums tiny matrices."""
+    import ray
+
+    ds = read_table(sf_dir, "events", columns=["ts", "user_id"])
+    nparts = 16
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.strftime(b["ts"], format="%Y-%m-%d")
+        t = pa.table({"user_id": b["user_id"], "day": day})
+        g = pa.TableGroupBy(t, ["user_id", "day"]).aggregate([])
+        u = g["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = ((u * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)) \
+            % np.uint64(nparts)
+        return g.append_column("part", pa.array(part.astype("int64")))
+
+    refs = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize().to_arrow_refs()
+
+    @ray.remote
+    def part_task(p, refs):
+        tbls = [t.filter(pc.equal(t["part"], p)).drop_columns(["part"])
+                for t in ray.get(refs) if "part" in t.schema.names]
+        t = pa.concat_tables(tbls)
+        if t.num_rows == 0:
+            return pa.table({"cohort_day": pa.array([], pa.string()),
+                             "active_day": pa.array([], pa.string()),
+                             "n_users": pa.array([], pa.int64())})
+        df = t.to_pandas().drop_duplicates(["user_id", "day"])
+        fd = df.groupby("user_id")["day"].min().rename("cohort_day")
+        df = df.join(fd, on="user_id")
+        c = df.groupby(["cohort_day", "day"], as_index=False).size()
+        return pa.table({"cohort_day": pa.array(c["cohort_day"], pa.string()),
+                         "active_day": pa.array(c["day"], pa.string()),
+                         "n_users": pa.array(c["size"].to_numpy(), pa.int64())})
+
+    parts = pa.concat_tables(ray.get(
+        [part_task.remote(p, refs) for p in range(nparts)]))
+    df = (parts.to_pandas()
+          .groupby(["cohort_day", "active_day"], as_index=False)["n_users"]
+          .sum())
+    return _i64(df, ["n_users"])
+
+
+def e_share(sf_dir):
+    """Percent-of-total window (per-day event-type share): exact int
+    count partials at (day, type), driver finish divides by the day
+    total.  Share is a scale-invariant ratio of exact ints, so round-6
+    reconciles with the SQL window-function oracle."""
+    import ray
+
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"day": pc.strftime(b["ts"], format="%Y-%m-%d"),
+                      "event_type": b["event_type"]})
+        return pa.TableGroupBy(t, ["day", "event_type"]).aggregate(
+            [([], "count_all")])
+
+    refs = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True).to_arrow_refs()
+    parts = [t for t in ray.get(refs) if "count_all" in t.schema.names]
+    df = (pa.concat_tables(parts).to_pandas()
+          .groupby(["day", "event_type"], as_index=False)["count_all"]
+          .sum().rename(columns={"count_all": "n"}))
+    tot = df.groupby("day")["n"].transform("sum")
+    df["share6"] = (df["n"] * 1.0 / tot).round(6)
+    return _i64(df, ["n"])
+
+
 def e_distinct_users_approx(sf_dir):
     """Approximate count-distinct via mergeable HyperLogLog (rows-only by
     design — approximate; the exact twin is e_daily_active and the pytest
@@ -1726,6 +1802,8 @@ def build_queries() -> dict:
         "q_anti_bloom": q_anti_bloom,
         "q_cube_revenue": q_cube_revenue,
         "e_value_corr": e_value_corr,
+        "e_retention": e_retention,
+        "e_share": e_share,
         "e_daily_active": e_daily_active,
         "e_distinct_users_approx": e_distinct_users_approx,
         "d_char_stats": d_char_stats,
@@ -1876,6 +1954,26 @@ SELECT event_type,
          AS corr6
 FROM events
 GROUP BY event_type
+""",
+        "e_retention": """
+WITH ad AS (
+  SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS active_day
+  FROM events
+), fd AS (
+  SELECT user_id, min(active_day) AS cohort_day FROM ad GROUP BY user_id
+)
+SELECT cohort_day, active_day, count(*) AS n_users
+FROM ad JOIN fd USING (user_id)
+GROUP BY 1, 2
+""",
+        "e_share": """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       count(*) AS n,
+       round(count(*) * 1.0 /
+             sum(count(*)) OVER (PARTITION BY strftime(ts, '%Y-%m-%d')), 6)
+         AS share6
+FROM events
+GROUP BY 1, 2
 """,
         "e_daily_active": """
 SELECT strftime(ts, '%Y-%m-%d') AS day,

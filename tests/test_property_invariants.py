@@ -215,3 +215,63 @@ def test_sessionize_property(ray_session, rows, gap):
         # per-key totals match the input
         n_u = (df["user_id"] == uid).sum()
         assert g["n_events"].sum() == n_u
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 40), st.integers(0, 40)),
+                min_size=0, max_size=120))
+def test_connected_components_property(ray_session, edges):
+    """Component labels are a fixpoint: every edge joins two nodes with
+    the SAME label, each label is the min node id of its component, and
+    labeling is idempotent under edge-order/partitioning changes."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.components import connected_components
+
+    df = pd.DataFrame({"a": [e[0] for e in edges],
+                       "b": [e[1] for e in edges]}, dtype="int64")
+    got = connected_components(rd.from_pandas(df).repartition(4), "a", "b")
+    lbl = dict(zip(got["node"], got["component"]))
+    for a, b in edges:
+        assert lbl[a] == lbl[b]
+    # each component's label is its min member
+    comp = {}
+    for n, c in lbl.items():
+        comp.setdefault(c, []).append(n)
+    for c, members in comp.items():
+        assert c == min(members)
+    # reversed edges, different partitioning → identical labeling
+    df2 = pd.DataFrame({"a": [e[1] for e in edges][::-1],
+                        "b": [e[0] for e in edges][::-1]}, dtype="int64")
+    got2 = connected_components(rd.from_pandas(df2).repartition(2), "a", "b")
+    assert dict(zip(got2["node"], got2["component"])) == lbl
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.tuples(st.sampled_from("xyz"), st.sampled_from("pq"),
+                          st.integers(-1000, 1000)),
+                min_size=1, max_size=200))
+def test_cube_level_consistency_property(ray_session, rows):
+    """CUBE levels are mutually consistent: every grouping set sums to
+    the same grand total, and each marginal equals the sum of the finest
+    cells it covers."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.rollup import cube_aggregate
+
+    df = pd.DataFrame(rows, columns=["a", "b", "m"])
+    out = cube_aggregate(rd.from_pandas(df).repartition(3),
+                         ["a", "b"], ["m"], mode="cube")
+    finest = out[out["a"].notna() & out["b"].notna()]
+    a_lvl = out[out["a"].notna() & out["b"].isna()]
+    b_lvl = out[out["a"].isna() & out["b"].notna()]
+    grand = out[out["a"].isna() & out["b"].isna()]
+    assert len(grand) == 1
+    for col in ("m", "n"):
+        assert finest[col].sum() == grand[col].iloc[0]
+        assert a_lvl[col].sum() == grand[col].iloc[0]
+        assert b_lvl[col].sum() == grand[col].iloc[0]
+    for a, g in finest.groupby("a"):
+        assert g["m"].sum() == a_lvl.set_index("a").loc[a, "m"]
