@@ -1376,6 +1376,47 @@ def q_anti_bloom(sf_dir):
     return _i64(df, ["sum_qty", "n_items"])
 
 
+def q_anti_bloom_big(sf_dir):
+    """The anti-join's big-right-side scale path (same result as
+    q_anti_bloom, same oracle): fully streaming — bloom misses flow to
+    the output inside the map task, bloom hits probe per-partition key
+    shards fetched on demand (worker-memoized, FIFO-capped), so neither
+    the key set nor the left side is ever broadcast or materialized."""
+    import ray
+
+    from ..stages.bloom import bloom_anti_join_partitioned
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_quantity", "l_returnflag"])
+
+    def urgent_keys(b: pa.Table) -> pa.Table:
+        m = pc.equal(b["o_orderpriority"], "1-URGENT")
+        return b.filter(m).select(["o_orderkey"])
+
+    urgent = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderpriority"]) \
+        .map_batches(urgent_keys, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    miss = bloom_anti_join_partitioned(li, urgent, "l_orderkey",
+                                       "o_orderkey", nparts=8)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"l_returnflag": b["l_returnflag"],
+                      "sum_qty": pc.cast(pc.round(b["l_quantity"]),
+                                         pa.int64())})
+        return pa.TableGroupBy(t, "l_returnflag").aggregate(
+            [("sum_qty", "sum"), ([], "count_all")])
+
+    parts = pa.concat_tables([t for t in ray.get(
+        miss.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True).to_arrow_refs())
+        if "count_all" in t.schema.names])
+    df = (parts.to_pandas().groupby("l_returnflag", as_index=False)
+          .agg(sum_qty=("sum_qty_sum", "sum"),
+               n_items=("count_all", "sum")))
+    return _i64(df, ["sum_qty", "n_items"])
+
+
 def q_cube_revenue(sf_dir):
     """GROUP BY CUBE (l_returnflag, l_linestatus): per-batch arrow
     partials at the FINEST grouping only; every coarser grouping set
@@ -1800,6 +1841,7 @@ def build_queries() -> dict:
         "q_priority_revenue": q_priority_revenue,
         "q_semi_bloom": q_semi_bloom,
         "q_anti_bloom": q_anti_bloom,
+        "q_anti_bloom_big": q_anti_bloom_big,
         "q_cube_revenue": q_cube_revenue,
         "e_value_corr": e_value_corr,
         "e_retention": e_retention,
@@ -1928,6 +1970,17 @@ WHERE l_orderkey IN (SELECT o_orderkey FROM orders
 GROUP BY l_returnflag
 """,
         "q_anti_bloom": """
+SELECT l_returnflag,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       count(*) AS n_items
+FROM lineitem l
+WHERE l_orderkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_orderpriority = '1-URGENT'
+                    AND o.o_orderkey = l.l_orderkey)
+GROUP BY l_returnflag
+""",
+        "q_anti_bloom_big": """
 SELECT l_returnflag,
        CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
        count(*) AS n_items

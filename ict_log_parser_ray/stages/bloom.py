@@ -198,6 +198,94 @@ def bloom_anti_join(left_ds, right_ds, left_on: str, right_on: str,
 
 
 @ray.remote
+def _shard_keys(p: int, key_refs, right_on: str):
+    """Distinct keys of hash-partition p from the tagged right blocks."""
+    ks = [t.filter(pc.equal(t["_part"], p))[right_on]
+          for t in ray.get(key_refs) if "_part" in t.schema.names]
+    ks = [k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k
+          for k in ks]
+    arrs = [c for k in ks for c in
+            (k.chunks if isinstance(k, pa.ChunkedArray) else [k]) if len(c)]
+    if not arrs:
+        return pa.array([], pa.int64())
+    return pc.unique(pa.concat_arrays(arrs))
+
+
+def bloom_anti_join_partitioned(left_ds, right_ds, left_on: str,
+                                right_on: str, nbits: int = 1 << 23,
+                                k: int = 5, nparts: int | None = None):
+    """Big-right-side anti-join that never broadcasts the key set AND
+    never materializes the left side: fully streaming.
+
+    The bloom's one-sided error means a MISS row is a definite absence —
+    it flows straight to the output inside the same map task.  Only the
+    (fp-bounded) bloom HITS need an exact membership check; their keys
+    are hash-routed to per-partition key SHARDS built once from the
+    right side, and each map task ``ray.get``s only the shards its
+    current batch's hits actually touch (worker-memoized khash per
+    shard, FIFO-capped residency).  Worker memory is bounded by shard
+    size × memo capacity, not key count; the output is a streaming
+    Dataset.  NOT EXISTS semantics as in `bloom_anti_join` (null left
+    keys drop)."""
+    from .join import lookup_indices
+
+    if nparts is None:
+        ncpu = int(ray.available_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+        nparts = max(4, min(ncpu, 32))
+
+    right_mat = right_ds.select_columns([right_on]).materialize()
+    bloom_ref = build_bloom_distributed(right_mat, right_on, nbits, k)
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        col = b[right_on]
+        if col.null_count:
+            b = b.filter(pc.is_valid(col))
+        return b.append_column("_part", _part_tag(b[right_on], nparts))
+
+    key_refs = right_mat.map_batches(
+        tag_right, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize().to_arrow_refs()
+    shard_refs = [_shard_keys.remote(p, key_refs, right_on)
+                  for p in range(nparts)]
+
+    def probe(b: pa.Table) -> pa.Table:
+        bits = ray.get(bloom_ref)
+        vals = b[left_on]
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        keys = vals.to_numpy(zero_copy_only=False).astype(np.uint64)
+        maybe = bloom_probe(keys, bits, nbits, k)
+        valid = np.ones(len(keys), dtype=bool) if not vals.null_count \
+            else pc.is_valid(vals).to_numpy(zero_copy_only=False)
+        keep = valid & ~maybe            # definite absences stream out
+        check = valid & maybe
+        if check.any():
+            sus_idx = np.flatnonzero(check)
+            sv = vals.take(pa.array(sus_idx, pa.int64()))
+            sp = (_mix(sv.to_numpy(zero_copy_only=False).astype(np.uint64),
+                       _M1) % np.uint64(nparts)).astype(np.int64)
+            for p in np.unique(sp):
+                # refs nested in the captured list are NOT auto-resolved;
+                # this get is a zero-copy plasma read, and lookup_indices
+                # memoizes the shard's khash per worker (FIFO-capped)
+                shard = ray.get(shard_refs[int(p)])
+                rows = sp == p
+                if len(shard) == 0:     # empty shard: every hit is a fp
+                    keep[sus_idx[rows]] = True
+                    continue
+                idx = lookup_indices(sv.take(pa.array(
+                    np.flatnonzero(rows), pa.int64())), shard,
+                    memo_token=shard_refs[int(p)].hex())
+                fp = pc.is_null(idx).to_numpy(zero_copy_only=False)
+                keep[sus_idx[rows][fp]] = True   # bloom fps stay
+        return b.filter(pa.array(keep))
+
+    return left_ds.map_batches(probe, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
+@ray.remote
 def _verify_part(p: int, surv_refs, key_refs, left_on: str, right_on: str):
     import pandas as pd
 

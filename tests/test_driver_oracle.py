@@ -64,7 +64,7 @@ ORACLE_NAMES = [
     "e_value_quantiles", "q_nation_revenue", "q_priority_revenue",
     "q_semi_bloom", "q_anti_bloom", "e_daily_active", "e_stratified_sample",
     "d_tfidf_top_terms", "q_cube_revenue", "e_value_corr",
-    "d_dup_clusters", "e_retention", "e_share",
+    "d_dup_clusters", "e_retention", "e_share", "q_anti_bloom_big",
 ]
 
 

@@ -685,6 +685,48 @@ def test_bloom_anti_join_exact_vs_isin(ray_session):
     assert np.isclose(got["v"].sum(), want["v"].sum())
 
 
+def test_bloom_anti_join_partitioned_equals_broadcast(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ict_log_parser_ray.stages.bloom import (bloom_anti_join,
+                                                 bloom_anti_join_partitioned)
+
+    rng = np.random.default_rng(6)
+    left = pa.table({"k": pa.array(rng.integers(0, 800, 15000), pa.int64()),
+                     "v": pa.array(rng.normal(size=15000))})
+    # dup + null right keys
+    rk = rng.integers(0, 800, 400).astype(object)
+    rk[::17] = None
+    right = pa.table({"rk": pa.array(list(rk), pa.int64())})
+    kw = dict(nbits=1 << 10, k=2)   # dense fps exercise the shard probes
+    a = bloom_anti_join(rd.from_arrow(left).repartition(6),
+                        rd.from_arrow(right).repartition(3),
+                        "k", "rk", **kw).to_pandas()
+    b = bloom_anti_join_partitioned(rd.from_arrow(left).repartition(6),
+                                    rd.from_arrow(right).repartition(3),
+                                    "k", "rk", nparts=5, **kw).to_pandas()
+    assert sorted(a["k"]) == sorted(b["k"])
+    assert np.isclose(a["v"].sum(), b["v"].sum())
+    want = left.to_pandas()[~left.to_pandas()["k"].isin(
+        [x for x in rk if x is not None])]
+    assert sorted(b["k"]) == sorted(want["k"])
+
+
+def test_bloom_anti_join_partitioned_empty_right(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ict_log_parser_ray.stages.bloom import bloom_anti_join_partitioned
+
+    left = rd.from_arrow(pa.table({"k": pa.array([1, 2, None], pa.int64())}))
+    right = rd.from_arrow(pa.table({"rk": pa.array([], pa.int64())}))
+    got = bloom_anti_join_partitioned(left, right, "k", "rk",
+                                      nparts=4).to_pandas()
+    assert sorted(got["k"]) == [1, 2]   # nulls drop, everything else kept
+
+
 def test_bloom_anti_join_nulls_both_sides(ray_session):
     import pyarrow as pa
     import ray.data as rd
