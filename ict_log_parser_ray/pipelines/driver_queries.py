@@ -1595,6 +1595,39 @@ def e_share(sf_dir):
     return _i64(df, ["n"])
 
 
+def e_props_extract(sf_dir):
+    """Semi-structured JSON field extraction + rollup: pull ``$.k`` out
+    of the free-form props column with a VECTORIZED JSONPath evaluator
+    (polars, Rust — no Python row loop; functions/json_ops.py), then the
+    usual exact per-batch partials.  Null/malformed props yield null and
+    drop from the sums, matching SQL json_extract semantics."""
+    import ray
+
+    from ..functions.json_ops import json_int_field
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = json_int_field(b["props"], "$.k")
+        hi = pc.cast(pc.fill_null(pc.greater_equal(k, 50), False),
+                     pa.int64())
+        t = pa.table({"event_type": b["event_type"],
+                      "sum_k": pc.fill_null(k, 0), "n_hi": hi,
+                      "n_k": pc.cast(pc.is_valid(k), pa.int64())})
+        return pa.TableGroupBy(t, "event_type").aggregate(
+            [("sum_k", "sum"), ("n_hi", "sum"), ("n_k", "sum")])
+
+    refs = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True).to_arrow_refs()
+    parts = [t for t in ray.get(refs)
+             if isinstance(t, pa.Table) and "sum_k_sum" in t.schema.names]
+    df = (pa.concat_tables(parts).to_pandas()
+          .groupby("event_type", as_index=False)
+          .agg(sum_k=("sum_k_sum", "sum"), n_hi=("n_hi_sum", "sum"),
+               n_k=("n_k_sum", "sum")))
+    return _i64(df, ["sum_k", "n_hi", "n_k"])
+
+
 def e_distinct_users_approx(sf_dir):
     """Approximate count-distinct via mergeable HyperLogLog (rows-only by
     design — approximate; the exact twin is e_daily_active and the pytest
@@ -1846,6 +1879,7 @@ def build_queries() -> dict:
         "e_value_corr": e_value_corr,
         "e_retention": e_retention,
         "e_share": e_share,
+        "e_props_extract": e_props_extract,
         "e_daily_active": e_daily_active,
         "e_distinct_users_approx": e_distinct_users_approx,
         "d_char_stats": d_char_stats,
@@ -2027,6 +2061,16 @@ SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
          AS share6
 FROM events
 GROUP BY 1, 2
+""",
+        "e_props_extract": """
+SELECT event_type,
+       CAST(coalesce(sum(CAST(json_extract_string(props, '$.k')
+                              AS BIGINT)), 0) AS BIGINT) AS sum_k,
+       count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       >= 50 THEN 1 END) AS n_hi,
+       count(json_extract_string(props, '$.k')) AS n_k
+FROM events
+GROUP BY event_type
 """,
         "e_daily_active": """
 SELECT strftime(ts, '%Y-%m-%d') AS day,

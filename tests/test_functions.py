@@ -743,6 +743,32 @@ def test_bloom_anti_join_nulls_both_sides(ray_session):
     assert sorted(got["k"]) == [7, 9]
 
 
+# ----------------------------- json extraction ----------------------------
+
+def test_json_field_extraction():
+    import pyarrow as pa
+
+    from ict_log_parser_ray.functions.json_ops import (json_field,
+                                                       json_int_field)
+
+    arr = pa.array(['{"k": 69}', '{"k": -7}', None, 'not json',
+                    '{"other": 1}', '{"k": "text"}', '{"k": 3.5}'])
+    s = json_field(arr, "$.k")
+    assert s.to_pylist() == ["69", "-7", None, None, None, "text", "3.5"]
+    i = json_int_field(arr, "$.k")
+    # non-integer matches null out, never raise
+    assert i.to_pylist() == [69, -7, None, None, None, None, None]
+
+
+def test_json_int_field_all_numeric_fast_path():
+    import pyarrow as pa
+
+    from ict_log_parser_ray.functions.json_ops import json_int_field
+
+    arr = pa.array(['{"k": %d}' % i for i in range(100)])
+    assert json_int_field(arr, "$.k").to_pylist() == list(range(100))
+
+
 # --------------------------- cube / rollup --------------------------------
 
 def test_cube_aggregate_vs_duckdb(ray_session):
