@@ -1628,6 +1628,18 @@ def e_props_extract(sf_dir):
     return _i64(df, ["sum_k", "n_hi", "n_k"])
 
 
+def emb_kmeans(sf_dir):
+    """Distributed full-data k-means over the embeddings table (rows-only
+    by design — iterative + seeded, no SQL twin; functions/kmeans.py).
+    Each Lloyd round is one streaming pass emitting O(k·d) sufficient
+    statistics per batch.  Returns the deterministic cluster sizes."""
+    from ..functions.kmeans import kmeans_cluster_sizes, kmeans_fit
+
+    ds = read_table(sf_dir, "embeddings")
+    cent = kmeans_fit(ds, k=8, iters=10)
+    return kmeans_cluster_sizes(ds, cent)
+
+
 def e_distinct_users_approx(sf_dir):
     """Approximate count-distinct via mergeable HyperLogLog (rows-only by
     design — approximate; the exact twin is e_daily_active and the pytest
@@ -1880,6 +1892,7 @@ def build_queries() -> dict:
         "e_retention": e_retention,
         "e_share": e_share,
         "e_props_extract": e_props_extract,
+        "emb_kmeans": emb_kmeans,
         "e_daily_active": e_daily_active,
         "e_distinct_users_approx": e_distinct_users_approx,
         "d_char_stats": d_char_stats,

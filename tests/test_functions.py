@@ -743,6 +743,52 @@ def test_bloom_anti_join_nulls_both_sides(ray_session):
     assert sorted(got["k"]) == [7, 9]
 
 
+# ------------------------------ k-means -----------------------------------
+
+def test_kmeans_recovers_planted_blobs(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.kmeans import (kmeans_cluster_sizes,
+                                                     kmeans_fit)
+
+    rng = np.random.default_rng(7)
+    k, d, per = 4, 8, 500
+    means = rng.normal(size=(k, d)) * 20          # well-separated blobs
+    pts = np.concatenate([means[i] + rng.normal(size=(per, d)) * 0.5
+                          for i in range(k)])
+    order = rng.permutation(len(pts))
+    df = pd.DataFrame({"embedding": [row.astype(np.float32)
+                                     for row in pts[order]]})
+    ds = rd.from_pandas(df).repartition(6)
+    cent = kmeans_fit(ds, k=k, iters=25, init_sample_rows=2000, seed=1)
+    # every true mean is within 0.3 of exactly one learned centroid
+    dist = np.sqrt(((means[:, None, :] - cent[None, :, :]) ** 2).sum(-1))
+    match = dist.argmin(axis=1)
+    assert sorted(match) == list(range(k))
+    assert (dist.min(axis=1) < 0.3).all()
+    sizes = kmeans_cluster_sizes(ds, cent)
+    assert sorted(sizes["n"]) == [per] * k        # perfect recovery
+
+
+def test_kmeans_deterministic_across_partitionings(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.kmeans import kmeans_fit
+
+    rng = np.random.default_rng(8)
+    df = pd.DataFrame({"embedding": [r.astype(np.float32)
+                                     for r in rng.normal(size=(600, 5))]})
+    # identical limit() head + seed → identical init; assignment partials
+    # are summed per-cluster so centroids agree to float tolerance
+    c1 = kmeans_fit(rd.from_pandas(df).repartition(3), k=3, iters=5, seed=2)
+    c2 = kmeans_fit(rd.from_pandas(df).repartition(7), k=3, iters=5, seed=2)
+    assert np.allclose(c1, c2, atol=1e-8)
+
+
 # ----------------------------- json extraction ----------------------------
 
 def test_json_field_extraction():
