@@ -45,6 +45,18 @@ def _pipe(sf_dir: str):
     return _PIPE_CACHE[sf]
 
 
+def _agg_nparts() -> int:
+    """Partition count for pair-partitioned exact aggregates: CPU-
+    proportional with a floor — each partition task's shard must stay
+    memory-bounded at scale, and more partitions than CPUs is fine (they
+    queue), so err upward on a big cluster."""
+    import ray as _ray
+
+    ncpu = int(_ray.available_resources().get("CPU", 8)) \
+        if _ray.is_initialized() else 8
+    return max(16, min(2 * ncpu, 256))
+
+
 def _i64(df: pd.DataFrame, cols) -> pd.DataFrame:
     for c in cols:
         df[c] = df[c].astype("int64")
@@ -1484,6 +1496,7 @@ def e_daily_active(sf_dir):
     import ray
 
     ds = read_table(sf_dir, "events", columns=["ts", "user_id"])
+    nparts = _agg_nparts()
 
     def partial(b: pa.Table) -> pa.Table:
         day = pc.strftime(b["ts"], format="%Y-%m-%d")
@@ -1491,7 +1504,7 @@ def e_daily_active(sf_dir):
         g = pa.TableGroupBy(t, ["day", "user_id"]).aggregate([])
         kh = pd.util.hash_pandas_object(
             g.to_pandas()[["day", "user_id"]], index=False).to_numpy()
-        part = (kh % np.uint64(16)).astype("int64")
+        part = (kh % np.uint64(nparts)).astype("int64")
         return g.append_column("part", pa.array(part))
 
     narrow = ds.map_batches(partial, batch_format="pyarrow",
@@ -1513,7 +1526,7 @@ def e_daily_active(sf_dir):
                                              pa.int64())})
 
     parts = pa.concat_tables(ray.get(
-        [count_part.remote(p, refs) for p in range(16)]))
+        [count_part.remote(p, refs) for p in range(nparts)]))
     df = (parts.to_pandas().groupby("day", as_index=False)["n_users"]
           .sum())
     return _i64(df, ["n_users"])
@@ -1530,7 +1543,7 @@ def e_retention(sf_dir):
     import ray
 
     ds = read_table(sf_dir, "events", columns=["ts", "user_id"])
-    nparts = 16
+    nparts = _agg_nparts()
 
     def partial(b: pa.Table) -> pa.Table:
         day = pc.strftime(b["ts"], format="%Y-%m-%d")
