@@ -83,5 +83,12 @@ def grouped_corr(ds, key: str, xcol: str, ycol: str,
         key: fin[key],
         "n": fin["count_all"].astype("int64"),
         f"corr{digits}": pd.array(
-            [math.nan if c is None else round(c, digits) for c in corr],
-            dtype="float64")})
+            [math.nan if c is None else _round_half_away(c, digits)
+             for c in corr], dtype="float64")})
+
+
+def _round_half_away(x: float, digits: int) -> float:
+    """SQL round() semantics (half away from zero); Python's round is
+    half-even and would flip an exact .5 boundary vs a SQL oracle."""
+    s = 10.0 ** digits
+    return math.copysign(math.floor(abs(x) * s + 0.5), x) / s

@@ -1604,7 +1604,9 @@ def e_share(sf_dir):
           .groupby(["day", "event_type"], as_index=False)["count_all"]
           .sum().rename(columns={"count_all": "n"}))
     tot = df.groupby("day")["n"].transform("sum")
-    df["share6"] = (df["n"] * 1.0 / tot).round(6)
+    # half-AWAY rounding to match SQL round() (pandas .round is half-even
+    # — an exact x.5e-6 share would flip between the engines otherwise)
+    df["share6"] = np.floor(df["n"] * 1.0 / tot * 1e6 + 0.5) / 1e6
     return _i64(df, ["n"])
 
 

@@ -209,6 +209,14 @@ def _attempt_reports_task(*rank_parts) -> dict:
         pa.concat_tables(rank_parts).combine_chunks())
 
 
+def _sink_compression() -> str:
+    """Sink parquet codec: lz4 (default; 45% less encode CPU than snappy
+    at equal size) or none via ICT_SINK_COMPRESSION — an A/B knob for
+    separating encode CPU from write bandwidth in scaling experiments
+    (read at call time inside workers, so env_vars reach them)."""
+    return os.environ.get("ICT_SINK_COMPRESSION", "lz4")
+
+
 def _route_write(sb: pa.Table, out_dir: str) -> None:
     """Write one routed batch's per-sink parquet files (side effect;
     content-derived idempotent file names).
@@ -228,8 +236,8 @@ def _route_write(sb: pa.Table, out_dir: str) -> None:
         # lz4 + no dictionary + no column stats: measured 149 vs 268 ms per
         # 262k-row sink batch at equal size — sink files are bulk-scanned
         # (resume/export), not point-filtered, so stats buy nothing here
-        pq.write_table(part, fn, compression="lz4", use_dictionary=False,
-                       write_statistics=False)
+        pq.write_table(part, fn, compression=_sink_compression(),
+                       use_dictionary=False, write_statistics=False)
 
 
 @ray.remote(num_cpus=0)
@@ -422,8 +430,10 @@ def run_streaming(transcripts_path, tool_meta: pa.Table | None, out_dir: str,
                 fn = os.path.join(out_dir, f"sink={s}",
                                   _sink_part_name(part))
                 _lap("w_name")
-                pq.write_table(part, fn, compression="lz4",
-                               use_dictionary=False, write_statistics=False)
+                pq.write_table(part, fn,
+                               compression=_sink_compression(),
+                               use_dictionary=False,
+                               write_statistics=False)
                 _lap("w_io")
         _lap("write")
         narrow = b.select(_NARROW).append_column("sink", sink_arr)
