@@ -62,7 +62,12 @@ def grouped_corr(ds, key: str, xcol: str, ycol: str,
                  digits: int = 6) -> pd.DataFrame:
     """corr(x, y) per ``key`` group → (key, n, corr6) with corr rounded
     to ``digits``; groups where corr is undefined get NULL (SQL twin:
-    round(corr(x, y), digits))."""
+    round(corr(x, y), digits)).
+
+    Contract edge: a group whose pairs are ALL null is omitted entirely
+    (its rows never reach a partial), while SQL GROUP BY would emit
+    (group, 0, NULL) — callers joining against a null-heavy column
+    should outer-attach the group universe if they need those rows."""
     import ray
 
     refs = ds.map_batches(
