@@ -1758,6 +1758,35 @@ def d_dup_clusters(sf_dir):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def d_dedup_keep(sf_dir):
+    """The end-to-end near-dup DEDUP deliverable: the keep-list.  Pairs →
+    connected components → drop every non-canonical cluster member (keep
+    the min doc_id per component) → stream the corpus through a broadcast
+    drop-set filter.  The drop set is bounded by dup-cluster size (tiny
+    vs corpus), so the final pass is a constant-size broadcast filter —
+    the shape that holds at 100 TB."""
+    import ray
+
+    from ..functions.components import connected_components
+    from ..functions.dedup_docs import minhash_duplicate_pairs
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_duplicate_pairs(ds, threshold=0.6)
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    drop = comp.loc[comp["node"] != comp["component"], "node"].to_numpy()
+    drop_ref = ray.put(pa.array(np.sort(drop), pa.int64()))
+
+    def keep(b: pa.Table) -> pa.Table:
+        m = pc.invert(pc.is_in(b["doc_id"], value_set=ray.get(drop_ref)))
+        return pa.table({"doc_id": pc.cast(b.filter(m)["doc_id"],
+                                           pa.int64())})
+
+    ids = read_table(sf_dir, "documents", columns=["doc_id"])
+    out = ids.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def d_simhash(sf_dir):
     """SimHash fingerprints over documents (rows-only)."""
     from ..functions.dedup_docs import simhash_documents
@@ -1935,6 +1964,7 @@ def build_queries() -> dict:
         "d_analysis": d_analysis,
         "d_minhash_pairs": d_minhash_pairs,
         "d_dup_clusters": d_dup_clusters,
+        "d_dedup_keep": d_dedup_keep,
         "d_simhash": d_simhash,
         "media_features": media_features,
     }
@@ -2200,6 +2230,40 @@ walk(node, r) AS (
 )
 SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
 FROM walk GROUP BY node ORDER BY doc_id
+""",
+        "d_dedup_keep": r"""
+WITH RECURSIVE
+d AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+  FROM documents
+),
+idx AS (SELECT CAST(i AS INT) AS i FROM generate_series(1, 4096) g(i)),
+sh AS (
+  SELECT DISTINCT doc_id, substr(t, i, 5) AS s
+  FROM d JOIN idx ON idx.i <= greatest(1, length(d.t) - 4)
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS isz
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+e AS (
+  SELECT doc_a AS a, doc_b AS b FROM inter
+  JOIN cnt ca ON ca.doc_id = inter.doc_a
+  JOIN cnt cb ON cb.doc_id = inter.doc_b
+  WHERE isz * 1.0 / (ca.n + cb.n - isz) >= 0.6
+),
+edges AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+walk(node, r) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT w.node, edges.b FROM walk w JOIN edges ON edges.a = w.r
+),
+comp AS (SELECT node, min(r) AS cluster_id FROM walk GROUP BY node)
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> cluster_id)
+ORDER BY doc_id
 """,
         "d_exact_dups": """
 SELECT text, count(*) AS n, min(doc_id) AS keep_doc_id
