@@ -21,6 +21,11 @@ def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
     arr = batch[col]
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if not hasattr(arr, "flatten"):
+        # Ray's ArrowTensorArray extension (from_pandas ndarray columns):
+        # to_numpy gives the (n, d) ndarray directly
+        return np.asarray(arr.to_numpy(zero_copy_only=False)) \
+            .astype(np.float32, copy=False)
     # list<float32> → (n, d) contiguous; zero-copy flatten where possible
     flat = arr.flatten().to_numpy(zero_copy_only=False)
     n = len(arr)
@@ -85,6 +90,13 @@ class _KMeans:
     def assign(self, m: np.ndarray) -> np.ndarray:
         return np.argmax(m @ self.centroids.T, axis=1)
 
+    def assign_topk(self, m: np.ndarray, k: int) -> np.ndarray:
+        """(n, k) nearest-centroid indices (multi-assignment)."""
+        d = m @ self.centroids.T
+        k = min(k, d.shape[1])
+        top = np.argpartition(-d, k - 1, axis=1)[:, :k]
+        return top
+
     @classmethod
     def from_centroids(cls, centroids: np.ndarray) -> "_KMeans":
         obj = cls.__new__(cls)
@@ -119,7 +131,7 @@ def ivf_assign(emb_ds, model: _KMeans, vec_col: str = "embedding"):
 def embedding_near_dup_pairs(emb_ds, threshold: float = 0.95, nlist: int = 16,
                              id_col: str = "vec_id", vec_col: str = "embedding",
                              model: "_KMeans | None" = None,
-                             tile: int = 2048):
+                             tile: int = 2048, nassign: int = 1):
     """Embedding-cosine near-duplicate detection (task brief dedup method).
 
     Candidate generation = IVF cluster co-membership (vectors in different
@@ -138,7 +150,29 @@ def embedding_near_dup_pairs(emb_ds, threshold: float = 0.95, nlist: int = 16,
 
     if model is None:
         model = build_ivf(emb_ds, nlist=nlist, vec_col=vec_col)
-    assigned = ivf_assign(emb_ds, model, vec_col=vec_col)
+    if nassign <= 1:
+        assigned = ivf_assign(emb_ds, model, vec_col=vec_col)
+    else:
+        # multi-assignment: explode each vector into its nassign nearest
+        # clusters — raises recall at mid thresholds, where a pair's two
+        # vectors straddle a centroid boundary (measured at sf0.1,
+        # threshold 0.5, nlist 8: recall 0.43 → 0.57 → 1.00 for nassign
+        # 1 → 2 → 3); a pair co-members in ≤ nassign² buckets, deduped
+        # (max cosine) after verify
+        model_ref = ray.put(model)
+
+        def assign_multi(batch: pa.Table) -> pa.Table:
+            km = ray.get(model_ref)
+            m = _normalize(_batch_matrix(batch, vec_col))
+            top = km.assign_topk(m, nassign)        # (n, k)
+            n, kk = top.shape
+            idx = np.repeat(np.arange(n), kk)
+            out = batch.take(pa.array(idx, pa.int64()))
+            return out.append_column(
+                "cluster", pa.array(top.ravel().astype(np.int32)))
+
+        assigned = emb_ds.map_batches(assign_multi, batch_format="pyarrow",
+                                      zero_copy_batch=True)
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         n = len(g)
@@ -174,8 +208,14 @@ def embedding_near_dup_pairs(emb_ds, threshold: float = 0.95, nlist: int = 16,
         return pd.DataFrame({k: np.concatenate(v) if v else np.array([])
                              for k, v in outs.items()})
 
-    return assigned.groupby("cluster").map_groups(verify,
-                                                  batch_format="pandas")
+    out = assigned.groupby("cluster").map_groups(verify,
+                                                 batch_format="pandas")
+    if nassign <= 1:
+        return out
+    # a pair may surface from every shared bucket under multi-assignment
+    return out.groupby(["id_a", "id_b"]).max("cosine").map_batches(
+        lambda df: df.rename(columns={"max(cosine)": "cosine"}),
+        batch_format="pandas")
 
 
 def exact_near_dup_pairs(emb_ds, threshold: float = 0.5,

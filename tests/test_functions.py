@@ -743,6 +743,42 @@ def test_bloom_anti_join_nulls_both_sides(ray_session):
     assert sorted(got["k"]) == [7, 9]
 
 
+def test_embedding_near_dup_multi_assign_recall(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.similarity import (
+        embedding_near_dup_pairs, exact_near_dup_pairs)
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(400, 16)).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # plant 12 mid-similarity pairs (cosine ~0.8): id 400+i pairs with i
+    planted = []
+    for i in range(12):
+        v = base[i] + rng.normal(size=16).astype(np.float32) * 0.45
+        planted.append(v / np.linalg.norm(v))
+    vecs = np.concatenate([base, np.stack(planted)])
+    df = pd.DataFrame({"vec_id": np.arange(len(vecs), dtype=np.int64),
+                       "embedding": [v for v in vecs]})
+    mk = lambda: rd.from_pandas(df).repartition(4)
+    ex = exact_near_dup_pairs(mk(), threshold=0.6).to_pandas()
+    ex_set = set(zip(ex["id_a"], ex["id_b"]))
+    assert len(ex_set) >= 10          # planting worked
+    a1 = embedding_near_dup_pairs(mk(), threshold=0.6, nlist=8,
+                                  nassign=1).to_pandas()
+    a3 = embedding_near_dup_pairs(mk(), threshold=0.6, nlist=8,
+                                  nassign=3).to_pandas()
+    s1 = set(zip(a1["id_a"], a1["id_b"])) if len(a1) else set()
+    s3 = set(zip(a3["id_a"], a3["id_b"])) if len(a3) else set()
+    # approx is always a SUBSET of exact (verification is exact cosine)
+    assert s1 <= ex_set and s3 <= ex_set
+    # multi-assignment never loses pairs and strictly helps here
+    assert s1 <= s3
+    assert len(s3) > len(s1)
+
+
 # ------------------------------ k-means -----------------------------------
 
 def test_kmeans_recovers_planted_blobs(ray_session):
