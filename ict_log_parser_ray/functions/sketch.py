@@ -176,3 +176,85 @@ def approx_quantiles(ds, column: str, qs: dict[str, float],
     sk = dd_merge(pickle.loads(blob)
                   for t in parts for blob in t["sk"].to_pylist())
     return {name: dd_quantile(sk, q, alpha) for name, q in qs.items()}
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters — the mergeable approximate top-k sketch
+# (public algorithm: Misra & Gries '82; mergeability per Agarwal et al.,
+# "Mergeable Summaries", PODS'12).  Completes the sketch family next to
+# HLL (count-distinct) and the DDSketch-style quantiles: fixed m-entry
+# summaries per batch, sum-merge + compress, and every reported count is
+# within n/m of truth — any item with true count > n/m is GUARANTEED to
+# survive.  Exact twin: functions/vocab.py::top_tokens.
+# ---------------------------------------------------------------------------
+
+def mg_compress(counts: dict, m: int) -> tuple[dict, int]:
+    """Shrink to ≤ m entries: subtract the (m+1)-th largest count from
+    every entry and drop non-positives.  Returns (summary, decrement) —
+    the decrement accumulates into the sketch's error bound."""
+    if len(counts) <= m:
+        return counts, 0
+    vals = sorted(counts.values(), reverse=True)
+    d = vals[m]
+    out = {k: c - d for k, c in counts.items() if c > d}
+    return out, d
+
+
+def mg_partial(tokens, m: int) -> tuple[dict, int]:
+    """One batch → (m-entry summary, decrement).  Batch counts are exact
+    before compression, so per-batch error is a single compress step."""
+    from collections import Counter
+
+    return mg_compress(dict(Counter(tokens)), m)
+
+
+def mg_merge(parts, m: int) -> tuple[dict, int]:
+    """Sum-merge summaries then compress once; total decrement ≤ n/m
+    summed over merges (associative up to equivalent summaries — the
+    BOUND holds for any merge tree, the canonical mergeable-summary
+    property)."""
+    total: dict = {}
+    err = 0
+    for counts, d in parts:
+        err += d
+        for k, c in counts.items():
+            total[k] = total.get(k, 0) + c
+    total, d = mg_compress(total, m)
+    return total, err + d
+
+
+def top_tokens_approx(ds, text_col: str, k: int = 20, m: int = 512):
+    """Approximate global top-k whitespace tokens: per-batch Misra-Gries
+    partials (fixed m entries each, never a token-universe shuffle), one
+    driver merge.  Returns (token, est, err) pandas — true count is in
+    [est, est + err] for every reported token, and any token with true
+    count > n/m is guaranteed present.  Approximate by design →
+    rows-only; d_top_tokens is the exact twin."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        toks = df[text_col].fillna("").str.split().explode().dropna()
+        counts, d = mg_partial(toks.tolist(), m)
+        return pa.table({
+            "token": pa.array(list(counts.keys()), pa.string()),
+            "n": pa.array(list(counts.values()), pa.int64()),
+            "dec": pa.array([d] + [0] * (len(counts) - 1) if counts
+                            else [], pa.int64())})
+
+    refs = ds.map_batches(partial, batch_format="pandas").to_arrow_refs()
+    parts = []
+    for t in ray.get(refs):
+        if not isinstance(t, pa.Table) or "token" not in t.schema.names:
+            continue
+        counts = dict(zip(t["token"].to_pylist(), t["n"].to_pylist()))
+        dec = int(t["dec"].to_numpy(zero_copy_only=False).sum()) \
+            if t.num_rows else 0
+        parts.append((counts, dec))
+    summary, err = mg_merge(parts, m)
+    top = sorted(summary.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return pd.DataFrame({
+        "token": [t for t, _ in top],
+        "est": pd.array([c for _, c in top], dtype="int64"),
+        "err": pd.array([err] * len(top), dtype="int64")})

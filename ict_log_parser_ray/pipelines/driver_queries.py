@@ -1659,6 +1659,18 @@ def emb_kmeans(sf_dir):
     return kmeans_cluster_sizes(ds, cent)
 
 
+def d_top_tokens_approx(sf_dir):
+    """Approximate heavy hitters via mergeable Misra-Gries summaries
+    (rows-only by design — approximate; the exact twin is d_top_tokens
+    and the pytest asserts the n/m error bound + guaranteed-survivor
+    property against it).  Fixed m-entry partials per batch — never a
+    token-universe shuffle."""
+    from ..functions.sketch import top_tokens_approx
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    return top_tokens_approx(ds, "text", k=20, m=512)
+
+
 def e_distinct_users_approx(sf_dir):
     """Approximate count-distinct via mergeable HyperLogLog (rows-only by
     design — approximate; the exact twin is e_daily_active and the pytest
@@ -1941,6 +1953,7 @@ def build_queries() -> dict:
         "e_share": e_share,
         "e_props_extract": e_props_extract,
         "emb_kmeans": emb_kmeans,
+        "d_top_tokens_approx": d_top_tokens_approx,
         "e_daily_active": e_daily_active,
         "e_distinct_users_approx": e_distinct_users_approx,
         "d_char_stats": d_char_stats,

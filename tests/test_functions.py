@@ -743,6 +743,52 @@ def test_bloom_anti_join_nulls_both_sides(ray_session):
     assert sorted(got["k"]) == [7, 9]
 
 
+def test_misra_gries_bound_and_merge():
+    from collections import Counter
+
+    import numpy as np
+
+    from ict_log_parser_ray.functions.sketch import (mg_compress, mg_merge,
+                                                     mg_partial)
+
+    rng = np.random.default_rng(12)
+    # zipf-ish stream: few heavy tokens + long tail
+    toks = [f"t{int(x)}" for x in rng.zipf(1.5, 20_000) if x < 10_000]
+    m = 64
+    true = Counter(toks)
+    n = len(toks)
+    # split into 7 "batches", build partials, merge
+    chunks = np.array_split(np.array(toks), 7)
+    parts = [mg_partial(list(c), m) for c in chunks]
+    summary, err = mg_merge(parts, m)
+    assert err <= n // m + len(parts) * (n // m)   # loose sanity ceiling
+    for tok, est in summary.items():
+        assert est <= true[tok] <= est + err       # the MG guarantee
+    # any token with true count > n/m must be present
+    for tok, c in true.items():
+        if c > n / m * 2:                          # comfortably heavy
+            assert tok in summary, tok
+
+
+def test_top_tokens_approx_vs_exact(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.sketch import top_tokens_approx
+    from ict_log_parser_ray.functions.vocab import top_tokens
+
+    rows = (["alpha beta common"] * 50 + ["beta common"] * 30 +
+            [f"rare{i} common" for i in range(40)])
+    df = pd.DataFrame({"text": rows})
+    exact = top_tokens(rd.from_pandas(df).repartition(5), "text", k=5)
+    approx = top_tokens_approx(rd.from_pandas(df).repartition(5), "text",
+                               k=5, m=256)
+    # m >> distinct tokens → zero compression → exact counts, same order
+    assert list(approx["token"]) == list(exact["token"])
+    assert list(approx["est"]) == list(exact["n"])
+    assert (approx["err"] == 0).all()
+
+
 def test_embedding_near_dup_multi_assign_recall(ray_session):
     import numpy as np
     import pandas as pd
