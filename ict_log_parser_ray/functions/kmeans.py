@@ -108,6 +108,10 @@ def kmeans_cluster_sizes(ds, centroids: np.ndarray,
         ds.map_batches(count, batch_format="pyarrow",
                        zero_copy_batch=True).to_arrow_refs())
         if isinstance(t, pa.Table) and "cluster" in t.schema.names]
+    if not parts:   # fully empty input: every cluster has zero members
+        return pd.DataFrame({
+            "cluster": pd.array(range(len(centroids)), dtype="int32"),
+            "n": pd.array([0] * len(centroids), dtype="int64")})
     df = (pa.concat_tables(parts).to_pandas()
           .groupby("cluster", as_index=False)["n"].sum())
     df["n"] = df["n"].astype("int64")

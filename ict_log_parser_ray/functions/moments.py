@@ -75,6 +75,11 @@ def grouped_corr(ds, key: str, xcol: str, ycol: str,
         batch_format="pyarrow", zero_copy_batch=True).to_arrow_refs()
     parts = [t for t in ray.get(refs)
              if isinstance(t, pa.Table) and "count_all" in t.schema.names]
+    if not parts:   # fully empty / all-null input: no groups
+        return pd.DataFrame({key: pd.Series([], dtype="object"),
+                             "n": pd.Series([], dtype="int64"),
+                             f"corr{digits}": pd.Series([],
+                                                        dtype="float64")})
     df = pa.concat_tables(parts).to_pandas()
     sums = {c: f"{c}_sum" for c in _MOMS[1:]} | {"n": "count_all"}
     # object dtype → Python-int sums: EXACT regardless of magnitude

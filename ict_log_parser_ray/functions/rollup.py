@@ -55,6 +55,11 @@ def cube_aggregate(ds, keys: list[str], measures: list[str],
     # schema — they carry no partial columns and contribute nothing
     parts = [t for t in ray.get(refs)
              if isinstance(t, pa.Table) and "count_all" in t.schema.names]
+    if not parts:   # fully empty input: emit only the all-NULL grand total
+        return pd.DataFrame({**{k: [None] for k in keys},
+                             **{m: pd.array([0], dtype="int64")
+                                for m in measures},
+                             "n": pd.array([0], dtype="int64")})
     df = pa.concat_tables(parts).to_pandas()
     finest = df.groupby(keys, as_index=False, dropna=False)[mcols].sum()
 

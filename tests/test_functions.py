@@ -1181,3 +1181,31 @@ def test_tfidf_sharded_df_path_matches_broadcast(ray_session):
     pd.testing.assert_frame_equal(a, b)
     want_rows = sum(min(3, len(set(t.split()))) for t in docs["text"])
     assert len(a) == want_rows
+
+
+# ----------------------- empty-input robustness ----------------------------
+
+def test_new_aggregates_on_empty_input(ray_session):
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.moments import grouped_corr
+    from ict_log_parser_ray.functions.rollup import cube_aggregate
+    from ict_log_parser_ray.functions.sketch import top_tokens_approx
+
+    empty = pd.DataFrame({"a": pd.Series([], dtype="object"),
+                          "b": pd.Series([], dtype="object"),
+                          "m": pd.Series([], dtype="int64"),
+                          "x": pd.Series([], dtype="int64"),
+                          "y": pd.Series([], dtype="int64"),
+                          "text": pd.Series([], dtype="object")})
+    ds = rd.from_pandas(empty)
+    cube = cube_aggregate(ds, ["a", "b"], ["m"], mode="cube")
+    assert len(cube) == 1 and cube["n"].iloc[0] == 0 \
+        and cube["a"].iloc[0] is None          # SQL CUBE on empty: one
+    corr = grouped_corr(rd.from_pandas(empty), "a", "x", "y")
+    assert len(corr) == 0
+    tok = top_tokens_approx(rd.from_pandas(empty), "text", k=5)
+    assert len(tok) == 0
