@@ -1671,6 +1671,45 @@ def d_top_tokens_approx(sf_dir):
     return top_tokens_approx(ds, "text", k=20, m=512)
 
 
+def e_global_rank(sf_dir):
+    """Global distributed sort (Ray's range-partitioned Dataset.sort) +
+    global rank attachment: per-block row counts → driver offsets (tiny)
+    → per-block rank = offset + arange, all other work stays in tasks.
+    Returns a deterministic systematic sample (every 997th rank) of the
+    fully sorted order, which VALUE-ENCODES the sort so the oracle check
+    actually verifies ordering (the driver's row-order-insensitive hash
+    can't see a sort otherwise)."""
+    import ray
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "value"])
+    s = ds.sort(["value", "event_id"]).materialize()
+    refs = s.to_arrow_refs()
+
+    @ray.remote
+    def nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    counts = ray.get([nrows.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+
+    @ray.remote
+    def rank_block(t: pa.Table, off: int) -> pa.Table:
+        rk = off + np.arange(t.num_rows, dtype=np.int64) + 1
+        keep = (rk % 997) == 1
+        sub = t.filter(pa.array(keep))
+        return pa.table({
+            "rk": pa.array(rk[keep]),
+            "event_id": pc.cast(sub["event_id"], pa.int64()),
+            "value_e6": pc.cast(pc.round(pc.multiply(
+                sub["value"], 1e6)), pa.int64())})
+
+    parts = ray.get([rank_block.remote(r, int(offsets[i]))
+                     for i, r in enumerate(refs)])
+    df = pa.concat_tables(parts).to_pandas().sort_values("rk") \
+        .reset_index(drop=True)
+    return _i64(df, ["rk", "event_id", "value_e6"])
+
+
 def e_distinct_users_approx(sf_dir):
     """Approximate count-distinct via mergeable HyperLogLog (rows-only by
     design — approximate; the exact twin is e_daily_active and the pytest
@@ -1954,6 +1993,7 @@ def build_queries() -> dict:
         "e_props_extract": e_props_extract,
         "emb_kmeans": emb_kmeans,
         "d_top_tokens_approx": d_top_tokens_approx,
+        "e_global_rank": e_global_rank,
         "e_daily_active": e_daily_active,
         "e_distinct_users_approx": e_distinct_users_approx,
         "d_char_stats": d_char_stats,
@@ -2136,6 +2176,15 @@ SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
          AS share6
 FROM events
 GROUP BY 1, 2
+""",
+        "e_global_rank": """
+WITH r AS (
+  SELECT event_id,
+         CAST(round(value * 1000000) AS BIGINT) AS value_e6,
+         ROW_NUMBER() OVER (ORDER BY value, event_id) AS rk
+  FROM events
+)
+SELECT rk, event_id, value_e6 FROM r WHERE rk % 997 = 1
 """,
         "e_props_extract": """
 SELECT event_type,
