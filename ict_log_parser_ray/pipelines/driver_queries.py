@@ -1710,6 +1710,61 @@ def e_global_rank(sf_dir):
     return _i64(df, ["rk", "event_id", "value_e6"])
 
 
+def e_funnel(sf_dir):
+    """Ordered conversion funnel (signup → click AFTER signup → purchase
+    AFTER that click): count users reaching each stage.  The ordering
+    constraint makes min-per-type partials unsound (a later click after
+    the first signup can follow an earlier ignored click), so the funnel
+    events — filtered to the 3 types and projected to (user, type, ts) —
+    hash-partition by USER and each task walks its users' conditional
+    min chain; per-stage counts are additive across user shards."""
+    import ray
+
+    stages = ["signup", "click", "purchase"]
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "ts"])
+    nparts = _agg_nparts()
+
+    def narrow(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b["event_type"], value_set=pa.array(stages))
+        t = b.filter(m)
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = ((u * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)) \
+            % np.uint64(nparts)
+        return pa.table({
+            "user_id": t["user_id"], "event_type": t["event_type"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "part": pa.array(part.astype("int64"))})
+
+    refs = ds.map_batches(narrow, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize().to_arrow_refs()
+
+    @ray.remote
+    def funnel_part(p, refs):
+        tbls = [t.filter(pc.equal(t["part"], p)).drop_columns(["part"])
+                for t in ray.get(refs) if "part" in t.schema.names]
+        t = pa.concat_tables(tbls)
+        counts = dict.fromkeys(stages, 0)
+        if t.num_rows:
+            df = t.to_pandas()
+            for _, g in df.groupby("user_id", sort=False):
+                cutoff = -1
+                for st in stages:
+                    nxt = g.loc[(g["event_type"] == st) &
+                                (g["ts_us"] > cutoff), "ts_us"]
+                    if nxt.empty:
+                        break
+                    cutoff = int(nxt.min())
+                    counts[st] += 1
+        return counts
+
+    parts = ray.get([funnel_part.remote(p, refs) for p in range(nparts)])
+    totals = {st: sum(c[st] for c in parts) for st in stages}
+    return pd.DataFrame({"stage": stages,
+                         "n_users": pd.array([totals[s] for s in stages],
+                                             dtype="int64")})
+
+
 def e_distinct_users_approx(sf_dir):
     """Approximate count-distinct via mergeable HyperLogLog (rows-only by
     design — approximate; the exact twin is e_daily_active and the pytest
@@ -1994,6 +2049,7 @@ def build_queries() -> dict:
         "emb_kmeans": emb_kmeans,
         "d_top_tokens_approx": d_top_tokens_approx,
         "e_global_rank": e_global_rank,
+        "e_funnel": e_funnel,
         "e_daily_active": e_daily_active,
         "e_distinct_users_approx": e_distinct_users_approx,
         "d_char_stats": d_char_stats,
@@ -2176,6 +2232,17 @@ SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
          AS share6
 FROM events
 GROUP BY 1, 2
+""",
+        "e_funnel": """
+WITH s AS (SELECT user_id, min(ts) AS t FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s.t GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t GROUP BY e.user_id)
+SELECT 'signup' AS stage, count(*) AS n_users FROM s
+UNION ALL SELECT 'click', count(*) FROM c
+UNION ALL SELECT 'purchase', count(*) FROM p
 """,
         "e_global_rank": """
 WITH r AS (

@@ -65,7 +65,7 @@ ORACLE_NAMES = [
     "q_semi_bloom", "q_anti_bloom", "e_daily_active", "e_stratified_sample",
     "d_tfidf_top_terms", "q_cube_revenue", "e_value_corr",
     "d_dup_clusters", "e_retention", "e_share", "q_anti_bloom_big",
-    "e_props_extract", "d_dedup_keep", "e_global_rank",
+    "e_props_extract", "d_dedup_keep", "e_global_rank", "e_funnel",
 ]
 
 

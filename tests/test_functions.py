@@ -1209,3 +1209,38 @@ def test_new_aggregates_on_empty_input(ray_session):
     assert len(corr) == 0
     tok = top_tokens_approx(rd.from_pandas(empty), "text", k=5)
     assert len(tok) == 0
+
+
+def test_funnel_ordering_adversarial(ray_session, tmp_path):
+    """A click BEFORE the signup must not count; a later click after the
+    signup must — exactly the case where min-per-type partials break."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ict_log_parser_ray.pipelines.driver_queries import e_funnel
+
+    rows = [
+        # u1: click(1) BEFORE signup(2) is ignored; click(3) counts;
+        # purchase(2.5) before that click is ignored → no purchase
+        (1, "click", 1), (1, "signup", 2), (1, "purchase", 2),
+        (1, "click", 3),
+        # u2: full ordered chain
+        (2, "signup", 1), (2, "click", 2), (2, "purchase", 3),
+        # u3: signup only
+        (3, "signup", 5),
+        # u4: click/purchase but never signed up → stage 0
+        (4, "click", 1), (4, "purchase", 2),
+        # u5: equal timestamps do NOT advance (strict >)
+        (5, "signup", 7), (5, "click", 7),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "ts_i"])
+    df["ts"] = pd.to_datetime(df["ts_i"], unit="s")
+    df["value"] = 0.0
+    tbl = pa.Table.from_pandas(df[["user_id", "event_type", "ts"]],
+                               preserve_index=False)
+    d = tmp_path / "sfx"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+    out = e_funnel(str(d)).set_index("stage")["n_users"].to_dict()
+    assert out == {"signup": 4, "click": 2, "purchase": 1}
