@@ -1765,6 +1765,56 @@ def e_funnel(sf_dir):
                                              dtype="int64")})
 
 
+def e_user_chain(sf_dir):
+    """Generic ORDERED group-concat (per-user event-type chain, ordered
+    by (ts, event_id) so ties are deterministic): the t_hourly_chain
+    pattern generalized off the flagship.  Events hash-partition by user
+    (each user's whole history in exactly one task), per-partition numpy
+    lexsort + per-group join; output sampled to users ≡ 0 (mod 37) to
+    stay result-sized."""
+    import ray
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "ts", "event_id"])
+    nparts = _agg_nparts()
+
+    def narrow(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        keep = (u % 37) == 0
+        t = b.filter(pa.array(keep))
+        uu = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = ((uu * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)) \
+            % np.uint64(nparts)
+        return pa.table({
+            "user_id": t["user_id"], "event_type": t["event_type"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "event_id": t["event_id"],
+            "part": pa.array(part.astype("int64"))})
+
+    refs = ds.map_batches(narrow, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize().to_arrow_refs()
+
+    @ray.remote
+    def chain_part(p, refs):
+        tbls = [t.filter(pc.equal(t["part"], p)).drop_columns(["part"])
+                for t in ray.get(refs) if "part" in t.schema.names]
+        t = pa.concat_tables(tbls)
+        if t.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "chain": pa.array([], pa.string())})
+        df = t.to_pandas().sort_values(["user_id", "ts_us", "event_id"],
+                                       kind="stable")
+        c = df.groupby("user_id", sort=False)["event_type"] \
+              .agg(",".join).reset_index(name="chain")
+        return pa.table({"user_id": pa.array(c["user_id"], pa.int64()),
+                         "chain": pa.array(c["chain"], pa.string())})
+
+    parts = pa.concat_tables(ray.get(
+        [chain_part.remote(p, refs) for p in range(nparts)]))
+    return (parts.to_pandas().sort_values("user_id")
+            .reset_index(drop=True))
+
+
 def e_distinct_users_approx(sf_dir):
     """Approximate count-distinct via mergeable HyperLogLog (rows-only by
     design — approximate; the exact twin is e_daily_active and the pytest
@@ -2050,6 +2100,7 @@ def build_queries() -> dict:
         "d_top_tokens_approx": d_top_tokens_approx,
         "e_global_rank": e_global_rank,
         "e_funnel": e_funnel,
+        "e_user_chain": e_user_chain,
         "e_daily_active": e_daily_active,
         "e_distinct_users_approx": e_distinct_users_approx,
         "d_char_stats": d_char_stats,
@@ -2232,6 +2283,14 @@ SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
          AS share6
 FROM events
 GROUP BY 1, 2
+""",
+        "e_user_chain": """
+SELECT user_id,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS chain
+FROM events
+WHERE user_id % 37 = 0
+GROUP BY user_id
+ORDER BY user_id
 """,
         "e_funnel": """
 WITH s AS (SELECT user_id, min(ts) AS t FROM events
