@@ -1765,6 +1765,58 @@ def e_funnel(sf_dir):
                                              dtype="int64")})
 
 
+def q_region_brand_revenue(sf_dir):
+    """Snowflake-dimension rollup covering every remaining driver table
+    (supplier → nation → region chain + part brand): the three dimension
+    hops pre-join driver-side into TWO broadcast maps (suppkey→region,
+    partkey→brand — each dimension-sized), the lineitem fact streams
+    through both lookups and per-batch partial sums in exact 10⁻⁴
+    integer units.  No shuffle join for any of the 4 dimension tables —
+    the canonical star/snowflake shape at 100 TB."""
+    import ray
+
+    from ..stages.join import _lookup_batch
+
+    sup = _read_tbl(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nat = _read_tbl(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    reg = _read_tbl(sf_dir, "region", ["r_regionkey", "r_name"])
+    i1 = pc.index_in(sup["s_nationkey"], nat["n_nationkey"])
+    rk = pc.take(nat["n_regionkey"], i1)
+    i2 = pc.index_in(rk, reg["r_regionkey"])
+    smap = pa.table({"l_suppkey": sup["s_suppkey"],
+                     "r_name": pc.take(reg["r_name"], i2)})
+    prt = _read_tbl(sf_dir, "part", ["p_partkey", "p_brand"])
+    pmap = pa.table({"l_partkey": prt["p_partkey"],
+                     "p_brand": prt["p_brand"]})
+    sref, pref = ray.put(smap), ray.put(pmap)
+
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_suppkey", "l_partkey",
+                             "l_extendedprice", "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = _lookup_batch(b, ray.get(sref), "l_suppkey")
+        b = _lookup_batch(b, ray.get(pref), "l_partkey")
+        rev = pc.cast(pc.round(pc.multiply(pc.multiply(
+            b["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), b["l_discount"])), 10000.0)),
+            pa.int64())
+        t = pa.table({"r_name": b["r_name"], "p_brand": b["p_brand"],
+                      "revenue_e4": rev})
+        return pa.TableGroupBy(t, ["r_name", "p_brand"]).aggregate(
+            [("revenue_e4", "sum"), ([], "count_all")])
+
+    parts = [t for t in ray.get(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True).to_arrow_refs())
+        if isinstance(t, pa.Table) and "count_all" in t.schema.names]
+    df = (pa.concat_tables(parts).to_pandas()
+          .groupby(["r_name", "p_brand"], as_index=False)
+          .agg(revenue_e4=("revenue_e4_sum", "sum"),
+               n_items=("count_all", "sum")))
+    return _i64(df, ["revenue_e4", "n_items"])
+
+
 def e_user_chain(sf_dir):
     """Generic ORDERED group-concat (per-user event-type chain, ordered
     by (ts, event_id) so ties are deterministic): the t_hourly_chain
@@ -2101,6 +2153,7 @@ def build_queries() -> dict:
         "e_global_rank": e_global_rank,
         "e_funnel": e_funnel,
         "e_user_chain": e_user_chain,
+        "q_region_brand_revenue": q_region_brand_revenue,
         "e_daily_active": e_daily_active,
         "e_distinct_users_approx": e_distinct_users_approx,
         "d_char_stats": d_char_stats,
@@ -2283,6 +2336,18 @@ SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
          AS share6
 FROM events
 GROUP BY 1, 2
+""",
+        "q_region_brand_revenue": """
+SELECT r.r_name, p.p_brand,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                     AS BIGINT)) AS BIGINT) AS revenue_e4,
+       count(*) AS n_items
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY r.r_name, p.p_brand
 """,
         "e_user_chain": """
 SELECT user_id,
