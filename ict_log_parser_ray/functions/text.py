@@ -142,7 +142,7 @@ def analyze_documents(ds, concurrency=(1, 8), batch_size: int = 4096):
                           num_cpus=1)
 
 
-def quality_table(ds, batch_size: int = 4096):
+def quality_table(ds, batch_size: int = 4096, keep_cols: list | None = None):
     """Lean SQL-expressible slice of the analyzer: token count, ratios,
     quality score and language-ID — no fingerprint (its pandas row hash has
     no SQL twin).  Stateless map: the kernels are pandas ``.str`` calls whose
@@ -169,6 +169,8 @@ def quality_table(ds, batch_size: int = 4096):
         out["punct_ratio"] = punct.round(6)
         out["stopword_ratio"] = stop.round(6)
         out["mean_word_len"] = mwl.round(6)
+        for c in keep_cols or []:   # pass-through label/grouping columns
+            out[c] = df[c].to_numpy()
         return out
 
     return ds.map_batches(feats, batch_format="pandas",

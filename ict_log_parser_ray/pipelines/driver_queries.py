@@ -1817,6 +1817,39 @@ def q_region_brand_revenue(sf_dir):
     return _i64(df, ["revenue_e4", "n_items"])
 
 
+def d_lang_eval(sf_dir):
+    """Language-ID evaluation against the fixture's GROUND-TRUTH ``lang``
+    label: the confusion matrix (lang_true, lang_pred, n) of the n-gram
+    heuristic.  Per-batch arrow count partials (≤ |langs|² groups);
+    value-checked because the predictor has an exact SQL twin (the same
+    generated profile CASE used by d_quality's oracle).
+
+    Note: the fixture's documents are synthetic token soup, so accuracy
+    vs its lang labels is near-chance (~0.25 at sf0.01) — the query
+    demonstrates the EVALUATION pattern (prediction ⋈ ground truth →
+    confusion counts), not the heuristic's quality on real text."""
+    import ray
+
+    from ..functions.text import quality_table
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    qt = quality_table(ds, keep_cols=["lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"lang_true": b["lang"], "lang_pred": b["lang_pred"]})
+        return pa.TableGroupBy(t, ["lang_true", "lang_pred"]).aggregate(
+            [([], "count_all")])
+
+    parts = [t for t in ray.get(
+        qt.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True).to_arrow_refs())
+        if isinstance(t, pa.Table) and "count_all" in t.schema.names]
+    df = (pa.concat_tables(parts).to_pandas()
+          .groupby(["lang_true", "lang_pred"], as_index=False)["count_all"]
+          .sum().rename(columns={"count_all": "n"}))
+    return _i64(df, ["n"])
+
+
 def e_user_chain(sf_dir):
     """Generic ORDERED group-concat (per-user event-type chain, ordered
     by (ts, event_id) so ties are deterministic): the t_hourly_chain
@@ -2154,6 +2187,7 @@ def build_queries() -> dict:
         "e_funnel": e_funnel,
         "e_user_chain": e_user_chain,
         "q_region_brand_revenue": q_region_brand_revenue,
+        "d_lang_eval": d_lang_eval,
         "e_daily_active": e_daily_active,
         "e_distinct_users_approx": e_distinct_users_approx,
         "d_char_stats": d_char_stats,
@@ -2555,6 +2589,11 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.5
 """,
         "d_quality": _d_quality_sql(),
+        "d_lang_eval": (
+            "WITH q AS (" + _d_quality_sql() + ")\n"
+            "SELECT d.lang AS lang_true, q.lang_pred, count(*) AS n\n"
+            "FROM q JOIN documents d USING (doc_id)\n"
+            "GROUP BY 1, 2"),
         "media_digest": _media_digest_sql(),
         "e_hash_sample": """
 SELECT event_id, event_type FROM events
