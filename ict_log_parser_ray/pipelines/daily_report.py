@@ -19,7 +19,7 @@ from datetime import datetime
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
 
 from ..functions.timecodes import day_window, hour_key
 from . import reports
