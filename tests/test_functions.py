@@ -1244,3 +1244,50 @@ def test_funnel_ordering_adversarial(ray_session, tmp_path):
     pq.write_table(tbl, str(d / "events.parquet"))
     out = e_funnel(str(d)).set_index("stage")["n_users"].to_dict()
     assert out == {"signup": 4, "click": 2, "purchase": 1}
+
+
+def test_funnel_vs_bruteforce_random(ray_session, tmp_path):
+    """Greedy conditional-min chain == exists-ordered-chain, checked
+    against an O(n³) brute force on a random event stream."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ict_log_parser_ray.pipelines.driver_queries import e_funnel
+
+    rng = np.random.default_rng(13)
+    n = 3000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 120, n),
+        "event_type": rng.choice(
+            ["signup", "click", "purchase", "view", "error"], n),
+        "ts": pd.to_datetime(rng.integers(0, 10_000, n), unit="s")})
+    d = tmp_path / "sfr"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(d / "events.parquet"))
+    got = e_funnel(str(d)).set_index("stage")["n_users"].to_dict()
+
+    want = {"signup": 0, "click": 0, "purchase": 0}
+    for _, g in df.groupby("user_id"):
+        ev = sorted(zip(g["ts"], g["event_type"]))
+        # brute force: any signup < click < purchase chain
+        s_ts = [t for t, e in ev if e == "signup"]
+        if not s_ts:
+            continue
+        want["signup"] += 1
+        c_ts = [t for t, e in ev if e == "click" and t > min(s_ts)]
+        if not c_ts:
+            continue
+        want["click"] += 1
+        if any(t > min(c_ts) for t, e in ev if e == "purchase"):
+            want["purchase"] += 1
+        # true exists-ordered-triple brute force must agree with the
+        # greedy conditional-min chain (exchange argument)
+        p_ts = [t for t, e in ev if e == "purchase"]
+        triple = any(s < c < p for s in s_ts for c in
+                     [t for t, e in ev if e == "click"] for p in p_ts)
+        assert triple == (bool(c_ts) and
+                          any(t > min(c_ts) for t in p_ts))
+    assert got == want
