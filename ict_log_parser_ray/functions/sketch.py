@@ -258,3 +258,55 @@ def top_tokens_approx(ds, text_col: str, k: int = 20, m: int = 512):
         "token": [t for t, _ in top],
         "est": pd.array([c for _, c in top], dtype="int64"),
         "err": pd.array([err] * len(top), dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — mergeable point-query frequency estimates
+# (Cormode & Muthukrishnan '05).  Third member of the sketch family:
+# HLL answers |distinct|, Misra-Gries answers "who is heavy", count-min
+# answers "how often is KEY x" for arbitrary x.  Fixed d×w int64 matrix
+# per partial, elementwise-SUM merge (associative); estimates are always
+# ≥ truth and ≤ truth + εn with probability 1-δ for w=⌈e/ε⌉, d=⌈ln 1/δ⌉.
+# ---------------------------------------------------------------------------
+
+_CMS_SEEDS = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                       0x165667B19E3779F9, 0x27D4EB2F165667C5],
+                      dtype=np.uint64)
+
+
+def _cms_hash(keys: np.ndarray, seed: np.uint64, w: int) -> np.ndarray:
+    x = keys.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x ^= seed
+        x ^= x >> np.uint64(33)
+        x *= np.uint64(0xFF51AFD7ED558CCD)
+        x ^= x >> np.uint64(33)
+    return (x % np.uint64(w)).astype(np.int64)
+
+
+def cms_partial(keys: np.ndarray, w: int = 2048, d: int = 4) -> np.ndarray:
+    """(d, w) int64 count matrix for one batch of int64 keys."""
+    m = np.zeros((d, w), dtype=np.int64)
+    if len(keys):
+        for r in range(d):
+            np.add.at(m[r], _cms_hash(np.asarray(keys), _CMS_SEEDS[r], w), 1)
+    return m
+
+
+def cms_merge(parts) -> np.ndarray:
+    """Elementwise sum — associative, any combine tree is identical."""
+    it = iter(parts)
+    out = next(it).copy()
+    for p in it:
+        out += p
+    return out
+
+
+def cms_estimate(m: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Min over rows: always ≥ the true count (one-sided error)."""
+    d, w = m.shape
+    est = np.full(len(keys), np.iinfo(np.int64).max, dtype=np.int64)
+    for r in range(d):
+        est = np.minimum(est, m[r][_cms_hash(np.asarray(keys),
+                                             _CMS_SEEDS[r], w)])
+    return est

@@ -1850,6 +1850,36 @@ def d_lang_eval(sf_dir):
     return _i64(df, ["n"])
 
 
+def e_mode_hour(sf_dir):
+    """Grouped MODE with a deterministic tie-break (most frequent
+    hour-of-day per event_type; ties → smallest hour): per-batch arrow
+    count partials at (type, hour) — ≤ |types|·24 groups — and a driver
+    argmax finish.  The explicit tie-break makes mode value-checkable
+    (bare SQL mode() leaves ties unspecified)."""
+    import ray
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"event_type": b["event_type"],
+                      "hour": pc.cast(pc.hour(b["ts"]), pa.int64())})
+        return pa.TableGroupBy(t, ["event_type", "hour"]).aggregate(
+            [([], "count_all")])
+
+    parts = [t for t in ray.get(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True).to_arrow_refs())
+        if isinstance(t, pa.Table) and "count_all" in t.schema.names]
+    df = (pa.concat_tables(parts).to_pandas()
+          .groupby(["event_type", "hour"], as_index=False)["count_all"]
+          .sum().rename(columns={"count_all": "n"}))
+    df = df.sort_values(["event_type", "n", "hour"],
+                        ascending=[True, False, True], kind="stable")
+    out = df.groupby("event_type", as_index=False).head(1) \
+        .rename(columns={"hour": "mode_hour"}).reset_index(drop=True)
+    return _i64(out, ["mode_hour", "n"])
+
+
 def e_user_chain(sf_dir):
     """Generic ORDERED group-concat (per-user event-type chain, ordered
     by (ts, event_id) so ties are deterministic): the t_hourly_chain
@@ -2188,6 +2218,7 @@ def build_queries() -> dict:
         "e_user_chain": e_user_chain,
         "q_region_brand_revenue": q_region_brand_revenue,
         "d_lang_eval": d_lang_eval,
+        "e_mode_hour": e_mode_hour,
         "e_daily_active": e_daily_active,
         "e_distinct_users_approx": e_distinct_users_approx,
         "d_char_stats": d_char_stats,
@@ -2382,6 +2413,15 @@ JOIN nation n ON s.s_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 JOIN part p ON l.l_partkey = p.p_partkey
 GROUP BY r.r_name, p.p_brand
+""",
+        "e_mode_hour": """
+WITH c AS (
+  SELECT event_type, hour(ts) AS mode_hour, count(*) AS n,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY count(*) DESC, hour(ts)) AS rk
+  FROM events GROUP BY event_type, hour(ts)
+)
+SELECT event_type, mode_hour, n FROM c WHERE rk = 1
 """,
         "e_user_chain": """
 SELECT user_id,

@@ -1291,3 +1291,28 @@ def test_funnel_vs_bruteforce_random(ray_session, tmp_path):
         assert triple == (bool(c_ts) and
                           any(t > min(c_ts) for t in p_ts))
     assert got == want
+
+
+def test_count_min_sketch_bounds_and_merge():
+    import numpy as np
+
+    from ict_log_parser_ray.functions.sketch import (cms_estimate, cms_merge,
+                                                     cms_partial)
+
+    rng = np.random.default_rng(14)
+    keys = rng.zipf(1.4, 30_000)
+    keys = keys[keys < 100_000].astype(np.int64)
+    n = len(keys)
+    chunks = np.array_split(keys, 6)
+    merged = cms_merge([cms_partial(c, w=2048, d=4) for c in chunks])
+    whole = cms_partial(keys, w=2048, d=4)
+    assert (merged == whole).all()          # merge == single-pass build
+    uniq, true = np.unique(keys, return_counts=True)
+    est = cms_estimate(merged, uniq)
+    assert (est >= true).all()              # one-sided error, always
+    eps = np.e / 2048
+    # ≤ true + eps*n for the vast majority (prob bound is per-query 1-δ)
+    assert (est <= true + eps * n).mean() > 0.98
+    # heavy keys are estimated nearly exactly
+    heavy = true >= 500
+    assert (est[heavy] - true[heavy]).max() <= eps * n
