@@ -32,6 +32,21 @@ _M1 = np.uint64(0xBF58476D1CE4E5B9)
 _M2 = np.uint64(0x94D049BB133111EB)
 
 
+def _key64(col) -> np.ndarray:
+    """uint64 key material for the bloom/partition hashes: integer
+    columns bit-cast directly; string (or other) columns go through the
+    polars 64-bit row hash (the same C-speed path `stages.join` uses).
+    Callers mask validity separately — any value this returns for a null
+    slot is ignored behind the caller's is_valid mask."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        return col.to_numpy(zero_copy_only=False).astype(np.uint64)
+    from .join import _pl_hash64
+
+    return _pl_hash64(col).astype(np.uint64)
+
+
 def _mix(x: np.ndarray, mult: np.uint64) -> np.ndarray:
     x = x.astype(np.uint64, copy=True)
     with np.errstate(over="ignore"):
@@ -87,10 +102,11 @@ def build_bloom_distributed(ds, col: str, nbits: int = 1 << 23,
     """Streaming bloom build over ``ds[col]`` (int64 keys): per-batch
     partial blooms + tree OR-merge.  Returns an ObjectRef to the bits."""
     def partial(b: pa.Table) -> pa.Table:
-        keys = b[col].to_numpy(zero_copy_only=False)
-        keys = keys[~pa.compute.is_null(b[col]).to_numpy(
-            zero_copy_only=False)] if b[col].null_count else keys
-        bits = bloom_from_keys(keys.astype(np.uint64), nbits, k)
+        c = b[col]
+        if c.null_count:
+            c = c.drop_null() if not isinstance(c, pa.ChunkedArray) \
+                else c.combine_chunks().drop_null()
+        bits = bloom_from_keys(_key64(c), nbits, k)
         return pa.table({"bloom": pa.array([bits.tobytes()], pa.binary())})
 
     parts = ds.map_batches(partial, batch_format="pyarrow",
@@ -133,8 +149,7 @@ def bloom_semi_join(left_ds, right_ds, left_on: str, right_on: str,
         vals = b[left_on]
         if isinstance(vals, pa.ChunkedArray):
             vals = vals.combine_chunks()
-        keys = vals.to_numpy(zero_copy_only=False).astype(np.uint64)
-        maybe = bloom_probe(keys, bits, nbits, k)
+        maybe = bloom_probe(_key64(vals), bits, nbits, k)
         if vals.null_count:
             maybe &= pc.is_valid(vals).to_numpy(zero_copy_only=False)
         if not maybe.any():
@@ -177,9 +192,8 @@ def bloom_anti_join(left_ds, right_ds, left_on: str, right_on: str,
         vals = b[left_on]
         if isinstance(vals, pa.ChunkedArray):
             vals = vals.combine_chunks()
-        keys = vals.to_numpy(zero_copy_only=False).astype(np.uint64)
-        maybe = bloom_probe(keys, bits, nbits, k)
-        valid = np.ones(len(keys), dtype=bool) if not vals.null_count \
+        maybe = bloom_probe(_key64(vals), bits, nbits, k)
+        valid = np.ones(len(vals), dtype=bool) if not vals.null_count \
             else pc.is_valid(vals).to_numpy(zero_copy_only=False)
         keep = valid & ~maybe          # definite absences: no exact check
         check = valid & maybe
@@ -254,17 +268,15 @@ def bloom_anti_join_partitioned(left_ds, right_ds, left_on: str,
         vals = b[left_on]
         if isinstance(vals, pa.ChunkedArray):
             vals = vals.combine_chunks()
-        keys = vals.to_numpy(zero_copy_only=False).astype(np.uint64)
-        maybe = bloom_probe(keys, bits, nbits, k)
-        valid = np.ones(len(keys), dtype=bool) if not vals.null_count \
+        maybe = bloom_probe(_key64(vals), bits, nbits, k)
+        valid = np.ones(len(vals), dtype=bool) if not vals.null_count \
             else pc.is_valid(vals).to_numpy(zero_copy_only=False)
         keep = valid & ~maybe            # definite absences stream out
         check = valid & maybe
         if check.any():
             sus_idx = np.flatnonzero(check)
             sv = vals.take(pa.array(sus_idx, pa.int64()))
-            sp = (_mix(sv.to_numpy(zero_copy_only=False).astype(np.uint64),
-                       _M1) % np.uint64(nparts)).astype(np.int64)
+            sp = (_mix(_key64(sv), _M1) % np.uint64(nparts)).astype(np.int64)
             for p in np.unique(sp):
                 # refs nested in the captured list are NOT auto-resolved;
                 # this get is a zero-copy plasma read, and lookup_indices
@@ -311,9 +323,8 @@ def _verify_part(p: int, surv_refs, key_refs, left_on: str, right_on: str):
 
 
 def _part_tag(col, nparts: int) -> pa.Array:
-    vals = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    v = vals.to_numpy(zero_copy_only=False).astype(np.uint64)
-    return pa.array((_mix(v, _M1) % np.uint64(nparts)).astype(np.int64))
+    return pa.array((_mix(_key64(col), _M1)
+                     % np.uint64(nparts)).astype(np.int64))
 
 
 def bloom_semi_join_partitioned(left_ds, right_ds, left_on: str,
@@ -349,8 +360,7 @@ def bloom_semi_join_partitioned(left_ds, right_ds, left_on: str,
         vals = b[left_on]
         if isinstance(vals, pa.ChunkedArray):
             vals = vals.combine_chunks()
-        keys = vals.to_numpy(zero_copy_only=False).astype(np.uint64)
-        maybe = bloom_probe(keys, bits, nbits, k)
+        maybe = bloom_probe(_key64(vals), bits, nbits, k)
         if vals.null_count:
             maybe &= pc.is_valid(vals).to_numpy(zero_copy_only=False)
         surv = b.filter(pa.array(maybe))

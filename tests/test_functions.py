@@ -1316,3 +1316,23 @@ def test_count_min_sketch_bounds_and_merge():
     # heavy keys are estimated nearly exactly
     heavy = true >= 500
     assert (est[heavy] - true[heavy]).max() <= eps * n
+
+
+def test_bloom_anti_join_partitioned_string_keys(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ict_log_parser_ray.stages.bloom import bloom_anti_join_partitioned
+
+    rng = np.random.default_rng(15)
+    lk = [f"key-{i:04d}" for i in rng.integers(0, 400, 5000)]
+    rk = [f"key-{i:04d}" for i in rng.integers(0, 400, 150)]
+    left = pa.table({"k": pa.array(lk), "v": pa.array(rng.normal(size=5000))})
+    right = pa.table({"rk": pa.array(rk)})
+    got = bloom_anti_join_partitioned(
+        rd.from_arrow(left).repartition(4),
+        rd.from_arrow(right).repartition(2), "k", "rk",
+        nparts=3, nbits=1 << 10, k=2).to_pandas()  # dense fps on purpose
+    want = left.to_pandas()[~left.to_pandas()["k"].isin(set(rk))]
+    assert sorted(got["k"]) == sorted(want["k"])
