@@ -99,8 +99,9 @@ def _or_merge(*blooms: np.ndarray) -> np.ndarray:
 
 def build_bloom_distributed(ds, col: str, nbits: int = 1 << 23,
                             k: int = 5, fanin: int = 8):
-    """Streaming bloom build over ``ds[col]`` (int64 keys): per-batch
-    partial blooms + tree OR-merge.  Returns an ObjectRef to the bits."""
+    """Streaming bloom build over ``ds[col]`` (integer OR string keys —
+    see `_key64`): per-batch partial blooms + tree OR-merge.  Returns an
+    ObjectRef to the bits."""
     def partial(b: pa.Table) -> pa.Table:
         c = b[col]
         if c.null_count:
