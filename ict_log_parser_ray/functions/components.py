@@ -35,15 +35,12 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def _pointer_jump(nodes: np.ndarray, labels: np.ndarray) -> np.ndarray:
-    """Compress label chains: labels are node ids, so follow
-    label→label-of-that-node until fixpoint (vectorized; O(log chain))."""
-    idx = pd.Index(nodes)
+def _pointer_jump(labels: np.ndarray) -> np.ndarray:
+    """Compress label chains.  Labels are DENSE NODE CODES (positions
+    into the sorted node array), so the chain step is plain array
+    indexing ``labels[labels]`` — doubling per pass, O(log chain)."""
     while True:
-        pos = idx.get_indexer(labels)
-        # a label may be a node id outside the node table only if it IS
-        # its own component min that never appears as dst — keep as-is
-        nxt = np.where(pos >= 0, labels[np.maximum(pos, 0)], labels)
+        nxt = labels[labels]
         if (nxt == labels).all():
             return labels
         labels = nxt
@@ -59,8 +56,7 @@ def connected_components(edges_ds, a_col: str = "a", b_col: str = "b",
     from ..stages.join import lookup_indices
 
     def sym(b: pa.Table) -> pa.Table:
-        a = pc.cast(b[a_col], pa.int64())
-        bb = pc.cast(b[b_col], pa.int64())
+        a, bb = b[a_col], b[b_col]
         valid = pc.and_(pc.is_valid(a), pc.is_valid(bb))
         if not pc.all(valid).as_py():
             t = pa.table({"a": a, "b": bb}).filter(valid)
@@ -87,14 +83,21 @@ def connected_components(edges_ds, a_col: str = "a", b_col: str = "b",
     if not blocks:
         return pd.DataFrame({"node": pd.Series([], dtype="int64"),
                              "component": pd.Series([], dtype="int64")})
-    nodes = np.unique(np.concatenate(
-        [np.unique(t["src"].to_numpy(zero_copy_only=False))
-         for t in blocks]))
-    labels = nodes.copy()
-    nodes_arr = pa.array(nodes, pa.int64())
+    # node table: SORTED ascending, so dense-code order == value order
+    # and min-code labels ARE min-node labels — works for int AND string
+    # (or any orderable) node ids
+    uniqs = [pc.unique(t["src"].combine_chunks()
+                       if isinstance(t["src"], pa.ChunkedArray)
+                       else t["src"]) for t in blocks]
+    nodes_arr = pc.unique(pa.concat_arrays(
+        [u.combine_chunks() if isinstance(u, pa.ChunkedArray) else u
+         for u in uniqs]))
+    nodes_arr = nodes_arr.take(pc.sort_indices(nodes_arr))
+    n = len(nodes_arr)
+    labels = np.arange(n, dtype=np.int64)   # dense codes
     nodes_ref = ray.put(nodes_arr)       # fixed across iterations →
     token = nodes_ref.hex()              # khash memo builds once/worker
-    idx_driver = pd.Index(nodes)
+    idx_driver = pd.Index(nodes_arr.to_pandas())
 
     for _ in range(max_iters):
         lbl_ref = ray.put(labels)
@@ -116,12 +119,14 @@ def connected_components(edges_ds, a_col: str = "a", b_col: str = "b",
         lbl = inc["lbl_min"].to_numpy(zero_copy_only=False)
         new = labels.copy()
         np.minimum.at(new, idx_driver.get_indexer(dst), lbl)
-        new = _pointer_jump(nodes, new)
+        new = _pointer_jump(new)
         if (new == labels).all():
             break
         labels = new
     else:
         raise RuntimeError(f"no convergence in {max_iters} iterations")
 
-    return pd.DataFrame({"node": nodes.astype("int64"),
-                         "component": labels.astype("int64")})
+    nodes_pd = nodes_arr.to_pandas()
+    return pd.DataFrame({"node": nodes_pd.reset_index(drop=True),
+                         "component": nodes_pd.iloc[labels]
+                         .reset_index(drop=True)})

@@ -1336,3 +1336,17 @@ def test_bloom_anti_join_partitioned_string_keys(ray_session):
         nparts=3, nbits=1 << 10, k=2).to_pandas()  # dense fps on purpose
     want = left.to_pandas()[~left.to_pandas()["k"].isin(set(rk))]
     assert sorted(got["k"]) == sorted(want["k"])
+
+
+def test_connected_components_string_nodes(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.components import connected_components
+
+    df = pd.DataFrame({"a": ["x", "y", "q", "m"],
+                       "b": ["y", "z", "x", "m"]})
+    got = connected_components(rd.from_pandas(df), "a", "b")
+    lbl = dict(zip(got["node"], got["component"]))
+    # {x,y,z,q} one component labeled by lexicographic min 'q'; {m} alone
+    assert lbl == {"m": "m", "q": "q", "x": "q", "y": "q", "z": "q"}
