@@ -1350,3 +1350,19 @@ def test_connected_components_string_nodes(ray_session):
     lbl = dict(zip(got["node"], got["component"]))
     # {x,y,z,q} one component labeled by lexicographic min 'q'; {m} alone
     assert lbl == {"m": "m", "q": "q", "x": "q", "y": "q", "z": "q"}
+
+
+def test_json_field_all_null_and_chunked():
+    import pyarrow as pa
+
+    from ict_log_parser_ray.functions.json_ops import (json_field,
+                                                       json_int_field)
+
+    allnull = pa.array([None, None], pa.string())
+    assert json_field(allnull, "$.k").to_pylist() == [None, None]
+    assert json_int_field(allnull, "$.k").to_pylist() == [None, None]
+    chunked = pa.chunked_array([pa.array(['{"k": 1}']),
+                                pa.array(['{"k": 2}', None])])
+    assert json_int_field(chunked, "$.k").to_pylist() == [1, 2, None]
+    empty = pa.array([], pa.string())
+    assert len(json_int_field(empty, "$.k")) == 0
