@@ -43,7 +43,12 @@ def json_int_field(arr, path: str) -> pa.Array:
     try:
         return pc.cast(s, pa.int64())
     except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
-        ok = pc.match_substring_regex(s, r"^[+-]?\d+$")
+        # bound the digit run to 18: a 19+-digit literal can overflow
+        # int64 and the final cast would raise, breaking the null-on-
+        # malformed contract.  (18 digits always fit; the few in-range
+        # 19-digit values < 2^63 are nulled too — documented trade for a
+        # loop-free exact bound.)
+        ok = pc.match_substring_regex(s, r"^[+-]?\d{1,18}$")
         return pc.cast(pc.if_else(pc.fill_null(ok, False), s,
                                   pa.scalar(None, pa.string())),
                        pa.int64())

@@ -32,13 +32,17 @@ def _gq_part(p: int, refs, key: str, val: str,
     """Exact per-group disc quantiles for one hash partition: every row
     of a group lands here, so one lexsort + segment-offset indexing reads
     each group's quantiles off its sorted slice."""
-    tbls = [t.filter(pc.equal(t["part"], p)) for t in ray.get(refs)]
-    t = pa.concat_tables(tbls).combine_chunks()
-    cols = {key: pa.array([], t[key].type if t.num_rows else pa.string()),
+    # zero-row input blocks skip the tagging UDF and surface with the
+    # ORIGINAL schema (no "part" column) — or unconverted; drop them
+    tbls = [t.filter(pc.equal(t["part"], p)) for t in ray.get(refs)
+            if isinstance(t, pa.Table) and "part" in t.schema.names]
+    t = pa.concat_tables(tbls).combine_chunks() if tbls else None
+    cols = {key: pa.array([], t[key].type if t is not None and t.num_rows
+                          else pa.string()),
             "n": pa.array([], pa.int64())}
     for name in qs:
         cols[name] = pa.array([], pa.float64())
-    if t.num_rows == 0:
+    if t is None or t.num_rows == 0:
         return pa.table(cols)
     kdf = t.select([key, val]).to_pandas()
     codes, uniques = pd.factorize(kdf[key], sort=True)

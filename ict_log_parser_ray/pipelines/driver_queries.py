@@ -642,6 +642,15 @@ def e_top_per_user(sf_dir):
     return _i64(out, ["user_id", "event_id", "rk"])
 
 
+def _strat_hash(ids: np.ndarray) -> np.ndarray:
+    """uint64 multiplicative hash, matching e_hash_sample: signed int64
+    would WRAP for event_id ≳ 3.5e9 and diverge from the oracle's exact
+    arithmetic (ADVICE r2)."""
+    with np.errstate(over="ignore"):
+        h = ids.astype(np.uint64) * np.uint64(2654435761)
+    return (h % np.uint64(1 << 32)).astype(np.int64)
+
+
 def e_stratified_sample(sf_dir):
     """Deterministic stratified sample (the per-group eval-set carve-out of
     a training-data pipeline): for each event_type keep the N=20 events
@@ -658,12 +667,8 @@ def e_stratified_sample(sf_dir):
     ds = read_table(sf_dir, "events",
                     columns=["event_type", "event_id", "value"])
 
-    def _hash(ids: np.ndarray) -> np.ndarray:
-        return (ids.astype(np.int64) * np.int64(2654435761)) \
-            % np.int64(1 << 32)
-
     def partial(df):
-        df = df.assign(hkey=_hash(df["event_id"].to_numpy()))
+        df = df.assign(hkey=_strat_hash(df["event_id"].to_numpy()))
         return (df.sort_values(["hkey", "event_id"], kind="stable")
                 .groupby("event_type", sort=False).head(20))
 
@@ -1517,10 +1522,12 @@ def e_daily_active(sf_dir):
 
     @ray.remote
     def count_part(p, refs):
+        # zero-row blocks bypass the tagging UDF (no "part" column) — skip
         tbls = [t.filter(pc.equal(t["part"], p)).drop_columns(["part"])
-                for t in ray.get(refs)]
-        t = pa.concat_tables(tbls)
-        if t.num_rows == 0:
+                for t in ray.get(refs)
+                if isinstance(t, pa.Table) and "part" in t.schema.names]
+        t = pa.concat_tables(tbls) if tbls else None
+        if t is None or t.num_rows == 0:
             return pa.table({"day": pa.array([], pa.string()),
                              "n_users": pa.array([], pa.int64())})
         u = t.to_pandas().drop_duplicates(["day", "user_id"])

@@ -41,7 +41,13 @@ def _key64(col) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if pa.types.is_integer(col.type):
-        return col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        # fill nulls FIRST: a null-bearing int column converts to float64
+        # (NaN slots), silently rounding valid |v| > 2^53 keys — the two
+        # sides would then hash the same key differently (bloom false
+        # negatives the exact verify never re-checks).  The 0 fill value
+        # itself is masked out by the caller's validity mask.
+        return (pc.fill_null(col, 0).to_numpy(zero_copy_only=False)
+                .astype(np.uint64))
     from .join import _pl_hash64
 
     return _pl_hash64(col).astype(np.uint64)

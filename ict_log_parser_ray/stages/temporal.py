@@ -47,6 +47,18 @@ def _col_np(tbl: pa.Table, name: str) -> np.ndarray:
     return out
 
 
+def _tagged(refs, p: int) -> list[pa.Table]:
+    """Blocks of hash partition ``p`` from tagged block refs.  Ray passes
+    ZERO-ROW input blocks through ``map_batches`` WITHOUT calling the
+    tagging UDF (the repo's documented trap), so a block can surface with
+    the ORIGINAL schema (no "part" column) — or even unconverted (pandas)
+    when the source was ``from_pandas``.  Those carry no rows by
+    construction; skip them instead of raising KeyError."""
+    return [t.filter(pc.equal(t["part"], p))
+            for t in ray.get(refs)
+            if isinstance(t, pa.Table) and "part" in t.schema.names]
+
+
 def prepare_asof_side(right: pa.Table, by: str, on: str) -> tuple:
     """Driver-side prep of the broadcast side: sort by (by, on), require
     unique (by, on) rows (dedupe upstream — ties would make the join
@@ -113,22 +125,25 @@ def asof_join_broadcast(left_ds, right: pa.Table, by: str, on: str,
 
 @ray.remote
 def _asof_part(p: int, left_refs, right_refs, by: str, on: str,
-               attach: dict[str, str]):
+               attach: dict[str, str], out_schema: pa.Schema):
     """Sort-merge one hash partition of a big-big as-of join: every row of
     a ``by`` key lands in exactly one partition, so the per-partition
     result equals the global one.  Returns an ObjectRef-able table (the
-    driver never sees the rows — from_arrow_refs re-wraps them)."""
-    lt = pa.concat_tables([t.filter(pc.equal(t["part"], p))
-                           .drop_columns(["part"])
-                           for t in ray.get(left_refs)]).combine_chunks()
-    rt = pa.concat_tables([t.filter(pc.equal(t["part"], p))
-                           .drop_columns(["part"])
-                           for t in ray.get(right_refs)]).combine_chunks()
-    if lt.num_rows == 0 or rt.num_rows == 0:
-        # no left rows, or no right rows to match (all-null attach)
+    driver never sees the rows — from_arrow_refs re-wraps them).
+    ``out_schema`` (driver-built from both input schemas) keeps every
+    partition's output schema identical even when one side has no tagged
+    blocks at all (fully-empty input)."""
+    lt_b = [t.drop_columns(["part"]) for t in _tagged(left_refs, p)]
+    rt_b = [t.drop_columns(["part"]) for t in _tagged(right_refs, p)]
+    lt = pa.concat_tables(lt_b).combine_chunks() if lt_b else None
+    rt = pa.concat_tables(rt_b).combine_chunks() if rt_b else None
+    if lt is None or lt.num_rows == 0:
+        return out_schema.empty_table()
+    if rt is None or rt.num_rows == 0:
+        # no right rows to match — all-null attach columns
         for src, dst in attach.items():
-            lt = lt.append_column(dst,
-                                  pa.nulls(lt.num_rows, rt[src].type))
+            lt = lt.append_column(
+                dst, pa.nulls(lt.num_rows, out_schema.field(dst).type))
         return lt
     side = prepare_asof_side(rt, by, on)
     return _asof_probe(lt, side, by, on, attach)
@@ -168,13 +183,20 @@ def asof_join_partitioned(left_ds, right_ds, by: str, on: str,
     lcols = list(dict.fromkeys([by, on] + [c for c in lcols
                                            if c not in (by, on)]))
     rcols = list(dict.fromkeys([by, on] + list(attach)))
+    lsch, rsch = left_ds.schema(), right_ds.schema()
+    ltypes = dict(zip(lsch.names, lsch.types))
+    rtypes = dict(zip(rsch.names, rsch.types))
+    out_schema = pa.schema(
+        [pa.field(c, ltypes[c]) for c in lcols]
+        + [pa.field(dst, rtypes[src]) for src, dst in attach.items()])
     ln = left_ds.map_batches(tagger(lcols), batch_format="pyarrow",
                              zero_copy_batch=True).materialize()
     rn = right_ds.map_batches(tagger(rcols), batch_format="pyarrow",
                               zero_copy_batch=True).materialize()
     left_refs, right_refs = ln.to_arrow_refs(), rn.to_arrow_refs()
     import ray.data as rd
-    refs = [_asof_part.remote(p, left_refs, right_refs, by, on, attach)
+    refs = [_asof_part.remote(p, left_refs, right_refs, by, on, attach,
+                              out_schema)
             for p in range(nparts)]
     return rd.from_arrow_refs(refs)
 
@@ -272,22 +294,22 @@ def sliding_window_count(ds, on: str, key: str, slide_us: int,
 
 @ray.remote
 def _ijoin_part(p: int, left_refs, right_refs, on: str,
-                attach: dict[str, str]) -> pa.Table:
+                attach: dict[str, str], out_schema: pa.Schema) -> pa.Table:
     """Join one bucket-hash partition of a big-big interval join.  Each
     left row lives in exactly ONE bucket and an interval is probed only
     against the left segment of each bucket it covers, so every matched
     (row, interval) pair is emitted exactly once even though intervals
-    explode across buckets."""
-    lt = pa.concat_tables([t.filter(pc.equal(t["part"], p))
-                           .drop_columns(["part"])
-                           for t in ray.get(left_refs)]).combine_chunks()
-    rt = pa.concat_tables([t.filter(pc.equal(t["part"], p))
-                           .drop_columns(["part"])
-                           for t in ray.get(right_refs)]).combine_chunks()
+    explode across buckets.  ``out_schema`` (driver-built) keeps every
+    partition's output identical even when a side has no tagged blocks
+    (fully-empty input — zero-row blocks bypass the tagging UDF)."""
+    lt_b = [t.drop_columns(["part"]) for t in _tagged(left_refs, p)]
+    rt_b = [t.drop_columns(["part"]) for t in _tagged(right_refs, p)]
+    empty = out_schema.empty_table()
+    if not lt_b or not rt_b:
+        return empty
+    lt = pa.concat_tables(lt_b).combine_chunks()
+    rt = pa.concat_tables(rt_b).combine_chunks()
     base = lt.drop_columns(["bucket"])
-    empty = base.slice(0, 0)
-    for src, dst in attach.items():
-        empty = empty.append_column(dst, pa.nulls(0, rt[src].type))
     if lt.num_rows == 0 or rt.num_rows == 0:
         return empty
     lb = _col_np(lt, "bucket")
@@ -393,6 +415,14 @@ def interval_join_partitioned(left_ds, right_ds, on: str, start: str,
             cols[src] = pc.take(b[src], idx)
         return pa.table(cols)
 
+    lsch, rsch = left_ds.schema(), right_ds.schema()
+    ltypes = dict(zip(lsch.names, lsch.types))
+    rtypes = dict(zip(rsch.names, rsch.types))
+    out_cols = list(dict.fromkeys(
+        [on] + (left_cols if left_cols is not None else list(lsch.names))))
+    out_schema = pa.schema(
+        [pa.field(c, ltypes[c]) for c in out_cols]
+        + [pa.field(dst, rtypes[src]) for src, dst in attach.items()])
     ln = left_ds.map_batches(tag_left, batch_format="pyarrow",
                              zero_copy_batch=True).materialize()
     rn = right_ds.map_batches(explode_right, batch_format="pyarrow",
@@ -400,7 +430,7 @@ def interval_join_partitioned(left_ds, right_ds, on: str, start: str,
     left_refs, right_refs = ln.to_arrow_refs(), rn.to_arrow_refs()
     import ray.data as rd
     return rd.from_arrow_refs([
-        _ijoin_part.remote(p, left_refs, right_refs, on, attach)
+        _ijoin_part.remote(p, left_refs, right_refs, on, attach, out_schema)
         for p in range(nparts)])
 
 
@@ -411,9 +441,9 @@ def _session_part(p: int, refs, key: str, ts: str, idc: str,
     whose gap to the previous same-key row exceeds ``gap_us``, segment by
     cumulative boundary count, and reduce each segment to one session
     row — all numpy, no per-row Python."""
-    tbls = [t.filter(pc.equal(t["part"], p)) for t in ray.get(refs)]
-    t = pa.concat_tables(tbls).combine_chunks()
-    if t.num_rows == 0:
+    tbls = _tagged(refs, p)
+    t = pa.concat_tables(tbls).combine_chunks() if tbls else None
+    if t is None or t.num_rows == 0:
         return pa.table({key: pa.array([], pa.int64()),
                          "session_start": pa.array([], pa.int64()),
                          "session_end": pa.array([], pa.int64()),
@@ -477,9 +507,9 @@ def sessionize_partitioned(ds, key: str, ts: str, idc: str,
 
 @ray.remote
 def _running_part(p: int, refs, key: str, ts: str, idc: str, val: str):
-    tbls = [t.filter(pc.equal(t["part"], p)) for t in ray.get(refs)]
-    t = pa.concat_tables(tbls).combine_chunks()
-    if t.num_rows == 0:
+    tbls = _tagged(refs, p)
+    t = pa.concat_tables(tbls).combine_chunks() if tbls else None
+    if t is None or t.num_rows == 0:
         return pa.table({idc: pa.array([], pa.int64()),
                          key: pa.array([], pa.int64()),
                          "rn": pa.array([], pa.int64()),

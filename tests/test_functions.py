@@ -1366,3 +1366,67 @@ def test_json_field_all_null_and_chunked():
     assert json_int_field(chunked, "$.k").to_pylist() == [1, 2, None]
     empty = pa.array([], pa.string())
     assert len(json_int_field(empty, "$.k")) == 0
+
+
+# ------------------- ADVICE r2 regression fixes ---------------------------
+
+def test_bloom_key64_nulls_do_not_corrupt_big_int_keys():
+    """A null-bearing int64 column must hash VALID |v| > 2^53 keys
+    identically to a null-free column: to_numpy on a nullable int column
+    yields float64, which rounds big ints before the uint64 cast (bloom
+    false negatives the exact verify never re-checks)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ict_log_parser_ray.stages.bloom import _key64
+
+    big = (1 << 60) + 123456789  # not representable in float64
+    with_null = pa.array([big, None, 7], pa.int64())
+    no_null = pa.array([big, 0, 7], pa.int64())
+    a, b = _key64(with_null), _key64(no_null)
+    assert a.dtype == np.uint64
+    assert a[0] == b[0] == np.uint64(big)
+    assert a[2] == b[2] == np.uint64(7)
+
+
+def test_bloom_semi_join_big_keys_with_nulls(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ict_log_parser_ray.stages.bloom import bloom_semi_join
+
+    big = (1 << 60) + 123456789
+    left = rd.from_arrow(pa.table(
+        {"k": pa.array([big, None, big + 2, 5], pa.int64())}))
+    right = rd.from_arrow(pa.table(
+        {"rk": pa.array([big, 5], pa.int64())}))
+    got = bloom_semi_join(left, right, "k", "rk",
+                          nbits=1 << 12, k=3).to_pandas()
+    assert sorted(got["k"]) == [5, big]
+
+
+def test_json_int_field_overflow_is_null_not_exception():
+    import pyarrow as pa
+
+    from ict_log_parser_ray.functions.json_ops import json_int_field
+
+    arr = pa.array(['{"k": 12345678901234567890123}',   # > int64, 23 digits
+                    '{"k": 42}', '{"k": "xyz"}', None])
+    out = json_int_field(arr, "$.k")
+    assert out.to_pylist() == [None, 42, None, None]
+
+
+def test_stratified_hash_unsigned_no_wrap():
+    """e_stratified_sample's multiplicative hash must match the SQL
+    oracle's exact (non-wrapping) arithmetic for ids big enough to wrap
+    signed int64 multiplication (ADVICE r2)."""
+    import numpy as np
+
+    from ict_log_parser_ray.pipelines.driver_queries import _strat_hash
+
+    ids = np.array([1, 3_500_000_000, 2**40], dtype=np.int64)
+    got = _strat_hash(ids)
+    # Python big-int reference = what DuckDB computes exactly
+    want = [(int(i) * 2654435761) % (1 << 32) for i in ids]
+    assert got.tolist() == want
+    assert (got >= 0).all()

@@ -350,3 +350,84 @@ def test_interval_join_partitioned_empty_and_degenerate(ray_session):
                                     attach={"wid": "wid"}, bucket_us=8,
                                     nparts=4).to_pandas()
     assert sorted(zip(out["id"], out["wid"])) == [(1, 1)]
+
+
+def test_partition_tasks_survive_zero_row_blocks(ray_session):
+    """Ray passes zero-row input blocks through map_batches WITHOUT
+    calling the tagging UDF, so partition tasks see blocks with the
+    ORIGINAL schema (no "part" column).  Every partitioned temporal op
+    must skip those instead of raising KeyError (ADVICE r2, medium)."""
+    import ray.data as rd
+
+    from ict_log_parser_ray.stages.temporal import (
+        asof_join_partitioned, interval_join_partitioned,
+        running_sum_partitioned, sessionize_partitioned)
+
+    lt = pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "ts": pa.array([10, 20, 5], pa.int64()),
+        "v": pa.array([1.0, 2.0, 3.0], pa.float64()),
+    })
+    empty = lt.slice(0, 0)
+    left = rd.from_arrow([lt, empty, empty])          # 2 zero-row blocks
+    rt = pa.table({"k": pa.array([1], pa.int64()),
+                   "ts": pa.array([8], pa.int64()),
+                   "rv": pa.array([99], pa.int64())})
+    right = rd.from_arrow([rt, rt.slice(0, 0)])
+
+    out = asof_join_partitioned(left, right, by="k", on="ts",
+                                attach={"rv": "rv"}, nparts=4).to_pandas()
+    out = out.sort_values("id").reset_index(drop=True)
+    assert out["rv"].tolist()[:2] == [99, 99] and pd.isna(out["rv"].iloc[2])
+
+    w = pa.table({"ws": pa.array([0], pa.int64()),
+                  "we": pa.array([15], pa.int64()),
+                  "wid": pa.array([7], pa.int64())})
+    ij = interval_join_partitioned(
+        left, rd.from_arrow([w, w.slice(0, 0)]), on="ts", start="ws",
+        end="we", attach={"wid": "wid"}, bucket_us=8, nparts=4).to_pandas()
+    assert sorted(zip(ij["id"], ij["wid"])) == [(1, 7), (3, 7)]
+
+    rs = running_sum_partitioned(left, key="k", ts="ts", idc="id",
+                                 val="v", nparts=4).to_pandas()
+    assert rs.sort_values(["k", "rn"])["run_sum"].tolist() == \
+        [1.0, 3.0, 3.0]
+
+    ses = sessionize_partitioned(left, key="k", ts="ts", idc="id",
+                                 gap_us=100, nparts=4).to_pandas()
+    assert len(ses) == 2 and ses["n_events"].sum() == 3
+
+
+def test_partition_tasks_fully_empty_input(ray_session):
+    """All-zero-row input: no block ever gets tagged; the partition tasks
+    must still return consistent (empty) schemas."""
+    import ray.data as rd
+
+    from ict_log_parser_ray.stages.temporal import (
+        asof_join_partitioned, interval_join_partitioned)
+
+    lt = pa.table({
+        "id": pa.array([], pa.int64()),
+        "k": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.int64()),
+    })
+    rt = pa.table({"k": pa.array([], pa.int64()),
+                   "ts": pa.array([], pa.int64()),
+                   "rv": pa.array([], pa.int64())})
+    left, right = rd.from_arrow(lt), rd.from_arrow(rt)
+    out = asof_join_partitioned(left, right, by="k", on="ts",
+                                attach={"rv": "rv"}, nparts=3)
+    # empty Datasets drop columns through to_pandas (documented Ray
+    # quirk) — assert on the block schema, which is what downstream
+    # from_arrow_refs consumers see
+    assert out.count() == 0 and "rv" in out.schema().names
+
+    w = pa.table({"ws": pa.array([], pa.int64()),
+                  "we": pa.array([], pa.int64()),
+                  "wid": pa.array([], pa.int64())})
+    ij = interval_join_partitioned(left, rd.from_arrow(w), on="ts",
+                                   start="ws", end="we",
+                                   attach={"wid": "wid"}, bucket_us=8,
+                                   nparts=3)
+    assert ij.count() == 0 and "wid" in ij.schema().names
