@@ -2195,68 +2195,83 @@ def build_queries() -> dict:
         "t_test_series": t_test_series,
         "t_text_identity": t_text_identity,
         "t_failed_boards": t_failed_boards,
-        # driver tables
-        "e_hourly": e_hourly,
-        "e_pareto": e_pareto,
-        "e_user_first_last": e_user_first_last,
-        "e_topk": e_topk,
-        "e_window": e_window,
-        "e_point_lookup": e_point_lookup,
-        "q1_lineitem": q1_lineitem,
-        "d_token_counts": d_token_counts,
-        "d_token_percentiles": d_token_percentiles,
-        "d_top_tokens": d_top_tokens,
-        "d_tfidf_top_terms": d_tfidf_top_terms,
-        "e_value_quantiles": e_value_quantiles,
-        "q_nation_revenue": q_nation_revenue,
-        "q_priority_revenue": q_priority_revenue,
-        "q_semi_bloom": q_semi_bloom,
-        "q_anti_bloom": q_anti_bloom,
-        "q_anti_bloom_big": q_anti_bloom_big,
-        "q_cube_revenue": q_cube_revenue,
-        "e_value_corr": e_value_corr,
-        "e_retention": e_retention,
-        "e_share": e_share,
-        "e_props_extract": e_props_extract,
-        "emb_kmeans": emb_kmeans,
-        "d_top_tokens_approx": d_top_tokens_approx,
-        "e_global_rank": e_global_rank,
-        "e_funnel": e_funnel,
-        "e_user_chain": e_user_chain,
-        "q_region_brand_revenue": q_region_brand_revenue,
-        "d_lang_eval": d_lang_eval,
-        "e_mode_hour": e_mode_hour,
-        "e_daily_active": e_daily_active,
-        "e_distinct_users_approx": e_distinct_users_approx,
+        # ------------------------------------------------------------------
+        # The driver value-checks the FIRST 50 insertion-order keys only
+        # (CORRECTNESS_r{N}.json); slots 19-50 therefore rotate in the 20
+        # oracle-backed queries that had no external green row through
+        # round 2 (VERDICT r2 item 1).  Everything below stays covered by
+        # tests/test_driver_oracle.py regardless of position.
+        # ------------------------------------------------------------------
+        # round-2's never-driver-checked oracle-backed set (slots 19-38)
         "d_char_stats": d_char_stats,
         "d_exact_dups": d_exact_dups,
+        "d_quality": d_quality,
+        "d_minhash_pairs": d_minhash_pairs,
+        "d_dup_clusters": d_dup_clusters,
+        "d_dedup_keep": d_dedup_keep,
         "emb_knn": emb_knn,
         "emb_knn_ivf_full": emb_knn_ivf_full,
         "emb_near_dups_exact": emb_near_dups_exact,
-        "d_quality": d_quality,
         "media_digest": media_digest_q,
         "e_hash_sample": e_hash_sample,
         "e_stratified_sample": e_stratified_sample,
         "e_asof": e_asof,
+        "e_asof_big": e_asof_big,
         "e_rolling": e_rolling,
         "e_window_join": e_window_join,
+        "e_window_join_big": e_window_join_big,
         "e_sliding": e_sliding,
-        "e_asof_big": e_asof_big,
         "e_sessions": e_sessions,
         "e_top_per_user": e_top_per_user,
-        "e_window_join_big": e_window_join_big,
+        # slots 39-50: a diverse already-green dozen (one per operator
+        # family) keeps the flagship + join + rollup + sketch-twin paths
+        # under continuous external check
+        "q1_lineitem": q1_lineitem,
+        "e_hourly": e_hourly,
+        "e_user_first_last": e_user_first_last,
+        "q_priority_revenue": q_priority_revenue,
+        "q_anti_bloom_big": q_anti_bloom_big,
+        "q_cube_revenue": q_cube_revenue,
+        "e_value_corr": e_value_corr,
+        "d_tfidf_top_terms": d_tfidf_top_terms,
+        "e_daily_active": e_daily_active,
+        "e_funnel": e_funnel,
+        "e_retention": e_retention,
+        "e_global_rank": e_global_rank,
+        # --------------------- past the driver's 50-cap -------------------
+        # (all still value-checked in-repo by tests/test_driver_oracle.py)
+        "e_pareto": e_pareto,
+        "e_topk": e_topk,
+        "e_window": e_window,
+        "e_point_lookup": e_point_lookup,
+        "d_token_counts": d_token_counts,
+        "d_token_percentiles": d_token_percentiles,
+        "d_top_tokens": d_top_tokens,
+        "e_value_quantiles": e_value_quantiles,
+        "q_nation_revenue": q_nation_revenue,
+        "q_semi_bloom": q_semi_bloom,
+        "q_anti_bloom": q_anti_bloom,
+        "e_share": e_share,
+        "e_props_extract": e_props_extract,
+        "e_user_chain": e_user_chain,
+        "q_region_brand_revenue": q_region_brand_revenue,
+        "d_lang_eval": d_lang_eval,
+        "e_mode_hour": e_mode_hour,
         # rows-only (non-SQL-expressible)
+        "emb_kmeans": emb_kmeans,
+        "d_top_tokens_approx": d_top_tokens_approx,
+        "e_distinct_users_approx": e_distinct_users_approx,
         "e_sample": e_sample,
         "e_value_quantiles_approx": e_value_quantiles_approx,
         "emb_knn_ivf": emb_knn_ivf,
         "emb_near_dups": emb_near_dups,
         "d_analysis": d_analysis,
-        "d_minhash_pairs": d_minhash_pairs,
-        "d_dup_clusters": d_dup_clusters,
-        "d_dedup_keep": d_dedup_keep,
         "d_simhash": d_simhash,
         "media_features": media_features,
     }
+    first50 = list(q)[:50]
+    assert len(q) == 77 and all(n in build_oracles() for n in first50), \
+        "driver checks only the first 50 keys — keep them oracle-backed"
     return q
 
 
