@@ -1430,3 +1430,74 @@ def test_stratified_hash_unsigned_no_wrap():
     want = [(int(i) * 2654435761) % (1 << 32) for i in ids]
     assert got.tolist() == want
     assert (got >= 0).all()
+
+
+def test_minhash_signatures_batch_bit_exact():
+    """signatures_batch (exploded-stream segment-min) must equal the
+    per-document signature() loop bit-for-bit (VERDICT r2 item 4)."""
+    import numpy as np
+
+    from ict_log_parser_ray.functions.dedup_docs import MinHasher
+
+    mh = MinHasher(num_perm=32, bands=8)
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "the quick brown fox jumped over the lazy dog",
+             "", "a", "completely different text about ray data",
+             "  Whitespace   Normalized\ttext  ", "ab", None]
+    got = mh.signatures_batch(texts)
+    want = np.stack([mh.signature(t or "") for t in texts])
+    assert got.dtype == np.uint64
+    assert (got == want).all()
+
+
+def test_simhash_partitioned_pairs_match_reference(ray_session):
+    """The hash-partitioned pair-task rewrite must produce the same
+    (pair, min-hamming) set as an independent single-process reference
+    (VERDICT r2 item 2: no groupby(band_key).map_groups left)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.dedup_docs import (
+        SimHasher, simhash_candidate_pairs)
+
+    rng = np.random.default_rng(5)
+    base = ["alpha beta gamma delta epsilon zeta eta theta",
+            "one two three four five six seven eight nine ten",
+            "lorem ipsum dolor sit amet consectetur adipiscing elit"]
+    texts, ids = [], []
+    for i in range(120):
+        t = base[i % 3]
+        words = t.split()
+        if i % 4 == 0:  # perturb one word → near-dup
+            words[rng.integers(0, len(words))] = f"w{i}"
+        texts.append(" ".join(words))
+        ids.append(i)
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts)})
+    ds = rd.from_arrow([tbl.slice(0, 40), tbl.slice(40, 40),
+                        tbl.slice(80, 40), tbl.slice(0, 0)])
+    got = simhash_candidate_pairs(ds, max_hamming=8).to_pandas()
+    got_set = {(a, b): h for a, b, h in
+               zip(got["doc_a"], got["doc_b"], got["hamming"])}
+
+    # independent reference: same banding + bucket-pair + hamming rules
+    sh = SimHasher()
+    sims = sh._simhash_batch(pd.Series(texts)) \
+        & np.uint64(0x7FFF_FFFF_FFFF_FFFF)
+    want = {}
+    for band in range(4):
+        buckets = {}
+        for i, s in zip(ids, sims):
+            bv = (int(s) >> (16 * band)) & 0xFFFF
+            buckets.setdefault(bv, []).append(i)
+        for members in buckets.values():
+            ms = sorted(set(members))
+            for x in range(len(ms)):
+                for y in range(x + 1, len(ms)):
+                    d = bin(int(sims[ms[x]]) ^ int(sims[ms[y]])).count("1")
+                    if d <= 8:
+                        key = (ms[x], ms[y])
+                        want[key] = min(want.get(key, 99), d)
+    assert got_set == want
