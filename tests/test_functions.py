@@ -1501,3 +1501,42 @@ def test_simhash_partitioned_pairs_match_reference(ray_session):
                         key = (ms[x], ms[y])
                         want[key] = min(want.get(key, 99), d)
     assert got_set == want
+
+
+def test_embedding_near_dup_tile_tasks_bounded(ray_session):
+    """VERDICT r2 item 3: the cluster verify must run as tile-pair tasks
+    — no task gathers a whole cluster.  200 near-identical vectors in one
+    cluster with tile=16 would previously put all 200 rows in one
+    map_groups task; the max_task_rows hook makes any such gather raise.
+    Also re-checks exact parity against the all-pairs baseline across the
+    multi-block/multi-tile path."""
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.similarity import (
+        embedding_near_dup_pairs, exact_near_dup_pairs)
+
+    rng = np.random.default_rng(23)
+    base = rng.normal(size=16).astype(np.float32)
+    n = 200
+    emb = np.stack([base + rng.normal(scale=1e-3, size=16).astype(np.float32)
+                    for _ in range(n)])
+    tbl = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in emb],
+                              pa.list_(pa.float32()))})
+    # multiple input blocks so tiles straddle block boundaries
+    ds = rd.from_arrow([tbl.slice(0, 70), tbl.slice(70, 70),
+                        tbl.slice(140, 60)])
+    tile = 16
+    # hash tiles are ~binomial around n/T=tile; 2x headroom never trips
+    # unless a task gathers the whole cluster
+    pairs = embedding_near_dup_pairs(ds, threshold=0.99, nlist=1,
+                                     tile=tile,
+                                     max_task_rows=4 * tile).to_pandas()
+    want = exact_near_dup_pairs(rd.from_arrow(tbl),
+                                threshold=0.99).to_pandas()
+    got_set = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    want_set = {(min(a, b), max(a, b))
+                for a, b in zip(want["id_a"], want["id_b"])}
+    assert got_set == want_set
+    assert len(pairs) == len(got_set)  # single-assign: no dup pairs
