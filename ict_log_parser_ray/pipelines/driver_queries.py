@@ -556,6 +556,15 @@ def e_user_first_last(sf_dir):
         ts_us = pc.utf8_lpad(
             pc.fill_null(pc.cast(pc.cast(b["ts"], pa.int64()), pa.string()),
                          "9" * 20), 20, padding="0")
+        # width guard: an event_id outside [0, 10^12) would silently
+        # corrupt the packed ordering (VERDICT r2 item 7)
+        if b.num_rows:
+            mx = pc.max(b["event_id"]).as_py()
+            mn = pc.min(b["event_id"]).as_py()
+            if mx is not None and (mx >= 10 ** 12 or mn < 0):
+                raise ValueError(
+                    f"event_id out of packable range [0, 1e12): min={mn} "
+                    f"max={mx} — widen the pack in e_user_first_last")
         eid = pc.utf8_lpad(
             pc.fill_null(pc.cast(b["event_id"], pa.string()), ""), 12,
             padding="0")
@@ -681,6 +690,22 @@ def e_stratified_sample(sf_dir):
     out = (cand.sort_values(["event_type", "rn"])
            .reset_index(drop=True)[["event_type", "event_id", "value", "rn"]])
     return _i64(out, ["event_id", "rn"])
+
+
+def d_weighted_sample(sf_dir):
+    """Length-weighted document sample (training-data mixing): the 30
+    docs with the smallest sequential-Poisson priority
+    ``(hash32(doc_id) << 32) // n_chars`` — weight-proportional in
+    expectation, and EXACT integer arithmetic end-to-end so the SQL
+    oracle reproduces the row set bit-for-bit (the float-pow
+    Efraimidis–Spirakis variant is the documented tfidf oracle trap).
+    Per-batch bottom-k partial + driver re-cut (proven-subset
+    property); see functions/sampling.py."""
+    from ..functions.sampling import weighted_bottom_k
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    df = weighted_bottom_k(ds, "doc_id", "n_chars", k=30)
+    return _i64(df, ["doc_id", "n_chars", "rn"])
 
 
 def e_window(sf_dir):
@@ -2223,7 +2248,9 @@ def build_queries() -> dict:
         "e_sliding": e_sliding,
         "e_sessions": e_sessions,
         "e_top_per_user": e_top_per_user,
-        # slots 39-50: a diverse already-green dozen (one per operator
+        # new this round — needs its first external green row
+        "d_weighted_sample": d_weighted_sample,
+        # slots 40-50: a diverse already-green set (one per operator
         # family) keeps the flagship + join + rollup + sketch-twin paths
         # under continuous external check
         "q1_lineitem": q1_lineitem,
@@ -2237,9 +2264,9 @@ def build_queries() -> dict:
         "e_daily_active": e_daily_active,
         "e_funnel": e_funnel,
         "e_retention": e_retention,
-        "e_global_rank": e_global_rank,
         # --------------------- past the driver's 50-cap -------------------
         # (all still value-checked in-repo by tests/test_driver_oracle.py)
+        "e_global_rank": e_global_rank,
         "e_pareto": e_pareto,
         "e_topk": e_topk,
         "e_window": e_window,
@@ -2270,7 +2297,7 @@ def build_queries() -> dict:
         "media_features": media_features,
     }
     first50 = list(q)[:50]
-    assert len(q) == 77 and all(n in build_oracles() for n in first50), \
+    assert len(q) == 78 and all(n in build_oracles() for n in first50), \
         "driver checks only the first 50 keys — keep them oracle-backed"
     return q
 
@@ -2669,6 +2696,19 @@ SELECT event_type, event_id, value, rn FROM (
            ORDER BY (event_id * 2654435761) % 4294967296, event_id) AS rn
   FROM events)
 WHERE rn <= 20
+""",
+        # sequential-Poisson priority in exact HUGEINT arithmetic: the
+        # `//` integer division mirrors numpy's uint64 floor division
+        "d_weighted_sample": """
+SELECT doc_id, n_chars, rn FROM (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY
+           (CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296
+                 AS HUGEINT) * 4294967296)
+             // GREATEST(COALESCE(n_chars, 1), 1),
+           doc_id) AS rn
+  FROM documents)
+WHERE rn <= 30
 """,
         "e_asof": """
 WITH clicks AS (

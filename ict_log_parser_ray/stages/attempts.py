@@ -62,6 +62,16 @@ def _attempt_rows(batch: pa.Table) -> pa.Table:
     # object blocks (observed), and Min/Max silently downcast timestamp[us]
     # to [s]; int64 keeps blocks Arrow-native and lossless.
     ts_us = pc.cast(b["start_ts"], pa.int64())
+    # width guard: a turn_idx outside [0, 10^12) would silently corrupt
+    # the zero-padded MAX ordering (13 digits overflow the pad; a minus
+    # sign sorts before digits).  Fail loudly instead (VERDICT r2 item 7).
+    if b.num_rows:
+        mx = pc.max(b["turn_idx"]).as_py()
+        mn = pc.min(b["turn_idx"]).as_py()
+        if mx is not None and (mx >= 10 ** 12 or mn < 0):
+            raise ValueError(
+                f"turn_idx out of packable range [0, 1e12): min={mn} "
+                f"max={mx} — widen the pack in _attempt_rows")
     turn_pad = pc.utf8_lpad(pc.cast(b["turn_idx"], pa.string()), 12,
                             padding="0")
 

@@ -1540,3 +1540,100 @@ def test_embedding_near_dup_tile_tasks_bounded(ray_session):
                 for a, b in zip(want["id_a"], want["id_b"])}
     assert got_set == want_set
     assert len(pairs) == len(got_set)  # single-assign: no dup pairs
+
+
+def test_pack_width_guards_raise_on_oversized_ids(ray_session, tmp_path):
+    """VERDICT r2 item 7: >12-digit (or negative) ids must fail loudly
+    instead of silently mis-sorting the fixed-width packs."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import pytest
+
+    from ict_log_parser_ray.pipelines.driver_queries import e_user_first_last
+    from ict_log_parser_ray.stages.attempts import _attempt_rows
+
+    # attempts pack: oversized turn_idx
+    batch = pa.table({
+        "conv_id": pa.array(["c1"]), "tool": pa.array(["t"]),
+        "record_type": pa.array(["header"]),
+        "turn_idx": pa.array([10 ** 12], pa.int64()),
+        "serial": pa.array(["s"]), "panel_serial": pa.array(["p"]),
+        "board_index": pa.array([1], pa.int64()),
+        "status": pa.array(["0"]),
+        "start_ts": pa.array([pd.Timestamp("2024-01-01")],
+                             pa.timestamp("us")),
+    })
+    with pytest.raises(ValueError, match="turn_idx out of packable"):
+        _attempt_rows(batch)
+
+    # e_user_first_last pack: oversized event_id
+    ev = pa.table({
+        "user_id": pa.array([1, 1], pa.int64()),
+        "event_id": pa.array([5, 10 ** 12], pa.int64()),
+        "event_type": pa.array(["a", "b"]),
+        "ts": pa.array(pd.to_datetime(["2024-01-01", "2024-01-02"]),
+                       pa.timestamp("us")),
+    })
+    pq.write_table(ev, tmp_path / "events.parquet")
+    with pytest.raises(Exception, match="event_id out of packable"):
+        e_user_first_last(str(tmp_path))
+
+
+def test_kmeans_fixed_seed_centroid_golden(ray_session):
+    """VERDICT r2 item 8: a hardcoded fixed-seed centroid golden so a
+    numeric drift in the blob partials (tobytes/frombuffer round trip,
+    argmin tie-break, partial-sum order) cannot pass silently.  The
+    column-sorted canonical form is layout-invariant (measured 0.0 diff
+    across block splits)."""
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.kmeans import kmeans_fit
+
+    rng = np.random.default_rng(99)
+    centers = rng.normal(size=(3, 4)) * 5
+    vecs = np.concatenate(
+        [c + rng.normal(scale=0.1, size=(100, 4)) for c in centers])
+    tbl = pa.table({
+        "vec_id": pa.array(range(300), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32()))})
+    ds = rd.from_arrow([tbl.slice(0, 120), tbl.slice(120, 120),
+                        tbl.slice(240, 60)])
+    got = np.sort(kmeans_fit(ds, k=3, iters=20, seed=42), axis=0)
+    golden = np.array([
+        [-8.793313274383545, -2.322971088886261, -2.2717682218551634,
+         -2.984881327152252],
+        [-5.236415810585022, 4.659409685134888, 0.2586518475040793,
+         3.429577512741089],
+        [0.3988670787960291, 8.428673343658447, 3.3754908633232117,
+         6.223358845710754]])
+    assert np.allclose(got, golden, atol=1e-9)
+
+
+def test_weighted_sampling_is_weight_proportional(ray_session):
+    """Sequential-Poisson weighted bottom-k: items with 9x the weight
+    must occupy ~90% of the sample (weight-proportional inclusion for
+    k << n), and the partial+re-cut must equal a single-process cut."""
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.sampling import (weighted_bottom_k,
+                                                       weighted_priority)
+
+    n, k = 20_000, 2_000
+    ids = np.arange(n, dtype=np.int64)
+    w = np.where(ids % 2 == 0, 9, 1).astype(np.int64)
+    tbl = pa.table({"doc_id": pa.array(ids), "n_chars": pa.array(w)})
+    ds = rd.from_arrow([tbl.slice(0, 7000), tbl.slice(7000, 7000),
+                        tbl.slice(14000, 6000), tbl.slice(0, 0)])
+    got = weighted_bottom_k(ds, "doc_id", "n_chars", k=k)
+    assert len(got) == k
+    assert got["rn"].tolist() == list(range(1, k + 1))
+
+    # single-process reference: same integer priorities, same ordering
+    q = weighted_priority(ids, w)
+    order = np.lexsort((ids, q))[:k]
+    assert got["doc_id"].tolist() == ids[order].tolist()
+
+    heavy_frac = (got["n_chars"] == 9).mean()
+    # expected = 9/(9+1) = 0.9 of the sample; the hash acts pseudo-random
+    assert 0.85 < heavy_frac < 0.95
