@@ -43,12 +43,17 @@ def _dedup_pinned(parsed_all, keys=("conv_id", "turn_idx")):
     import numpy as np
 
     # duplicate-hash set from the precomputed kh column: zero-copy narrow
-    # scan, one driver np.unique
+    # scan, one driver np.unique.  Zero-row input blocks skip every map
+    # UDF (including parse/add_key_hash) and surface with the RAW source
+    # schema — drop them before the concat.
     khs = parsed_all.map_batches(lambda b: b.select(["kh"]),
                                  batch_format="pyarrow",
                                  zero_copy_batch=True).materialize()
     from ..stages.dedup import dup_values
-    hv = pa.concat_tables(ray.get(khs.to_arrow_refs()))["kh"].to_numpy()
+    kb = [t.select(["kh"]) for t in ray.get(khs.to_arrow_refs())
+          if isinstance(t, pa.Table) and "kh" in t.schema.names]
+    hv = pa.concat_tables(kb)["kh"].to_numpy() if kb \
+        else np.empty(0, np.int64)
     dups = dup_values(hv)
     if len(dups) == 0:
         return parsed_all.map_batches(
@@ -70,7 +75,11 @@ def _dedup_pinned(parsed_all, keys=("conv_id", "turn_idx")):
                                    zero_copy_batch=True)
     coll = parsed_all.map_batches(_dups, batch_format="pyarrow",
                                   zero_copy_batch=True).materialize()
-    tbl = pa.concat_tables(ray.get(coll.to_arrow_refs())).combine_chunks()
+    # same zero-row pass-through guard: keep only blocks the UDF shaped
+    tbl = pa.concat_tables(
+        [t for t in ray.get(coll.to_arrow_refs())
+         if isinstance(t, pa.Table) and "record_type" in t.schema.names
+         and "kh" not in t.schema.names]).combine_chunks()
     df = (tbl.to_pandas().sort_values(keys, kind="stable")
           .drop_duplicates(subset=keys, keep="first"))
     deduped = rd.from_arrow(
@@ -79,7 +88,8 @@ def _dedup_pinned(parsed_all, keys=("conv_id", "turn_idx")):
 
 
 def build(transcripts_path, tool_meta: pa.Table | None = None,
-          batch_size: int = 65_536, broadcast_threshold: int = 2_000_000,
+          batch_size: "int | None" = None,
+          broadcast_threshold: int = 2_000_000,
           enrich: bool = True, dedup: bool = True, dedup_buckets: int = 64,
           materialize_intermediates: bool = False,
           materialize_flagged: bool | None = None):
@@ -107,13 +117,18 @@ def build(transcripts_path, tool_meta: pa.Table | None = None,
         return _time.time()
 
     _t = _time.time()
-    # Split the read into ~4 blocks per CPU: Ray otherwise coalesces small
+    # Split the read into ~1 block per CPU (Ray otherwise coalesces small
     # shard files into ~128MB read tasks, capping EVERY downstream fused
-    # stage at that task count (measured: identical wall at 8 and 32 CPUs).
+    # stage at that task count).  With batch_size=None each block is one
+    # parse task AND one downstream block: the round-2 (4×CPU blocks,
+    # 65k batch) setting silently re-coalesced 128 blocks into ~21 fused
+    # tasks, and 128 pinned blocks made every downstream stage pay 4×
+    # the task scheduling — interleaved A/B at sf0.1/32 CPUs: 1.7-2.0 s
+    # vs 2.2-2.4 s full-pipeline wall.
     import ray as _ray
     ncpu = int(_ray.available_resources().get("CPU", 8)) \
         if _ray.is_initialized() else 8
-    num_blocks = max(64, ncpu * 4)
+    num_blocks = max(32, ncpu)
     raw = read_transcripts(transcripts_path, override_num_blocks=num_blocks)
     if dedup and not materialize_intermediates:
         # streaming path: 3 source traversals, never holds collision rows on

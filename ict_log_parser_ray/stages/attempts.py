@@ -349,7 +349,16 @@ def ranked_attempts(parsed_ds, broadcast_threshold: int = 2_000_000,
                       zero_copy_batch=True)
         return rank_attempts(att)
 
-    tbl = pa.concat_tables(ray.get(partial.to_arrow_refs())).combine_chunks()
+    # zero-row input blocks skip the partial UDF and surface with the
+    # upstream schema (no hdr_pack) — they carry nothing, drop them
+    blocks = [t for t in ray.get(partial.to_arrow_refs())
+              if isinstance(t, pa.Table) and "hdr_pack" in t.schema.names]
+    empty_partial = pa.schema([
+        ("conv_id", pa.string()), ("tool", pa.string()),
+        ("start_ts", pa.int64()), ("hdr_pack", pa.string()),
+        ("end_pack", pa.string())]).empty_table()
+    tbl = pa.concat_tables(blocks).combine_chunks() if blocks \
+        else empty_partial
     out = _finish_rank_pandas(tbl)
     cols = {}
     for f in _RANKED_SCHEMA:

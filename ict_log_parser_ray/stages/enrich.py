@@ -38,7 +38,8 @@ class ToolMetaEnricher:
         return batch
 
 
-def enrich_dataset(ds, tool_meta: pa.Table, batch_size: int = 65_536):
+def enrich_dataset(ds, tool_meta: pa.Table,
+                   batch_size: "int | None" = None):
     """Attach station/product/line columns via a broadcast lookup inside
     STATELESS map tasks (``ray.put`` once; each task's ``ray.get`` is a
     zero-copy plasma read).

@@ -154,7 +154,12 @@ def attach_lookup(left_ds, right_ds, on: str, broadcast_threshold: int = 2_000_0
     right = right_ds.materialize()
     n = right.count()
     if n <= broadcast_threshold:
-        tbl = pa.concat_tables(ray.get(right.to_arrow_refs())).combine_chunks()
+        # zero-row pass-through blocks can surface with a different (even
+        # empty) schema than the real blocks — they carry nothing, skip
+        blocks = [t for t in ray.get(right.to_arrow_refs())
+                  if isinstance(t, pa.Table) and on in t.schema.names]
+        tbl = pa.concat_tables(blocks).combine_chunks() if blocks \
+            else pa.table({})
         if (tbl.num_columns == 0 or on not in tbl.column_names) and empty_schema is not None:
             tbl = empty_schema.empty_table()
         ref = ray.put(tbl)

@@ -26,6 +26,7 @@ Output columns appended to the input batch:
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -33,12 +34,25 @@ HEADER_PAT = (
     r"^\{@BTEST\|(?P<serial>[^|}]+)\|(?P<hstatus>\d{2})\|(?P<start>\d{12})\|"
     r"(?P<board_index>\d+)\|(?P<panel_serial>[^|}]+)\}"
 )
+# The analog record is parsed in two stages (measured 1.22 s → 0.45 s
+# single-threaded over 1.4M sf0.1 rows): the mandatory MAIN prefix, then
+# the short post-'}' TAIL holding the optional LIM2/LIM3 record.  One
+# combined optional-alternation regex (ANALOG_PAT, kept as the semantic
+# reference and for the equivalence test) pays ~1 s in RE2 capture-group
+# fallback; the tails are also massively repetitive (limits are per-test
+# constants), so the tail regexes run once per DICTIONARY value.
 ANALOG_PAT = (
     r"^\{@A-(?P<ttype>[A-Z]+)\|(?P<astatus>\d{2})\|(?P<measurement>[^|}]+)\|"
     r"(?P<test_name>[^|}]+)\}"
     r"(?:\{@LIM2\|(?P<ul2>[^|}]+)\|(?P<ll2>[^|}]+)\}"
     r"|\{@LIM3\|(?P<nom>[^|}]+)\|(?P<ul3>[^|}]+)\|(?P<ll3>[^|}]+)\})?$"
 )
+ANALOG_MAIN_PAT = (
+    r"^\{@A-(?P<ttype>[A-Z]+)\|(?P<astatus>\d{2})\|(?P<measurement>[^|}]+)\|"
+    r"(?P<test_name>[^|}]+)\}"
+)
+LIM2_PAT = r"^\{@LIM2\|(?P<ul2>[^|}]+)\|(?P<ll2>[^|}]+)\}$"
+LIM3_PAT = r"^\{@LIM3\|(?P<nom>[^|}]+)\|(?P<ul3>[^|}]+)\|(?P<ll3>[^|}]+)\}$"
 DIGITAL_PAT = r"^\{@D-T\|(?P<dstatus>\d{2})\|(?P<test_name>[^|}]+)\}$"
 END_PAT = r"^\{@BTEST-END\|(?P<estatus>\d{2})\|(?P<end>\d{12})\}$"
 
@@ -81,26 +95,84 @@ def _strptime12(arr: pa.Array) -> pa.Array:
     )
 
 
+def _tails_after_first_close(text: pa.Array,
+                             only: "pa.Array | None" = None) -> pa.Array:
+    """Substring after the first ``'}'`` per row ('' when absent or the
+    row is null) — a vectorized byte gather over the Arrow buffers.
+    find_substring returns UTF-8 code-unit (= byte) offsets, so the
+    arithmetic is exact for any input.  ``only`` (boolean mask): rows
+    outside it get '' without paying the gather (callers that only need
+    tails of candidate rows skip the garbage-row bytes)."""
+    n = len(text)
+    if n == 0:
+        return pa.array([], pa.string())
+    close = pc.fill_null(pc.find_substring(text, "}"), -1) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    if only is not None:
+        keep = pc.fill_null(only, False).to_numpy(zero_copy_only=False)
+        close = np.where(keep, close, -1)
+    off_dtype = np.int64 if pa.types.is_large_string(text.type) else np.int32
+    bufs = text.buffers()
+    offs = np.frombuffer(bufs[1], off_dtype)[
+        text.offset: text.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], np.uint8) if bufs[2] is not None \
+        else np.empty(0, np.uint8)
+    start = np.where(close >= 0, offs[:-1] + close + 1, offs[1:])
+    tlen = np.where(close >= 0, offs[1:] - start, 0)
+    total = int(tlen.sum())
+    new_offs = np.zeros(n + 1, np.int32)
+    np.cumsum(tlen, out=new_offs[1:])
+    pos = np.arange(total, dtype=np.int64) + np.repeat(
+        start - np.r_[np.int64(0), np.cumsum(tlen)[:-1]], tlen)
+    return pa.StringArray.from_buffers(
+        n, pa.py_buffer(new_offs.tobytes()),
+        pa.py_buffer(data[pos].tobytes()))
+
+
 def parse_batch(batch: pa.Table) -> pa.Table:
     text = batch["text"]
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
 
     hdr = pc.extract_regex(text, HEADER_PAT)
-    ana = pc.extract_regex(text, ANALOG_PAT)
     dig = pc.extract_regex(text, DIGITAL_PAT)
     end = pc.extract_regex(text, END_PAT)
 
+    # analog two-stage parse (see ANALOG_PAT comment): mandatory MAIN
+    # prefix, then the short post-'}' tail matched once per dictionary
+    # value (limits are per-test constants — ~10² uniques per 10⁶ rows).
+    # Tails are gathered only for MAIN-matched rows (garbage rows can be
+    # long); every tail-derived field is computed on the dictionary and
+    # broadcast back with one take.
+    ana = pc.extract_regex(text, ANALOG_MAIN_PAT)
+    main_ok = pc.is_valid(ana)
+    tails = _tails_after_first_close(text, only=main_ok)
+    td = tails.dictionary_encode()
+    d2 = pc.extract_regex(td.dictionary, LIM2_PAT)
+    d3 = pc.extract_regex(td.dictionary, LIM3_PAT)
+
     hdr_ok = pc.is_valid(hdr)
-    ana_ok = pc.is_valid(ana)
+    # a row is analog iff MAIN matches and the tail is empty or a full
+    # LIM2/LIM3 record — exactly ANALOG_PAT's whole-string semantics
+    # (equivalence pinned by test_parse_two_stage_equals_reference)
+    d_tail_ok = pc.or_(pc.equal(td.dictionary, ""),
+                       pc.or_(pc.is_valid(d2), pc.is_valid(d3)))
+    ana_ok = pc.and_(main_ok, pc.take(d_tail_ok, td.indices))
     dig_ok = pc.is_valid(dig)
     end_ok = pc.is_valid(end)
+
+    null_str = pa.scalar(None, pa.string())
 
     def f(s, name):
         # RE2 optional groups that did not participate extract as "" (not
         # null); nullify so coalesce/casts behave.
         a = pc.struct_field(s, name)
-        return pc.if_else(pc.equal(a, ""), pa.scalar(None, pa.string()), a)
+        return pc.if_else(pc.equal(a, ""), null_str, a)
+
+    def fa(s, name):
+        # analog-side field: additionally masked by ana_ok (MAIN can
+        # match on a row whose garbage tail disqualifies the record)
+        return pc.if_else(ana_ok, f(s, name), null_str)
 
     record_type = pc.if_else(
         hdr_ok, pa.scalar("header"),
@@ -111,28 +183,37 @@ def parse_batch(batch: pa.Table) -> pa.Table:
     )
 
     status_code = pc.coalesce(
-        f(hdr, "hstatus"), f(ana, "astatus"), f(dig, "dstatus"), f(end, "estatus")
+        f(hdr, "hstatus"), fa(ana, "astatus"), f(dig, "dstatus"),
+        f(end, "estatus")
     )
     status = _decode_status(status_code)
 
-    test_name = pc.coalesce(f(ana, "test_name"), f(dig, "test_name"))
-    ttype = pc.if_else(dig_ok, pa.scalar("DIG"), f(ana, "ttype"))
+    test_name = pc.coalesce(fa(ana, "test_name"), f(dig, "test_name"))
+    ttype = pc.if_else(dig_ok, pa.scalar("DIG"), fa(ana, "ttype"))
 
-    measurement = _cast_f64(f(ana, "measurement"))
+    measurement = _cast_f64(fa(ana, "measurement"))
 
-    nom_s = f(ana, "nom")
-    ul_s = pc.coalesce(f(ana, "ul2"), f(ana, "ul3"))
-    ll_s = pc.coalesce(f(ana, "ll2"), f(ana, "ll3"))
-    lim_nom = _cast_f64(nom_s)
-    lim_ul = _cast_f64(ul_s)
-    lim_ll = _cast_f64(ll_s)
-    # raw-string limit signature; null when the record carries no limits
-    lim_sig = pc.binary_join_element_wise(
-        pc.coalesce(nom_s, pa.scalar("")), pc.coalesce(ul_s, pa.scalar("")),
-        pc.coalesce(ll_s, pa.scalar("")), "|",
+    # limit fields + signature, computed once per tail dictionary value
+    d_nom = f(d3, "nom")
+    d_ul = pc.coalesce(f(d2, "ul2"), f(d3, "ul3"))
+    d_ll = pc.coalesce(f(d2, "ll2"), f(d3, "ll3"))
+    d_sig = pc.binary_join_element_wise(
+        pc.coalesce(d_nom, pa.scalar("")), pc.coalesce(d_ul, pa.scalar("")),
+        pc.coalesce(d_ll, pa.scalar("")), "|",
     )
-    lim_sig = pc.if_else(pc.or_(pc.is_valid(ul_s), pc.is_valid(nom_s)),
-                         lim_sig, pa.scalar(None, pa.string()))
+    # raw-string limit signature; null when the record carries no limits
+    d_sig = pc.if_else(pc.or_(pc.is_valid(d_ul), pc.is_valid(d_nom)),
+                       d_sig, null_str)
+    null_f64 = pa.scalar(None, _F64)
+
+    def lim_take(d_arr, cast=True):
+        full = pc.take(_cast_f64(d_arr) if cast else d_arr, td.indices)
+        return pc.if_else(ana_ok, full, null_f64 if cast else null_str)
+
+    lim_nom = lim_take(d_nom)
+    lim_ul = lim_take(d_ul)
+    lim_ll = lim_take(d_ll)
+    lim_sig = lim_take(d_sig, cast=False)
 
     start_ts = pc.if_else(
         hdr_ok, _strptime12(f(hdr, "start")),
@@ -160,8 +241,14 @@ def parse_batch(batch: pa.Table) -> pa.Table:
     return batch
 
 
-def parse_dataset(ds, batch_size: int = 65_536):
-    """read → parse: stateless tasks, zero-copy Arrow in/out (flagship S6)."""
+def parse_dataset(ds, batch_size: "int | None" = None):
+    """read → parse: stateless tasks, zero-copy Arrow in/out (flagship S6).
+
+    ``batch_size=None`` (default) keeps the upstream BLOCK granularity:
+    a fixed 65k batch size silently COALESCED the override_num_blocks
+    read split back down (measured: 21 fused tasks from 128 read blocks
+    at sf0.1 — a parallelism cap that cost ~0.2 s of a 1.1 s pass-1).
+    Regex vectorization is already saturated at ~10⁴-row blocks."""
     return ds.map_batches(
         parse_batch, batch_format="pyarrow", batch_size=batch_size,
         zero_copy_batch=True,

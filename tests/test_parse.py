@@ -139,3 +139,64 @@ def test_distributed_rank_handles_null_serial_and_start(ray_session):
         assert ranked["good"]["is_final"]
         assert ranked["baddate"]["n_attempts"] == 1
         assert ranked["lonely"]["is_first"] and ranked["lonely"]["is_final"]
+
+
+def test_parse_two_stage_equals_reference():
+    """The MAIN+dictionary-TAIL analog parse must reproduce ANALOG_PAT's
+    whole-string semantics exactly — including garbage tails (not
+    analog), bare records (no limits), multibyte text, and nulls."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ict_log_parser_ray.stages.parse import ANALOG_PAT, parse_batch
+
+    rows = [
+        "{@A-RES|00|12.5|R1}{@LIM2|1.0|2.0}",
+        "{@A-RES|00|12.5|R1}{@LIM3|1.5|1.0|2.0}",
+        "{@A-CAP|01|3e-9|C7}",                      # no limits
+        "{@A-RES|00|12.5|R1}{@LIM2|1.0|2.0}x",      # garbage after LIM
+        "{@A-RES|00|12.5|R1}garbage",               # garbage tail
+        "{@A-RES|00|12.5|R1}{@LIM2|1.0}",           # malformed LIM
+        "{@A-RES|00|12.5|R1}{@LIM3|1|2}",           # LIM3 arity wrong
+        "{@D-T|00|DTEST}",                          # digital, not analog
+        "{@D-T|00|DTEST}{@LIM2|1|2}",               # digital + tail → err
+        "not a record at all",
+        "münchen ünïcode {@A-RES|00|1|R}",          # multibyte, no match
+        "{@A-RES|00|1|R}{@LIM2|á|ß}",               # multibyte limits
+        "",
+        None,
+        "{@BTEST|SN1|00|240101120000|1|P1}",        # header row
+        "{@BTEST-END|00|240101120500}",
+    ]
+    batch = pa.table({
+        "conv_id": pa.array(["c"] * len(rows)),
+        "turn_idx": pa.array(range(len(rows)), pa.int64()),
+        "text": pa.array(rows, pa.string()),
+    })
+    out = parse_batch(batch)
+
+    ref = pc.extract_regex(batch["text"].combine_chunks(), ANALOG_PAT)
+    ref_ok = pc.is_valid(ref).to_pylist()
+    got_analog = pc.equal(out["record_type"], "analog").to_pylist()
+    assert got_analog == [bool(v) for v in ref_ok]
+
+    def ref_field(name):
+        a = pc.struct_field(ref, name)
+        return [None if (v in ("", None) or not ok) else v
+                for v, ok in zip(a.to_pylist(), ref_ok)]
+
+    assert out["test_name"].to_pylist()[:7] == ref_field("test_name")[:7]
+    got_ul = out["lim_ul"].to_pylist()
+    want_ul = [None if (v in ("", None) or not ok) else v
+               for v, ok in zip(pc.coalesce(pc.struct_field(ref, "ul2"),
+                                            pc.struct_field(ref, "ul3"))
+                                .to_pylist(), ref_ok)]
+    # non-numeric limits cast to null on both paths; compare the numeric ones
+    for g, w in zip(got_ul, want_ul):
+        if w is not None:
+            try:
+                w = float(w)
+            except ValueError:
+                continue
+            assert g == w

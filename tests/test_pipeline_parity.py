@@ -149,3 +149,29 @@ def test_test_series(pipeline, fixture_sf0001):
     ts = [r["ts"] for r in rows]
     assert ts == sorted(ts)
     assert all(r["measurement"] is not None or r["ttype"] == "DIG" for r in rows)
+
+
+def test_materialized_garbage_only_tiny_input(ray_session, tmp_path):
+    """Tiny all-garbage input forced through more blocks than rows: every
+    zero-row pass-through block (which skips parse/kh UDFs and keeps the
+    RAW schema) must be survived by the dedup scan, the attempts partial
+    finish, and routing — everything lands in parse_error."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ict_log_parser_ray.pipelines.flagship import build
+    from ict_log_parser_ray.stages.route import sink_counts
+
+    pq.write_table(pa.table({
+        "conv_id": pa.array(["c1"] * 5),
+        "turn_idx": pa.array(range(5), pa.int64()),
+        "role": pa.array(["tool"] * 5),
+        "text": pa.array(["garbage"] * 5),
+        "tool": pa.array(["t"] * 5),
+        "ts": pa.array([0] * 5, pa.int64()),
+    }), tmp_path / "part.parquet")
+    pipe = build(str(tmp_path), tool_meta=None,
+                 materialize_intermediates=True)
+    out = sink_counts(pipe["routed"]).to_pandas()
+    assert out.to_dict("records") == [{"sink": "parse_error", "n": 5}]
+    assert pipe["attempts"].count() == 0
