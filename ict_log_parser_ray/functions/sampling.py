@@ -47,19 +47,27 @@ def weighted_priority(ids: np.ndarray, weights: np.ndarray) -> np.ndarray:
     return (h << np.uint64(32)) // w
 
 
-def weighted_bottom_k(ds, id_col: str, weight_col: str, k: int,
+def weighted_bottom_k(ds, id_col: str, weight_col: "str | None", k: int,
                       keep_cols: list[str] | None = None) -> pd.DataFrame:
     """k rows with the smallest integer priority (ties → smaller id),
     with a 1-based ``rn`` rank column.  Weight-proportional sample that
-    any SQL engine reproduces exactly."""
+    any SQL engine reproduces exactly.  ``weight_col=None`` → unit
+    weights: a deterministic fixed-size UNIFORM sample (the reservoir-
+    sampling use case, hash-derandomized)."""
     import ray
 
-    cols = list(dict.fromkeys([id_col, weight_col] + (keep_cols or [])))
+    cols = list(dict.fromkeys(
+        [id_col] + ([weight_col] if weight_col else [])
+        + (keep_cols or [])))
 
     def partial(b: pa.Table) -> pa.Table:
         t = b.select(cols)
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        w = pc.fill_null(t[weight_col], 1).to_numpy(zero_copy_only=False)
+        if weight_col is None:
+            w = np.ones(len(ids), np.int64)
+        else:
+            w = pc.fill_null(t[weight_col], 1) \
+                .to_numpy(zero_copy_only=False)
         q = weighted_priority(ids, w)
         kk = min(k, len(q))
         if kk < len(q):

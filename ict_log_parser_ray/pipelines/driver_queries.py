@@ -708,6 +708,21 @@ def d_weighted_sample(sf_dir):
     return _i64(df, ["doc_id", "n_chars", "rn"])
 
 
+def e_reservoir_sample(sf_dir):
+    """Fixed-SIZE deterministic uniform sample (the reservoir-sampling
+    use case, hash-derandomized so it is value-checkable): the 100
+    events with the smallest multiplicative id hash — the fixed-size
+    counterpart of e_hash_sample's fixed-RATE predicate.
+    ``weighted_bottom_k`` with unit weights; same per-batch bottom-k
+    partial + driver re-cut."""
+    from ..functions.sampling import weighted_bottom_k
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type"])
+    df = weighted_bottom_k(ds, "event_id", None, k=100,
+                           keep_cols=["event_type"])
+    return _i64(df, ["event_id", "rn"])
+
+
 def e_window(sf_dir):
     """M7 time-window filter: purchases in a fixed 2-day window."""
     import datetime as dt
@@ -2248,9 +2263,10 @@ def build_queries() -> dict:
         "e_sliding": e_sliding,
         "e_sessions": e_sessions,
         "e_top_per_user": e_top_per_user,
-        # new this round — needs its first external green row
+        # new this round — need their first external green row
         "d_weighted_sample": d_weighted_sample,
-        # slots 40-50: a diverse already-green set (one per operator
+        "e_reservoir_sample": e_reservoir_sample,
+        # slots 41-50: a diverse already-green set (one per operator
         # family) keeps the flagship + join + rollup + sketch-twin paths
         # under continuous external check
         "q1_lineitem": q1_lineitem,
@@ -2263,9 +2279,9 @@ def build_queries() -> dict:
         "d_tfidf_top_terms": d_tfidf_top_terms,
         "e_daily_active": e_daily_active,
         "e_funnel": e_funnel,
-        "e_retention": e_retention,
         # --------------------- past the driver's 50-cap -------------------
         # (all still value-checked in-repo by tests/test_driver_oracle.py)
+        "e_retention": e_retention,
         "e_global_rank": e_global_rank,
         "e_pareto": e_pareto,
         "e_topk": e_topk,
@@ -2297,7 +2313,7 @@ def build_queries() -> dict:
         "media_features": media_features,
     }
     first50 = list(q)[:50]
-    assert len(q) == 78 and all(n in build_oracles() for n in first50), \
+    assert len(q) == 79 and all(n in build_oracles() for n in first50), \
         "driver checks only the first 50 keys — keep them oracle-backed"
     return q
 
@@ -2696,6 +2712,14 @@ SELECT event_type, event_id, value, rn FROM (
            ORDER BY (event_id * 2654435761) % 4294967296, event_id) AS rn
   FROM events)
 WHERE rn <= 20
+""",
+        "e_reservoir_sample": """
+SELECT event_id, event_type, rn FROM (
+  SELECT event_id, event_type,
+         row_number() OVER (
+           ORDER BY (event_id * 2654435761) % 4294967296, event_id) AS rn
+  FROM events)
+WHERE rn <= 100
 """,
         # sequential-Poisson priority in exact HUGEINT arithmetic: the
         # `//` integer division mirrors numpy's uint64 floor division
