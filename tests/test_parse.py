@@ -200,3 +200,24 @@ def test_parse_two_stage_equals_reference():
             except ValueError:
                 continue
             assert g == w
+
+
+def test_tails_after_first_close_sliced_and_large_string():
+    """The byte-gather must honor a nonzero array offset (sliced batch)
+    and large_string offsets."""
+    import pyarrow as pa
+
+    from ict_log_parser_ray.stages.parse import _tails_after_first_close
+
+    base = pa.array(["a}tail1", "no close", "}x", "münch}ütail", None, "}"])
+    sliced = base.slice(2)        # offset-bearing view
+    got = _tails_after_first_close(sliced)
+    assert got.to_pylist() == ["x", "ütail", "", ""]
+
+    big = pa.array(["a}t", None, "q}"], pa.large_string())
+    assert _tails_after_first_close(big).to_pylist() == ["t", "", ""]
+
+    only = pa.array([True, False, True])
+    masked = _tails_after_first_close(pa.array(["a}x", "b}y", "c}z"]),
+                                      only=only)
+    assert masked.to_pylist() == ["x", "", "z"]
