@@ -92,3 +92,62 @@ def test_truncated_records_are_parse_errors_or_valid(prefix, junk):
     text = prefix + junk
     r = parse_batch(_mk_batch([text])).to_pylist()[0]
     assert r["record_type"] == parity.parse_row(text)["record_type"]
+
+
+@settings(max_examples=120, deadline=None)
+@given(body=st.text(alphabet="|}{@LIMA23abc 0.+-", max_size=40),
+       tail=st.text(alphabet="|}{@LIMA23abc 0.+-xyzáß", max_size=30))
+def test_two_stage_analog_equals_reference_pattern(body, tail):
+    """Adversarial fuzz of the two-stage analog parse (main + dictionary
+    tail) against the single ANALOG_PAT reference: alphabet biased toward
+    braces, pipes and LIM fragments so the generator hits partial-LIM
+    and multi-'}' shapes constantly."""
+    import pyarrow.compute as pc
+
+    from ict_log_parser_ray.stages.parse import ANALOG_PAT
+
+    texts = [f"{{@A-RES|00|1.5|t1}}{tail}", body,
+             f"{body}}}{tail}", f"{{@A-CAP|01|{body}|n}}{tail}"]
+    batch = _mk_batch(texts)
+    out = parse_batch(batch)
+    ref = pc.extract_regex(batch["text"].combine_chunks(), ANALOG_PAT)
+    got = pc.equal(out["record_type"], "analog").to_pylist()
+    want = [bool(v) for v in pc.is_valid(ref).to_pylist()]
+    assert got == want
+    # where both say analog, the extracted limit strings agree
+    for i, ok in enumerate(want):
+        if not ok:
+            continue
+        for g in ("ul2", "ll2", "nom", "ul3", "ll3"):
+            rv = pc.struct_field(ref, g)[i].as_py()
+            rv = None if rv in ("", None) else rv
+            col = {"ul2": "lim_ul", "ll2": "lim_ll", "nom": "lim_nom",
+                   "ul3": "lim_ul", "ll3": "lim_ll"}[g]
+            if rv is not None:
+                try:
+                    fv = float(rv)
+                except ValueError:
+                    continue  # non-numeric limit casts to null on both
+                assert out[col][i].as_py() == fv
+
+
+@settings(max_examples=80, deadline=None)
+@given(rows=st.lists(
+    st.one_of(st.none(), st.text(alphabet="a}b{@cü|", max_size=25)),
+    max_size=12))
+def test_tails_fuzz_matches_python_reference(rows):
+    """_tails_after_first_close == a per-row Python reference on
+    arbitrary (null-bearing, multibyte) inputs."""
+    from ict_log_parser_ray.stages.parse import _tails_after_first_close
+
+    arr = pa.array(rows, pa.string())
+    got = _tails_after_first_close(arr).to_pylist()
+    want = []
+    for r in rows:
+        if r is None:
+            want.append("")
+        else:
+            b = r.encode("utf-8")
+            i = b.find(b"}")
+            want.append(b[i + 1:].decode("utf-8") if i >= 0 else "")
+    assert got == want
