@@ -275,3 +275,39 @@ def test_cube_level_consistency_property(ray_session, rows):
         assert b_lvl[col].sum() == grand[col].iloc[0]
     for a, g in finest.groupby("a"):
         assert g["m"].sum() == a_lvl.set_index("a").loc[a, "m"]
+
+
+def test_weighted_sampling_partial_cut_fuzz(ray_session):
+    """Distributed bottom-k (per-batch partial + driver re-cut) equals
+    the single-process reference for adversarial weights: zero, negative,
+    null, huge — all clamp to >= 1 identically."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ict_log_parser_ray.functions.sampling import (weighted_bottom_k,
+                                                       weighted_priority)
+
+    @settings(max_examples=25, deadline=None)
+    @given(seed=st.integers(0, 10_000), k=st.integers(1, 40),
+           nblocks=st.integers(1, 5))
+    def run(seed, k, nblocks):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(1, 300))
+        ids = rng.permutation(np.arange(n) * 7)
+        w = rng.choice([-5, 0, 1, 2, 100, 10**9, None], size=n)
+        tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                        "n_chars": pa.array([None if x is None else int(x)
+                                             for x in w], pa.int64())})
+        splits = np.array_split(np.arange(n), nblocks)
+        ds = rd.from_arrow([tbl.take(pa.array(s, pa.int64()))
+                            for s in splits if True])
+        got = weighted_bottom_k(ds, "doc_id", "n_chars", k=k)
+        wq = np.array([1 if x is None else int(x) for x in w])
+        q = weighted_priority(ids, wq)
+        order = np.lexsort((ids, q))[:min(k, n)]
+        assert got["doc_id"].tolist() == ids[order].tolist()
+
+    run()
