@@ -163,40 +163,45 @@ def parse_batch(batch: pa.Table) -> pa.Table:
 
     null_str = pa.scalar(None, pa.string())
 
-    def f(s, name):
-        # RE2 optional groups that did not participate extract as "" (not
-        # null); nullify so coalesce/casts behave.
-        a = pc.struct_field(s, name)
-        return pc.if_else(pc.equal(a, ""), null_str, a)
+    # Every group in the SPLIT patterns is mandatory ([^|}]+ / [A-Z]+ /
+    # \d{2,12}), so a non-matching row's fields are null structs and the
+    # round-2 ""-nullify pass (for the old combined pattern's optional
+    # groups) is gone.  struct_field alone suffices; analog fields are
+    # additionally masked by ana_ok (MAIN can match on a row whose
+    # garbage tail disqualifies the record).
+    def fm(name):
+        return pc.if_else(ana_ok, pc.struct_field(ana, name), null_str)
 
-    def fa(s, name):
-        # analog-side field: additionally masked by ana_ok (MAIN can
-        # match on a row whose garbage tail disqualifies the record)
-        return pc.if_else(ana_ok, f(s, name), null_str)
-
-    record_type = pc.if_else(
-        hdr_ok, pa.scalar("header"),
-        pc.if_else(ana_ok, pa.scalar("analog"),
-                   pc.if_else(dig_ok, pa.scalar("digital"),
-                              pc.if_else(end_ok, pa.scalar("btest_end"),
-                                         pa.scalar("parse_error")))),
-    )
+    # record_type: one int8 code per row + a 5-element take — replaces 4
+    # full-length nested if_else string passes
+    _np_ok = [m.to_numpy(zero_copy_only=False)
+              for m in (hdr_ok, ana_ok, dig_ok, end_ok)]
+    code = np.where(_np_ok[0], 1, np.where(_np_ok[1], 2,
+                    np.where(_np_ok[2], 3, np.where(_np_ok[3], 4, 0))))
+    record_type = pc.take(
+        pa.array(["parse_error", "header", "analog", "digital",
+                  "btest_end"]), pa.array(code.astype(np.int8)))
 
     status_code = pc.coalesce(
-        f(hdr, "hstatus"), fa(ana, "astatus"), f(dig, "dstatus"),
-        f(end, "estatus")
+        pc.struct_field(hdr, "hstatus"), fm("astatus"),
+        pc.struct_field(dig, "dstatus"), pc.struct_field(end, "estatus")
     )
-    status = _decode_status(status_code)
+    # decode once per dictionary value (the code domain is ~3 strings)
+    sd = status_code.dictionary_encode()
+    status = pc.take(_decode_status(sd.dictionary), sd.indices)
 
-    test_name = pc.coalesce(fa(ana, "test_name"), f(dig, "test_name"))
-    ttype = pc.if_else(dig_ok, pa.scalar("DIG"), fa(ana, "ttype"))
+    test_name = pc.coalesce(fm("test_name"),
+                            pc.struct_field(dig, "test_name"))
+    ttype = pc.if_else(dig_ok, pa.scalar("DIG"), fm("ttype"))
 
-    measurement = _cast_f64(fa(ana, "measurement"))
+    measurement = _cast_f64(fm("measurement"))
 
     # limit fields + signature, computed once per tail dictionary value
-    d_nom = f(d3, "nom")
-    d_ul = pc.coalesce(f(d2, "ul2"), f(d3, "ul3"))
-    d_ll = pc.coalesce(f(d2, "ll2"), f(d3, "ll3"))
+    d_nom = pc.struct_field(d3, "nom")
+    d_ul = pc.coalesce(pc.struct_field(d2, "ul2"),
+                       pc.struct_field(d3, "ul3"))
+    d_ll = pc.coalesce(pc.struct_field(d2, "ll2"),
+                       pc.struct_field(d3, "ll3"))
     d_sig = pc.binary_join_element_wise(
         pc.coalesce(d_nom, pa.scalar("")), pc.coalesce(d_ul, pa.scalar("")),
         pc.coalesce(d_ll, pa.scalar("")), "|",
@@ -216,15 +221,16 @@ def parse_batch(batch: pa.Table) -> pa.Table:
     lim_sig = lim_take(d_sig, cast=False)
 
     start_ts = pc.if_else(
-        hdr_ok, _strptime12(f(hdr, "start")),
-        pc.if_else(end_ok, _strptime12(f(end, "end")), pa.scalar(None, _TS)),
+        hdr_ok, _strptime12(pc.struct_field(hdr, "start")),
+        pc.if_else(end_ok, _strptime12(pc.struct_field(end, "end")),
+                   pa.scalar(None, _TS)),
     )
-    board_index = pc.cast(f(hdr, "board_index"), pa.int32())
+    board_index = pc.cast(pc.struct_field(hdr, "board_index"), pa.int32())
 
     cols = {
         "record_type": record_type,
-        "serial": f(hdr, "serial"),
-        "panel_serial": f(hdr, "panel_serial"),
+        "serial": pc.struct_field(hdr, "serial"),
+        "panel_serial": pc.struct_field(hdr, "panel_serial"),
         "board_index": board_index,
         "status": status,
         "test_name": test_name,
