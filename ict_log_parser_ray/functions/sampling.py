@@ -87,7 +87,10 @@ def weighted_bottom_k(ds, id_col: str, weight_col: "str | None", k: int,
                        zero_copy_batch=True).to_arrow_refs())
         if isinstance(t, pa.Table) and "_q" in t.schema.names]
     if not parts:
-        base = pa.schema([(c, pa.int64()) for c in cols]
+        # fully-empty input: carry the REAL column types, not assumed int64
+        sch = ds.schema()
+        tmap = dict(zip(sch.names, sch.types))
+        base = pa.schema([(c, tmap.get(c, pa.int64())) for c in cols]
                          + [("rn", pa.int64())])
         return base.empty_table().to_pandas()
     cand = pa.concat_tables(parts).to_pandas()
