@@ -487,6 +487,7 @@ def run_streaming(transcripts_path, tool_meta: pa.Table | None, out_dir: str,
     # the ranked attempt table for the caller
     ranked_tbl = pa.concat_tables(ray.get(list(b_futs))).combine_chunks()
     ranked = rd.from_arrow(ranked_tbl)
+    _t = _tick("  ranked concat", _t)
 
     # ------- distributed keeper finish + driver metrics merge -------
     prefs = part.to_arrow_refs()
@@ -509,7 +510,9 @@ def run_streaming(transcripts_path, tool_meta: pa.Table | None, out_dir: str,
         ngrp = min(len(prefs), 16) or 1
         groups = [prefs[i::ngrp] for i in range(ngrp) if prefs[i::ngrp]]
         mblocks = ray.get([_metric_rows.remote(*g) for g in groups])
+    _t = _tick("  metric collect", _t)
     mdf = pa.concat_tables(mblocks).combine_chunks().to_pandas()
+    _t = _tick("  metric to_pandas", _t)
     if os.environ.get("ICT_P2_PROF") == "1":
         pm = mdf["metric"].str.startswith("prof:")
         agg = mdf[pm].groupby("metric")["n"].sum() / 1e6
@@ -523,7 +526,6 @@ def run_streaming(transcripts_path, tool_meta: pa.Table | None, out_dir: str,
         mdf = pd.concat([mdf] + [t.to_pandas() for t in keeper_tables],
                         ignore_index=True)
     metrics = finish_turn_metrics(mdf)
-
     _t = _tick("keepers+metrics", _t)
     small = ray.get(reports_fut)
     _t = _tick("attempt reports", _t)
