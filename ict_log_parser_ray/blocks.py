@@ -1,0 +1,41 @@
+"""Block-collection helpers around Ray's zero-row pass-through trap.
+
+Ray passes ZERO-ROW input blocks through ``map_batches`` WITHOUT calling
+the UDF, so a schema-reshaping stage's output can contain blocks that
+still carry the UPSTREAM schema (or even arrive unconverted as pandas
+when the source was ``from_pandas``).  Any driver-side
+``pa.concat_tables(ray.get(...))`` over such output must drop those
+blocks — they carry no rows by construction — or the concat raises on
+the first tiny/filtered input whose forced block count exceeds its row
+count.  (Measured repeatedly in rounds 2-3; see CLAUDE.md.)
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def shaped_tables(refs_or_ds, required_col: str) -> list[pa.Table]:
+    """ray.get + keep only blocks the UDF actually shaped (identified by
+    ``required_col`` being present)."""
+    import ray
+
+    refs = refs_or_ds if isinstance(refs_or_ds, list) \
+        else refs_or_ds.to_arrow_refs()
+    return [t for t in ray.get(refs)
+            if isinstance(t, pa.Table) and required_col in t.schema.names]
+
+
+def concat_shaped(refs_or_ds, required_col: str,
+                  empty_schema: "pa.Schema | None" = None) -> pa.Table:
+    """Concat of the shaped blocks; on a fully-empty input returns
+    ``empty_schema.empty_table()`` (required then — a raise is better
+    than a silent wrong-schema result)."""
+    ts = shaped_tables(refs_or_ds, required_col)
+    if ts:
+        return pa.concat_tables(ts)
+    if empty_schema is None:
+        raise ValueError(
+            f"no blocks carry column {required_col!r} (fully-empty "
+            "input?) and no empty_schema fallback was provided")
+    return empty_schema.empty_table()

@@ -119,9 +119,12 @@ def histogram_quantiles(ds, column: str, qs: dict[str, float]) -> pa.Table:
         return pa.table({"v": pc.cast(vc.field("values"), pa.int64()),
                          "c": pc.cast(vc.field("counts"), pa.int64())})
 
-    parts = pa.concat_tables(ray.get(
+    from ..blocks import concat_shaped
+    parts = concat_shaped(
         ds.map_batches(partial, batch_format="pyarrow",
-                       zero_copy_batch=True).to_arrow_refs()))
+                       zero_copy_batch=True).materialize(),
+        "v", empty_schema=pa.schema([("v", pa.int64()),
+                                     ("c", pa.int64())]))
     hist = (parts.to_pandas().groupby("v", as_index=False)["c"].sum()
             .sort_values("v", kind="stable"))
     n = int(hist["c"].sum())

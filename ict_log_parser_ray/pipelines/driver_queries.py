@@ -1033,10 +1033,11 @@ def e_asof(sf_dir):
                                ["user_id", "ts"]).aggregate(
             [("event_id", "max")])
 
-    import ray
-    parts = pa.concat_tables(ray.get(
+    from ..blocks import shaped_tables
+    parts = pa.concat_tables(shaped_tables(
         ds.map_batches(click_part, batch_format="pyarrow",
-                       zero_copy_batch=True).to_arrow_refs()))
+                       zero_copy_batch=True).materialize(),
+        "event_id_max"))
     cdf = (parts.to_pandas().groupby(["user_id", "ts"], as_index=False)
            ["event_id_max"].max())
     clicks = pa.table({
@@ -1086,9 +1087,11 @@ def e_asof_big(sf_dir):
                                ["user_id", "ts"]).aggregate(
             [("event_id", "max")])
 
-    parts = pa.concat_tables(ray.get(
+    from ..blocks import shaped_tables
+    parts = pa.concat_tables(shaped_tables(
         ds.map_batches(click_part, batch_format="pyarrow",
-                       zero_copy_batch=True).to_arrow_refs()))
+                       zero_copy_batch=True).materialize(),
+        "event_id_max"))
     cdf = (parts.to_pandas().groupby(["user_id", "ts"], as_index=False)
            ["event_id_max"].max())
     clicks = rd.from_arrow(pa.table({
@@ -1143,10 +1146,11 @@ def _top3_hour_windows(ds) -> pa.Table:
         return pa.TableGroupBy(pa.table({"hs": hs}),
                                "hs").aggregate([("hs", "count")])
 
-    import ray
-    parts = pa.concat_tables(ray.get(
+    from ..blocks import shaped_tables
+    parts = pa.concat_tables(shaped_tables(
         ds.map_batches(hour_part, batch_format="pyarrow",
-                       zero_copy_batch=True).to_arrow_refs()))
+                       zero_copy_batch=True).materialize(),
+        "hs_count"))
     hdf = (parts.to_pandas().groupby("hs", as_index=False)["hs_count"]
            .sum().sort_values(["hs_count", "hs"], ascending=[False, True],
                               kind="stable").head(3))
@@ -1301,9 +1305,11 @@ def q_nation_revenue(sf_dir):
         return pa.TableGroupBy(t, "n_name").aggregate(
             [("revenue_cents", "sum"), ([], "count_all")])
 
-    parts = pa.concat_tables(ray.get(
+    from ..blocks import shaped_tables
+    parts = pa.concat_tables(shaped_tables(
         ds.map_batches(partial, batch_format="pyarrow",
-                       zero_copy_batch=True).to_arrow_refs()))
+                       zero_copy_batch=True).materialize(),
+        "count_all"))
     df = (parts.to_pandas().groupby("n_name", as_index=False)
           .agg(revenue_cents=("revenue_cents_sum", "sum"),
                n_orders=("count_all", "sum")))
@@ -1348,9 +1354,14 @@ def q_priority_revenue(sf_dir):
         return pa.TableGroupBy(t, "o_orderpriority").aggregate(
             [("revenue_e4", "sum"), ([], "count_all")])
 
-    parts = pa.concat_tables(ray.get(
+    from ..blocks import concat_shaped
+    parts = concat_shaped(
         joined.map_batches(partial, batch_format="pyarrow",
-                           zero_copy_batch=True).to_arrow_refs()))
+                           zero_copy_batch=True).materialize(),
+        "count_all",
+        empty_schema=pa.schema([("o_orderpriority", pa.string()),
+                                ("revenue_e4_sum", pa.int64()),
+                                ("count_all", pa.int64())]))
     df = (parts.to_pandas().groupby("o_orderpriority", as_index=False)
           .agg(revenue_e4=("revenue_e4_sum", "sum"),
                n_items=("count_all", "sum")))
@@ -1388,9 +1399,14 @@ def q_semi_bloom(sf_dir):
         return pa.TableGroupBy(t, "l_returnflag").aggregate(
             [("sum_qty", "sum"), ([], "count_all")])
 
-    parts = pa.concat_tables(ray.get(
+    from ..blocks import concat_shaped
+    parts = concat_shaped(
         hit.map_batches(partial, batch_format="pyarrow",
-                        zero_copy_batch=True).to_arrow_refs()))
+                        zero_copy_batch=True).materialize(),
+        "count_all",
+        empty_schema=pa.schema([("l_returnflag", pa.string()),
+                                ("sum_qty_sum", pa.int64()),
+                                ("count_all", pa.int64())]))
     df = (parts.to_pandas().groupby("l_returnflag", as_index=False)
           .agg(sum_qty=("sum_qty_sum", "sum"),
                n_items=("count_all", "sum")))

@@ -434,6 +434,14 @@ def failed_boards(ranked, flagged, broadcast_threshold: int = 2_000_000):
 
 # ---------------------------------------------------------------- A8 / A9
 
+_TURN_PARTIAL_SCHEMA = pa.schema([
+    ("metric", pa.string()), ("test_name", pa.string()),
+    ("att_serial", pa.string()), ("is_first", pa.bool_()),
+    ("is_final", pa.bool_()), ("lim_sig", pa.string()),
+    ("sink", pa.string()), ("n", pa.int64()),
+])
+
+
 def turn_partials_batch(b: pa.Table) -> pa.Table:
     """Per-batch partial metrics: fail records [A3], distinct lim pairs
     [A6], per-sink counts [routing] — tagged rows in one narrow table.
@@ -548,7 +556,9 @@ def turn_metrics_combined(flagged) -> dict:
 
     part = flagged.map_batches(_partials, batch_format="pyarrow",
                                zero_copy_batch=True).materialize()
-    tbl = pa.concat_tables(ray.get(part.to_arrow_refs())).combine_chunks()
+    from ..blocks import concat_shaped
+    tbl = concat_shaped(part, "metric",
+                        empty_schema=_TURN_PARTIAL_SCHEMA).combine_chunks()
     return finish_turn_metrics(tbl.to_pandas())
 
 
@@ -609,7 +619,9 @@ def write_sinks_with_metrics(flagged, out_dir: str) -> dict:
 
     part = flagged.map_batches(_write_and_partial, batch_format="pyarrow",
                                zero_copy_batch=True).materialize()
-    tbl = pa.concat_tables(ray.get(part.to_arrow_refs())).combine_chunks()
+    from ..blocks import concat_shaped
+    tbl = concat_shaped(part, "metric",
+                        empty_schema=_TURN_PARTIAL_SCHEMA).combine_chunks()
     return finish_turn_metrics(tbl.to_pandas())
 
 

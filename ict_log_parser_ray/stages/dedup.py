@@ -148,7 +148,9 @@ def exact_dedup_sparse(ds, keys=("conv_id", "turn_idx"), key_ds=None):
             "(%d) — falling back to hash-partition exact_dedup", n_rows,
             max_rows)
         return exact_dedup(ds, keys=tuple(keys))
-    hash_tbl = pa.concat_tables(ray.get(hashed.to_arrow_refs()))
+    from ..blocks import concat_shaped
+    hash_tbl = concat_shaped(hashed, "kh",
+                             empty_schema=pa.schema([("kh", pa.int64())]))
     hv = hash_tbl["kh"].to_numpy()
     dups = dup_values(hv)
     if len(dups) == 0:

@@ -283,9 +283,16 @@ def sliding_window_count(ds, on: str, key: str, slide_us: int,
                                ["window_start", key]).aggregate(
             [([], "count_all")])
 
-    parts = pa.concat_tables(ray.get(
+    from ..blocks import concat_shaped
+    ktype = dict(zip(ds.schema().names, ds.schema().types)).get(
+        key, pa.int64())
+    parts = concat_shaped(
         ds.map_batches(partial, batch_format="pyarrow",
-                       zero_copy_batch=True).to_arrow_refs()))
+                       zero_copy_batch=True).materialize(),
+        "window_start",
+        empty_schema=pa.schema([("window_start", pa.int64()),
+                                (key, ktype),
+                                ("count_all", pa.int64())]))
     df = (parts.to_pandas().groupby(["window_start", key], as_index=False)
           ["count_all"].sum().rename(columns={"count_all": "n"}))
     df["n"] = df["n"].astype("int64")

@@ -130,10 +130,12 @@ def _attempts_fingerprint(ranked) -> str:
         return pa.table({"x": pa.array([int(x)], pa.uint64()),
                          "n": pa.array([len(hv)], pa.int64())})
 
-    parts = pa.concat_tables(ray.get(
+    from ..blocks import concat_shaped
+    parts = concat_shaped(
         ranked.map_batches(_h, batch_format="pyarrow",
-                           zero_copy_batch=True).materialize()
-        .to_arrow_refs()))
+                           zero_copy_batch=True).materialize(),
+        "x", empty_schema=pa.schema([("x", pa.uint64()),
+                                     ("n", pa.int64())]))
     x = np.uint64(0)
     for v in parts["x"].to_pylist():
         x ^= np.uint64(v)

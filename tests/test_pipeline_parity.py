@@ -175,3 +175,51 @@ def test_materialized_garbage_only_tiny_input(ray_session, tmp_path):
     out = sink_counts(pipe["routed"]).to_pandas()
     assert out.to_dict("records") == [{"sink": "parse_error", "n": 5}]
     assert pipe["attempts"].count() == 0
+
+
+def test_tiny_input_full_report_surface(ray_session, tmp_path):
+    """Every driver-side partial finish on the flagship surface must
+    survive zero-row pass-through blocks (tiny input forced through ≥32
+    blocks): run_reports, write_sinks_with_metrics, and the streaming-
+    dedup (non-materialized) build path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ict_log_parser_ray.pipelines import reports
+    from ict_log_parser_ray.pipelines.flagship import build
+
+    rows = [
+        ("c1", 0, "{@BTEST|S1|00|260105063000|0|P1}"),
+        ("c1", 1, "{@A-RES|01|1.0|r1}{@LIM2|2.0|0.5}"),
+        ("c1", 2, "{@BTEST-END|01|260105063100}"),
+        ("c2", 0, "garbage"),
+    ]
+    src = tmp_path / "src"          # sinks must NOT land inside the
+    src.mkdir()                      # recursively-scanned transcripts dir
+    pq.write_table(pa.table({
+        "conv_id": pa.array([r[0] for r in rows]),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int64()),
+        "role": pa.array(["tool"] * len(rows)),
+        "text": pa.array([r[2] for r in rows]),
+        "tool": pa.array(["t"] * len(rows)),
+        "ts": pa.array([0] * len(rows), pa.int64()),
+    }), src / "part.parquet")
+
+    # materialized path: all six report aggregates + fused sink write
+    pipe = build(str(src), tool_meta=None,
+                 materialize_intermediates=True)
+    from ict_log_parser_ray.pipelines.flagship import run_reports
+    rep = run_reports(pipe)
+    assert rep["sink_counts"]["n"].sum() == len(rows)
+    tm = reports.write_sinks_with_metrics(pipe["flagged"],
+                                          str(tmp_path / "sinks"))
+    assert tm["sink_counts"]["n"].sum() == len(rows)
+    assert rep["pareto_all"]["test_name"].tolist() == ["r1"]
+
+    # streaming-dedup (lazy) build path: exact_dedup_sparse over a tiny
+    # key stream with forced blocks
+    pipe2 = build(str(src), tool_meta=None,
+                  materialize_intermediates=False)
+    from ict_log_parser_ray.stages.route import sink_counts
+    out = sink_counts(pipe2["routed"]).to_pandas()
+    assert out["n"].sum() == len(rows)
