@@ -2057,6 +2057,41 @@ def d_analysis(sf_dir):
     return analyze_documents(ds).map_batches(sel, batch_format="pandas")
 
 
+_MINHASH_PAIRS_CACHE: dict = {}
+
+
+def _minhash_pairs_df(sf_dir):
+    """Verified near-dup pairs at threshold 0.6 — computed ONCE per
+    sf_dir and shared by d_minhash_pairs / d_dup_clusters / d_dedup_keep
+    (each previously re-ran the whole LSH chain; the pair table is
+    match-bounded and tiny, the same memo pattern as _PIPE_CACHE)."""
+    if sf_dir not in _MINHASH_PAIRS_CACHE:
+        from ..functions.dedup_docs import minhash_duplicate_pairs
+
+        ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        if len(_MINHASH_PAIRS_CACHE) >= 4:   # bound across sf_dirs
+            _MINHASH_PAIRS_CACHE.pop(next(iter(_MINHASH_PAIRS_CACHE)))
+        _MINHASH_PAIRS_CACHE[sf_dir] = \
+            minhash_duplicate_pairs(ds, threshold=0.6).to_pandas()
+    return _MINHASH_PAIRS_CACHE[sf_dir].copy()
+
+
+def _pairs_ds(df):
+    """Pair DataFrame → multi-block Dataset (a single from_pandas block
+    would serialize downstream per-block work — the measured minhash
+    verify trap)."""
+    import ray
+    import ray.data as rd
+
+    ncpu = int(ray.available_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    nblk = max(1, min(len(df), 2 * ncpu))
+    return rd.from_pandas(np.array_split(df, nblk)) if len(df) else \
+        rd.from_arrow(pa.schema([("doc_a", pa.int64()),
+                                 ("doc_b", pa.int64()),
+                                 ("jaccard", pa.float64())]).empty_table())
+
+
 def d_minhash_pairs(sf_dir):
     """MinHash+LSH near-dup pairs over documents — value-checked.
 
@@ -2068,10 +2103,7 @@ def d_minhash_pairs(sf_dir):
     seeded hash family are deterministic, so the oracle match is stable.
     Jaccard is rounded to 4 decimals on both sides (the repo's float-oracle
     convention)."""
-    from ..functions.dedup_docs import minhash_duplicate_pairs
-
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    df = minhash_duplicate_pairs(ds, threshold=0.6).to_pandas()
+    df = _minhash_pairs_df(sf_dir)
     if len(df):
         df["jaccard"] = df["jaccard"].round(4)
         df = _i64(df, ["doc_a", "doc_b"])
@@ -2087,10 +2119,8 @@ def d_dup_clusters(sf_dir):
     equals the exact all-pairs threshold set (see d_minhash_pairs) and
     the component labeling is deterministic (min doc_id)."""
     from ..functions.components import connected_components
-    from ..functions.dedup_docs import minhash_duplicate_pairs
 
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    pairs = minhash_duplicate_pairs(ds, threshold=0.6)
+    pairs = _pairs_ds(_minhash_pairs_df(sf_dir))
     out = connected_components(pairs, "doc_a", "doc_b")
     out = out.rename(columns={"node": "doc_id", "component": "cluster_id"})
     return out.sort_values("doc_id").reset_index(drop=True)
@@ -2106,10 +2136,8 @@ def d_dedup_keep(sf_dir):
     import ray
 
     from ..functions.components import connected_components
-    from ..functions.dedup_docs import minhash_duplicate_pairs
 
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    pairs = minhash_duplicate_pairs(ds, threshold=0.6)
+    pairs = _pairs_ds(_minhash_pairs_df(sf_dir))
     comp = connected_components(pairs, "doc_a", "doc_b")
     drop = comp.loc[comp["node"] != comp["component"], "node"].to_numpy()
     drop_ref = ray.put(pa.array(np.sort(drop), pa.int64()))
