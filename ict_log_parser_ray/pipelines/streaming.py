@@ -105,7 +105,13 @@ def _pass1_batch(b: pa.Table, nparts: int) -> pa.Table:
     for p in range(nparts):
         if counts[p]:
             blob_parts.append(p)
-            blobs.append(skh[offs[p]:offs[p + 1]].tobytes())
+            # pre-SORT each blob here, in the embarrassingly parallel
+            # stage: the finish task's np.sort over the concatenated
+            # blobs then runs on presorted runs (~3× faster, measured
+            # 0.057 vs 0.158 s/3.6M) — the finish chain's latency stalls
+            # pass-2's first wave, so cycles moved out of it are the
+            # cheapest cycles in the job
+            blobs.append(np.sort(skh[offs[p]:offs[p + 1]]).tobytes())
     n_b, n_a = len(blobs), att.num_rows
     cols = {
         "kind": pa.concat_arrays([pa.array(["hashes"] * n_b, pa.string()),
