@@ -1265,6 +1265,48 @@ def d_token_percentiles(sf_dir):
                                {"q50": 0.5, "q90": 0.9, "q99": 0.99})
 
 
+def d_percentile_filter(sf_dir):
+    """Training-data curation: per-language length-percentile culling —
+    keep documents whose ``n_chars`` is at/above their language's p75
+    (task-brief quality-filter family; the transcript-engine analog is the
+    sink route filter, stages/route.py).
+
+    Scale shape: thresholds come from the hash-partitioned exact grouped-
+    quantile tasks (output rows = #languages — tiny), then ONE broadcast
+    of the lang→threshold arrays and a streaming per-batch filter; the
+    corpus side is never shuffled and never materialized.  The threshold
+    IS a data value (quantile_disc semantics), so the comparison is exact
+    int64 — no IEEE boundary risk vs the SQL oracle (the tfidf.py lesson).
+    Rows with null lang drop on both sides (inner-join semantics: the
+    quantile stage excludes null keys, ``index_in`` yields null → filter
+    drops)."""
+    import ray
+
+    from ..functions.quantiles import grouped_quantiles_partitioned
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "lang", "n_chars"])
+    thr = grouped_quantiles_partitioned(docs, "lang", "n_chars",
+                                        {"thr": 0.75})
+    langs_arr = thr["lang"].combine_chunks()
+    thr_arr = pa.array([int(v) for v in thr["thr"].to_pylist()], pa.int64())
+
+    def keep(b: pa.Table) -> pa.Table:
+        lang = b["lang"]
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        idx = pc.index_in(lang, value_set=langs_arr)
+        row_thr = pc.take(thr_arr, idx)  # null idx (null/unseen lang) → null
+        # null mask entries DROP (arrow filter default) — inner-join match
+        out = b.filter(pc.greater_equal(b["n_chars"], row_thr))
+        return pa.table({"doc_id": pc.cast(out["doc_id"], pa.int64()),
+                         "lang": out["lang"],
+                         "n_chars": pc.cast(out["n_chars"], pa.int64())})
+
+    return docs.map_batches(keep, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 def d_tfidf_top_terms(sf_dir):
     """Distributed TF-IDF-style characteristic terms (top-3 per document
     by the integer rarity score — see functions/tfidf.py for why the
@@ -2344,6 +2386,7 @@ def build_queries() -> dict:
         "q_region_brand_revenue": q_region_brand_revenue,
         "d_lang_eval": d_lang_eval,
         "e_mode_hour": e_mode_hour,
+        "d_percentile_filter": d_percentile_filter,
         # rows-only (non-SQL-expressible)
         "emb_kmeans": emb_kmeans,
         "d_top_tokens_approx": d_top_tokens_approx,
@@ -2357,7 +2400,7 @@ def build_queries() -> dict:
         "media_features": media_features,
     }
     first50 = list(q)[:50]
-    assert len(q) == 79 and all(n in build_oracles() for n in first50), \
+    assert len(q) == 80 and all(n in build_oracles() for n in first50), \
         "driver checks only the first 50 keys — keep them oracle-backed"
     return q
 
@@ -2423,6 +2466,15 @@ FROM c
 SELECT event_type, count(value) AS n,
        quantile_disc(value, 0.5) AS q50, quantile_disc(value, 0.9) AS q90
 FROM events GROUP BY event_type
+""",
+        "d_percentile_filter": """
+WITH thr AS (
+  SELECT lang, quantile_disc(n_chars, 0.75) AS thr
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN thr t ON d.lang = t.lang
+WHERE d.n_chars >= t.thr
 """,
         "q_nation_revenue": """
 SELECT n.n_name,

@@ -67,7 +67,7 @@ ORACLE_NAMES = [
     "d_dup_clusters", "e_retention", "e_share", "q_anti_bloom_big",
     "e_props_extract", "d_dedup_keep", "e_global_rank", "e_funnel",
     "e_user_chain", "q_region_brand_revenue", "d_lang_eval", "e_mode_hour",
-    "d_weighted_sample", "e_reservoir_sample",
+    "d_weighted_sample", "e_reservoir_sample", "d_percentile_filter",
 ]
 
 

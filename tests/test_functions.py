@@ -1637,3 +1637,47 @@ def test_weighted_sampling_is_weight_proportional(ray_session):
     heavy_frac = (got["n_chars"] == 9).mean()
     # expected = 9/(9+1) = 0.9 of the sample; the hash acts pseudo-random
     assert 0.85 < heavy_frac < 0.95
+
+
+def test_percentile_filter_ties_nulls_tiny(ray_session, tmp_path):
+    """d_percentile_filter adversarial edges vs DuckDB on the SAME file:
+    threshold ties kept (>=), null-lang rows dropped on both sides
+    (inner-join semantics), single-doc language keeps its only doc, and
+    a tiny input (rows << forced block count) exercises the zero-row
+    pass-through schema path."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from ict_log_parser_ray.pipelines.driver_queries import (
+        build_oracles, d_percentile_filter)
+
+    tbl = pa.table({
+        "doc_id": pa.array(range(12), pa.int64()),
+        "text": pa.array(["x"] * 12),
+        "lang": pa.array(["en", "en", "en", "en", "de", "de", "de",
+                          None, None, "fr", "en", "de"]),
+        "source": pa.array(["s"] * 12),
+        # en: [10,20,30,30,30] → p75 = 30 (ties AT threshold kept)
+        # de: [5,5,5,100]      → p75 = 5? ceil(.75*4)=3 → sorted[3]=5
+        # fr: [7]              → p75 = 7 (kept)
+        "n_chars": pa.array([10, 20, 30, 30, 5, 5, 5,
+                             999, 999, 7, 30, 100], pa.int64()),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+    got = (d_percentile_filter(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{tmp_path / 'documents.parquet'}'")
+    want = (con.sql(build_oracles()["d_percentile_filter"]).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    con.close()
+
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["n_chars"].tolist() == want["n_chars"].tolist()
+    # null-lang rows (the two 999s) must be gone despite huge n_chars
+    assert 7 not in got["doc_id"].tolist() and 8 not in got["doc_id"].tolist()
+    # the singleton language survives its own p75
+    assert 9 in got["doc_id"].tolist()
