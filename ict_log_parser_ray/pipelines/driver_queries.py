@@ -1307,6 +1307,111 @@ def d_percentile_filter(sf_dir):
                             zero_copy_batch=True)
 
 
+def d_contamination(sf_dir):
+    """Benchmark-decontamination scan: flag documents containing any of a
+    small probe set (here: the 40-char prefixes of every ``doc_id % 97
+    == 0`` document, standing in for an external eval-benchmark snippet
+    list), returning ``(doc_id, n_hits)`` for contaminated docs.
+
+    Scale shape: the probe side is tiny by construction (a benchmark
+    suite is KBs), collected once from a column-pruned scan and broadcast
+    via ``ray.put``; the corpus streams through one vectorized
+    ``pc.match_substring`` pass per probe — no shuffle, no join.  With
+    thousands+ of probes the per-probe kernel loop would switch to a
+    per-actor Aho-Corasick automaton (same broadcast shape, one pass);
+    at benchmark-suite probe counts the arrow kernel wins.  Counts are
+    exact int64 (a probe either is or isn't a substring), so the oracle
+    comparison is hash-exact."""
+    import ray
+
+    from ..blocks import concat_shaped
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def probe_part(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        text = pc.fill_null(b["text"], "")
+        m = pa.array((ids % 97 == 0)
+                     & (pc.utf8_length(text).to_numpy(zero_copy_only=False)
+                        >= 40))
+        probe = pc.utf8_slice_codeunits(text.filter(m), 0, 40)
+        return pa.table({"probe": pc.cast(probe, pa.string())})
+
+    probe_tbl = concat_shaped(
+        docs.map_batches(probe_part, batch_format="pyarrow",
+                         zero_copy_batch=True).materialize(),
+        "probe", empty_schema=pa.schema([("probe", pa.string())]))
+    probes = sorted(set(probe_tbl["probe"].to_pylist()))
+    pref = ray.put(probes)
+
+    def scan(b: pa.Table) -> pa.Table:
+        text = pc.fill_null(b["text"], "")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n = np.zeros(len(b), dtype=np.int64)
+        for p in ray.get(pref):
+            n += pc.match_substring(text, p).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        t = pa.table({"doc_id": pc.cast(b["doc_id"], pa.int64()),
+                      "n_hits": pa.array(n, pa.int64())})
+        return t.filter(pc.greater(t["n_hits"], 0))
+
+    out = docs.map_batches(scan, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    # output schema differs from the input's → guard zero-row
+    # pass-through blocks (they surface with the upstream schema)
+    return concat_shaped(out, "n_hits", empty_schema=pa.schema(
+        [("doc_id", pa.int64()), ("n_hits", pa.int64())]))
+
+
+def q_customer_order_counts(sf_dir):
+    """LEFT-OUTER join semantics under external check: orders per
+    customer INCLUDING zero-order customers (count from the fact side,
+    zero-fill on dimension misses).
+
+    Scale shape: per-batch arrow partial counts over the streaming
+    orders scan (bounded by distinct custkeys per batch), driver finish
+    under the documented small-result threshold (the hash-partitioned
+    ``_gq_part``-style task finish is the >threshold fallback, see
+    functions/quantiles.py), then one broadcast ``index_in`` probe per
+    customer batch with ``fill_null(0)`` — the left-outer analog of the
+    q_nation_revenue inner rollup; no shuffle join anywhere."""
+    import ray
+
+    from ..blocks import shaped_tables
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.TableGroupBy(b.select(["o_custkey"]),
+                               "o_custkey").aggregate([([], "count_all")])
+
+    parts = pa.concat_tables(shaped_tables(
+        orders.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize(),
+        "count_all"))
+    fin = (parts.to_pandas().groupby("o_custkey", as_index=False)
+           .agg(n_orders=("count_all", "sum")))
+    keys = pa.array(fin["o_custkey"].to_numpy(), pa.int64())
+    cnts = pa.array(fin["n_orders"].to_numpy(), pa.int64())
+    kref = ray.put((keys, cnts))
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+
+    def attach(b: pa.Table) -> pa.Table:
+        k, c = ray.get(kref)
+        ck = b["c_custkey"]
+        if isinstance(ck, pa.ChunkedArray):
+            ck = ck.combine_chunks()
+        idx = pc.index_in(pc.cast(ck, pa.int64()), value_set=k)
+        n = pc.fill_null(pc.take(c, idx), 0)  # miss → LEFT-join zero
+        return pa.table({"c_custkey": pc.cast(ck, pa.int64()),
+                         "n_orders": n})
+
+    return cust.map_batches(attach, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 def d_tfidf_top_terms(sf_dir):
     """Distributed TF-IDF-style characteristic terms (top-3 per document
     by the integer rarity score — see functions/tfidf.py for why the
@@ -2387,6 +2492,8 @@ def build_queries() -> dict:
         "d_lang_eval": d_lang_eval,
         "e_mode_hour": e_mode_hour,
         "d_percentile_filter": d_percentile_filter,
+        "d_contamination": d_contamination,
+        "q_customer_order_counts": q_customer_order_counts,
         # rows-only (non-SQL-expressible)
         "emb_kmeans": emb_kmeans,
         "d_top_tokens_approx": d_top_tokens_approx,
@@ -2400,7 +2507,7 @@ def build_queries() -> dict:
         "media_features": media_features,
     }
     first50 = list(q)[:50]
-    assert len(q) == 80 and all(n in build_oracles() for n in first50), \
+    assert len(q) == 82 and all(n in build_oracles() for n in first50), \
         "driver checks only the first 50 keys — keep them oracle-backed"
     return q
 
@@ -2475,6 +2582,20 @@ WITH thr AS (
 SELECT d.doc_id, d.lang, d.n_chars
 FROM documents d JOIN thr t ON d.lang = t.lang
 WHERE d.n_chars >= t.thr
+""",
+        "d_contamination": """
+WITH probes AS (
+  SELECT DISTINCT substr(text, 1, 40) AS probe
+  FROM documents WHERE doc_id % 97 = 0 AND length(text) >= 40
+)
+SELECT d.doc_id, count(*) AS n_hits
+FROM documents d JOIN probes p ON contains(d.text, p.probe)
+GROUP BY d.doc_id
+""",
+        "q_customer_order_counts": """
+SELECT c.c_custkey, count(o.o_custkey) AS n_orders
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey
 """,
         "q_nation_revenue": """
 SELECT n.n_name,

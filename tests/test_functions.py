@@ -1681,3 +1681,97 @@ def test_percentile_filter_ties_nulls_tiny(ray_session, tmp_path):
     assert 7 not in got["doc_id"].tolist() and 8 not in got["doc_id"].tolist()
     # the singleton language survives its own p75
     assert 9 in got["doc_id"].tolist()
+
+
+def test_contamination_probes_dups_nulls_tiny(ray_session, tmp_path):
+    """d_contamination adversarial edges vs DuckDB on the SAME file:
+    multi-probe hits count correctly, duplicate probe texts dedup
+    (DISTINCT semantics), sub-40-char seed docs contribute no probe,
+    null text never matches, and the tiny input (rows << forced block
+    count) exercises the zero-row pass-through concat guard."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from ict_log_parser_ray.pipelines.driver_queries import (
+        build_oracles, d_contamination)
+
+    pa_ = "A" * 40 + "tail0"          # probe0 = 'A'*40 (doc 0)
+    pb_ = "B" * 40 + "tail1"          # probe1 = 'B'*40 (doc 97)
+    rows = {
+        0:   pa_,                     # seed: contains probe0 → 1 hit
+        97:  pb_,                     # seed: contains probe1 → 1 hit
+        194: pa_,                     # seed DUP of probe0 → DISTINCT dedup
+        1:   "x" + "A" * 40 + "y" + "B" * 40,   # both probes → 2 hits
+        2:   "zz" + "A" * 40,         # probe0 only → 1 hit
+        3:   "short, no match",       # clean → absent
+        4:   None,                    # null text → absent both sides
+        5:   "A" * 39,                # 39 As: not a probe, no 40-A run
+    }
+    tbl = pa.table({
+        "doc_id": pa.array(list(rows), pa.int64()),
+        "text": pa.array(list(rows.values()), pa.string()),
+        "lang": pa.array(["en"] * len(rows)),
+        "source": pa.array(["s"] * len(rows)),
+        "n_chars": pa.array([len(v) if v else 0 for v in rows.values()],
+                            pa.int64()),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+    got = d_contamination(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{tmp_path / 'documents.parquet'}'")
+    want = (con.sql(build_oracles()["d_contamination"]).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    con.close()
+
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["n_hits"].tolist() == want["n_hits"].astype("int64").tolist()
+    hits = dict(zip(got["doc_id"], got["n_hits"]))
+    assert hits[1] == 2 and hits[2] == 1 and hits[194] == 1
+    assert 3 not in hits and 4 not in hits and 5 not in hits
+
+
+def test_customer_order_counts_left_zero_orphan_tiny(ray_session, tmp_path):
+    """q_customer_order_counts LEFT-join edges vs DuckDB on the SAME
+    files: zero-order customers appear with n_orders=0, orphan orders
+    (custkey not in customer) are invisible, multi-order customers
+    count exactly; tiny input → zero-row pass-through blocks."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from ict_log_parser_ray.pipelines.driver_queries import (
+        build_oracles, q_customer_order_counts)
+
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3], pa.int64()),
+        "c_name": pa.array(["a", "b", "c"]),
+        "c_nationkey": pa.array([0, 0, 0], pa.int64()),
+        "c_acctbal": pa.array([0.0, 0.0, 0.0]),
+        "c_mktsegment": pa.array(["m", "m", "m"]),
+    }), tmp_path / "customer.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([10, 11, 12, 13, 14], pa.int64()),
+        "o_custkey": pa.array([1, 1, 1, 9, 9], pa.int64()),  # 9 = orphan
+        "o_orderstatus": pa.array(["F"] * 5),
+        "o_totalprice": pa.array([1.0] * 5),
+        "o_orderdate": pa.array(["1995-01-01"] * 5),
+        "o_orderpriority": pa.array(["1-URGENT"] * 5),
+    }), tmp_path / "orders.parquet")
+
+    got = q_customer_order_counts(str(tmp_path)).to_pandas() \
+        .sort_values("c_custkey").reset_index(drop=True)
+
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'{tmp_path / (t + '.parquet')}'")
+    want = (con.sql(build_oracles()["q_customer_order_counts"]).df()
+            .sort_values("c_custkey").reset_index(drop=True))
+    con.close()
+
+    assert got["c_custkey"].tolist() == want["c_custkey"].tolist() == [1, 2, 3]
+    assert got["n_orders"].tolist() == \
+        want["n_orders"].astype("int64").tolist() == [3, 0, 0]
