@@ -581,6 +581,26 @@ def _sink_part_name(part: pa.Table) -> str:
     h.update(str(part.num_rows).encode())
     return f"part-{h.hexdigest()}.parquet"
 
+
+def write_sink_file(part: pa.Table, fn: str, compression: str = "lz4") -> None:
+    """One routed sink file, with the canonical write profile (lz4 + no
+    dictionary + no column stats — sink files are bulk-scanned, not
+    point-filtered; see CLAUDE.md for the measured codec A/Bs).
+
+    Ensures the parent directory ON THE WORKER: the driver-side makedirs
+    only covers the driver's node — on a multi-node cluster writing to
+    node-local paths the parent wouldn't exist at all, and even
+    single-node a vanished dir (observed once as a flaky ENOENT under
+    /dev/shm mid-scaling-run) must not abort a 100-TB job.  The makedirs
+    is ~µs against a parquet encode."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    os.makedirs(os.path.dirname(fn), exist_ok=True)
+    _pq.write_table(part, fn, compression=compression,
+                    use_dictionary=False, write_statistics=False)
+
 def write_sinks_with_metrics(flagged, out_dir: str) -> dict:
     """Fused single pass: route + hive-partitioned sink write + turn
     metrics.  Each map task writes its batch's per-sink parquet files as a
@@ -610,9 +630,7 @@ def write_sinks_with_metrics(flagged, out_dir: str) -> dict:
         for s in pc.unique(sink).to_pylist():
             part = b.filter(pc.equal(sink, s))
             fn = os.path.join(out_dir, f"sink={s}", _sink_part_name(part))
-            # same write profile as the streaming sink (see streaming.py)
-            _pq.write_table(part, fn, compression="lz4",
-                            use_dictionary=False, write_statistics=False)
+            write_sink_file(part, fn)
         # partial metrics on a text-free projection (streaming.py idiom)
         return turn_partials_batch(
             b.select(narrow_cols).append_column("sink", sink))

@@ -58,7 +58,7 @@ from ..stages.enrich import enrich_dataset
 from ..stages.parse import parse_dataset
 from ..stages.route import SINKS, add_sink_column, sink_array
 from .reports import (_sink_part_name, finish_turn_metrics,
-                      turn_partials_batch)
+                      turn_partials_batch, write_sink_file)
 
 _P1_SCHEMA = pa.schema([
     ("kind", pa.string()),       # 'hashes' | 'att'
@@ -231,7 +231,7 @@ def _route_write(sb: pa.Table, out_dir: str) -> None:
     separate compute scaling from sink-IO scaling in bench experiments."""
     if os.environ.get("ICT_SKIP_SINK_WRITE") == "1":
         return
-    from .reports import _sink_part_name
+    from .reports import _sink_part_name, write_sink_file
 
     col = sb["sink"]
     if isinstance(col, pa.ChunkedArray):
@@ -242,8 +242,7 @@ def _route_write(sb: pa.Table, out_dir: str) -> None:
         # lz4 + no dictionary + no column stats: measured 149 vs 268 ms per
         # 262k-row sink batch at equal size — sink files are bulk-scanned
         # (resume/export), not point-filtered, so stats buy nothing here
-        pq.write_table(part, fn, compression=_sink_compression(),
-                       use_dictionary=False, write_statistics=False)
+        write_sink_file(part, fn, compression=_sink_compression())
 
 
 @ray.remote(num_cpus=0)
@@ -436,10 +435,7 @@ def run_streaming(transcripts_path, tool_meta: pa.Table | None, out_dir: str,
                 fn = os.path.join(out_dir, f"sink={s}",
                                   _sink_part_name(part))
                 _lap("w_name")
-                pq.write_table(part, fn,
-                               compression=_sink_compression(),
-                               use_dictionary=False,
-                               write_statistics=False)
+                write_sink_file(part, fn, compression=_sink_compression())
                 _lap("w_io")
         _lap("write")
         narrow = b.select(_NARROW).append_column("sink", sink_arr)

@@ -130,3 +130,21 @@ def test_streaming_remote_metric_collect_path(fixture_sf0001, tmp_path,
     assert {r["phase"]: (r["ok"], r["nok"])
             for r in res["reports"]["yields_sb"].to_pylist()} == \
         fixture_sf0001["golden"]["yields_sb"]
+
+
+def test_write_sink_file_creates_missing_parent(tmp_path):
+    """Sink writes must ensure their parent dir ON THE WORKER: the
+    driver-side makedirs only covers the driver's node (multi-node
+    node-local paths), and a vanished dir was observed once as a flaky
+    mid-run ENOENT under /dev/shm — either way the write, not the job,
+    owns the directory."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ict_log_parser_ray.pipelines.reports import write_sink_file
+
+    t = pa.table({"conv_id": pa.array(["a", "b"]),
+                  "turn_idx": pa.array([0, 1], pa.int64())})
+    fn = tmp_path / "out" / "sink=pass" / "part-x.parquet"  # parents absent
+    write_sink_file(t, str(fn))
+    assert pq.read_table(str(fn)).num_rows == 2
