@@ -1364,6 +1364,60 @@ def d_contamination(sf_dir):
         [("doc_id", pa.int64()), ("n_hits", pa.int64())]))
 
 
+def d_lang_mix(sf_dir):
+    """Language-balanced mixture sampling (the data-MIXING step of corpus
+    prep): per-language quota ``min(c, max(1, 4·⌊√c⌋))`` — temperature-
+    flattened so dominant languages are downsampled while tails survive —
+    filled by each language's quota docs with the smallest multiplicative
+    id hash (deterministic, so the SQL oracle reproduces the exact row
+    set; ⌊√c⌋ is safe cross-engine because IEEE sqrt is correctly rounded
+    and both sides floor the same double).
+
+    Scale shape: pass 1 is a 2-column count partial (output = #languages);
+    quotas are computed driver-side from that tiny table; pass 2 ships
+    per-batch per-language bottom-max(quota) candidates (≤ quota×langs per
+    batch, the proven-subset property of e_stratified_sample) and the
+    driver re-cuts.  At 100 TB the re-cut hash-partitions by language
+    (vocab.top_tokens shape) and pass 1 reuses cached corpus stats."""
+    import ray
+
+    from ..blocks import shaped_tables
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def count_part(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b["lang"])).select(["lang"])
+        return pa.TableGroupBy(t, "lang").aggregate([([], "count_all")])
+
+    cnt = pa.concat_tables(shaped_tables(
+        ds.map_batches(count_part, batch_format="pyarrow",
+                       zero_copy_batch=True).materialize(), "count_all"))
+    cdf = cnt.to_pandas().groupby("lang", as_index=False)["count_all"].sum()
+    c = cdf["count_all"].to_numpy()
+    quota = np.minimum(c, np.maximum(
+        1, 4 * np.floor(np.sqrt(c.astype(np.float64))).astype(np.int64)))
+    quotas = dict(zip(cdf["lang"], (int(v) for v in quota)))
+    kmax = int(quota.max()) if len(quota) else 0
+    qref = ray.put(quotas)
+
+    def cand(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["lang"].notna()]
+        df = df.assign(hkey=_strat_hash(df["doc_id"].to_numpy()))
+        return (df.sort_values(["hkey", "doc_id"], kind="stable")
+                .groupby("lang", sort=False).head(kmax))
+
+    parts = [t for t in ray.get(
+        ds.map_batches(cand, batch_format="pandas").to_arrow_refs())
+        if isinstance(t, pa.Table) and "hkey" in t.schema.names]
+    out = (pa.concat_tables(parts).to_pandas()
+           .sort_values(["hkey", "doc_id"], kind="stable"))
+    out["rn"] = out.groupby("lang", sort=False).cumcount() + 1
+    out = out[out["rn"] <= out["lang"].map(ray.get(qref))]
+    out = (out.sort_values(["lang", "rn"])
+           .reset_index(drop=True)[["doc_id", "lang", "rn"]])
+    return _i64(out, ["doc_id", "rn"])
+
+
 def q_customer_order_counts(sf_dir):
     """LEFT-OUTER join semantics under external check: orders per
     customer INCLUDING zero-order customers (count from the fact side,
@@ -2494,6 +2548,7 @@ def build_queries() -> dict:
         "d_percentile_filter": d_percentile_filter,
         "d_contamination": d_contamination,
         "q_customer_order_counts": q_customer_order_counts,
+        "d_lang_mix": d_lang_mix,
         # rows-only (non-SQL-expressible)
         "emb_kmeans": emb_kmeans,
         "d_top_tokens_approx": d_top_tokens_approx,
@@ -2507,7 +2562,7 @@ def build_queries() -> dict:
         "media_features": media_features,
     }
     first50 = list(q)[:50]
-    assert len(q) == 82 and all(n in build_oracles() for n in first50), \
+    assert len(q) == 83 and all(n in build_oracles() for n in first50), \
         "driver checks only the first 50 keys — keep them oracle-backed"
     return q
 
@@ -2596,6 +2651,24 @@ GROUP BY d.doc_id
 SELECT c.c_custkey, count(o.o_custkey) AS n_orders
 FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
 GROUP BY c.c_custkey
+""",
+        "d_lang_mix": """
+WITH cnt AS (
+  SELECT lang, count(*) AS c FROM documents
+  WHERE lang IS NOT NULL GROUP BY lang
+), q AS (
+  SELECT lang,
+         least(c, greatest(1, 4 * cast(floor(sqrt(c)) AS BIGINT))) AS quota
+  FROM cnt
+), r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+  FROM documents WHERE lang IS NOT NULL
+)
+SELECT r.doc_id, r.lang, r.rn
+FROM r JOIN q USING (lang) WHERE r.rn <= q.quota
 """,
         "q_nation_revenue": """
 SELECT n.n_name,

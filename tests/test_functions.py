@@ -1775,3 +1775,49 @@ def test_customer_order_counts_left_zero_orphan_tiny(ray_session, tmp_path):
     assert got["c_custkey"].tolist() == want["c_custkey"].tolist() == [1, 2, 3]
     assert got["n_orders"].tolist() == \
         want["n_orders"].astype("int64").tolist() == [3, 0, 0]
+
+
+def test_lang_mix_quota_edges_tiny(ray_session, tmp_path):
+    """d_lang_mix adversarial edges vs DuckDB on the SAME file: the
+    dominant language is downsampled to its 4·⌊√c⌋ quota, a tail
+    language smaller than its quota survives whole, a singleton keeps
+    its one doc, null langs drop, and a perfect-square count (c=25)
+    exercises the floor(sqrt) boundary both engines must agree on."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from ict_log_parser_ray.pipelines.driver_queries import (
+        build_oracles, d_lang_mix)
+
+    ids, langs = [], []
+    for i in range(25):                      # en: c=25 → quota 4*5=20
+        ids.append(i); langs.append("en")
+    for i in range(25, 28):                  # de: c=3 → quota min(3,4)=3
+        ids.append(i); langs.append("de")
+    ids.append(28); langs.append("fr")       # fr: c=1 → quota 1
+    ids += [29, 30]; langs += [None, None]   # null langs drop
+
+    tbl = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(["x"] * len(ids)),
+        "lang": pa.array(langs),
+        "source": pa.array(["s"] * len(ids)),
+        "n_chars": pa.array([1] * len(ids), pa.int64()),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+    got = d_lang_mix(str(tmp_path)).sort_values(
+        ["lang", "rn"]).reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{tmp_path / 'documents.parquet'}'")
+    want = (con.sql(build_oracles()["d_lang_mix"]).df()
+            .sort_values(["lang", "rn"]).reset_index(drop=True))
+    con.close()
+
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["rn"].tolist() == want["rn"].astype("int64").tolist()
+    sizes = got.groupby("lang")["doc_id"].count().to_dict()
+    assert sizes == {"en": 20, "de": 3, "fr": 1}
+    assert 29 not in got["doc_id"].tolist() and 30 not in got["doc_id"].tolist()
