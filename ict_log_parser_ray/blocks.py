@@ -15,13 +15,28 @@ from __future__ import annotations
 import pyarrow as pa
 
 
+def arrow_refs(ds) -> list:
+    """``to_arrow_refs()`` without the lazy-Dataset DOUBLE EXECUTION:
+    calling ``to_arrow_refs()`` on a lazy Dataset executes the plan and
+    then runs a SECOND ``limit=1`` execution for the schema peek —
+    measured re-running every map task on a 4-block input (and one full
+    task wave on larger ones).  ``materialize()`` first; on an
+    already-materialized Dataset this is a no-op and the refs come
+    straight off the pinned blocks."""
+    from ray.data.dataset import MaterializedDataset
+
+    if not isinstance(ds, MaterializedDataset):
+        ds = ds.materialize()
+    return ds.to_arrow_refs()
+
+
 def shaped_tables(refs_or_ds, required_col: str) -> list[pa.Table]:
     """ray.get + keep only blocks the UDF actually shaped (identified by
     ``required_col`` being present)."""
     import ray
 
     refs = refs_or_ds if isinstance(refs_or_ds, list) \
-        else refs_or_ds.to_arrow_refs()
+        else arrow_refs(refs_or_ds)
     return [t for t in ray.get(refs)
             if isinstance(t, pa.Table) and required_col in t.schema.names]
 

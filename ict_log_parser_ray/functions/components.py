@@ -112,7 +112,7 @@ def connected_components(edges_ds, a_col: str = "a", b_col: str = "b",
 
         parts = [t for t in ray.get(
             edges.map_batches(step, batch_format="pyarrow",
-                              zero_copy_batch=True).to_arrow_refs())
+                              zero_copy_batch=True).materialize().to_arrow_refs())
             if isinstance(t, pa.Table) and "lbl_min" in t.schema.names]
         inc = pa.concat_tables(parts)
         dst = inc["dst"].to_numpy(zero_copy_only=False)

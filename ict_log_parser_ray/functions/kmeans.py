@@ -71,7 +71,7 @@ def kmeans_fit(ds, k: int, vec_col: str = "embedding", iters: int = 20,
 
         parts = [t for t in ray.get(
             ds.map_batches(stats, batch_format="pyarrow",
-                           zero_copy_batch=True).to_arrow_refs())
+                           zero_copy_batch=True).materialize().to_arrow_refs())
             if isinstance(t, pa.Table) and "csum" in t.schema.names]
         csum = np.zeros((k, d))
         cnt = np.zeros(k, dtype=np.int64)
@@ -106,7 +106,7 @@ def kmeans_cluster_sizes(ds, centroids: np.ndarray,
 
     parts = [t for t in ray.get(
         ds.map_batches(count, batch_format="pyarrow",
-                       zero_copy_batch=True).to_arrow_refs())
+                       zero_copy_batch=True).materialize().to_arrow_refs())
         if isinstance(t, pa.Table) and "cluster" in t.schema.names]
     if not parts:   # fully empty input: every cluster has zero members
         return pd.DataFrame({

@@ -72,7 +72,7 @@ def grouped_corr(ds, key: str, xcol: str, ycol: str,
 
     refs = ds.map_batches(
         lambda b: corr_partial_batch(b, key, xcol, ycol),
-        batch_format="pyarrow", zero_copy_batch=True).to_arrow_refs()
+        batch_format="pyarrow", zero_copy_batch=True).materialize().to_arrow_refs()
     parts = [t for t in ray.get(refs)
              if isinstance(t, pa.Table) and "count_all" in t.schema.names]
     if not parts:   # fully empty / all-null input: no groups

@@ -50,7 +50,7 @@ def cube_aggregate(ds, keys: list[str], measures: list[str],
             [(m, "sum") for m in measures] + [([], "count_all")])
 
     refs = ds.map_batches(partial, batch_format="pyarrow",
-                          zero_copy_batch=True).to_arrow_refs()
+                          zero_copy_batch=True).materialize().to_arrow_refs()
     # zero-row input blocks skip the UDF and surface with the ORIGINAL
     # schema — they carry no partial columns and contribute nothing
     parts = [t for t in ray.get(refs)

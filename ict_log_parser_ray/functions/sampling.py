@@ -84,7 +84,7 @@ def weighted_bottom_k(ds, id_col: str, weight_col: "str | None", k: int,
 
     parts = [t for t in ray.get(
         ds.map_batches(partial, batch_format="pyarrow",
-                       zero_copy_batch=True).to_arrow_refs())
+                       zero_copy_batch=True).materialize().to_arrow_refs())
         if isinstance(t, pa.Table) and "_q" in t.schema.names]
     if not parts:
         # fully-empty input: carry the REAL column types, not assumed int64

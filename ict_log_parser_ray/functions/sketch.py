@@ -78,7 +78,7 @@ def approx_distinct(ds, column: str, p: int = 14) -> int:
         return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
 
     parts = ray.get(ds.map_batches(partial, batch_format="pyarrow",
-                                   zero_copy_batch=True).to_arrow_refs())
+                                   zero_copy_batch=True).materialize().to_arrow_refs())
     regs = hll_merge(np.frombuffer(blob, np.uint8)
                      for t in parts for blob in t["regs"].to_pylist())
     return int(round(hll_estimate(regs)))
@@ -172,7 +172,7 @@ def approx_quantiles(ds, column: str, qs: dict[str, float],
         return pa.table({"sk": pa.array([pickle.dumps(sk)], pa.binary())})
 
     parts = ray.get(ds.map_batches(partial, batch_format="pyarrow",
-                                   zero_copy_batch=True).to_arrow_refs())
+                                   zero_copy_batch=True).materialize().to_arrow_refs())
     sk = dd_merge(pickle.loads(blob)
                   for t in parts for blob in t["sk"].to_pylist())
     return {name: dd_quantile(sk, q, alpha) for name, q in qs.items()}
@@ -243,7 +243,7 @@ def top_tokens_approx(ds, text_col: str, k: int = 20, m: int = 512):
             "dec": pa.array([d] + [0] * (len(counts) - 1) if counts
                             else [], pa.int64())})
 
-    refs = ds.map_batches(partial, batch_format="pandas").to_arrow_refs()
+    refs = ds.map_batches(partial, batch_format="pandas").materialize().to_arrow_refs()
     parts = []
     for t in ray.get(refs):
         if not isinstance(t, pa.Table) or "token" not in t.schema.names:

@@ -505,7 +505,7 @@ def e_hourly(sf_dir):
             [("ok", "sum"), ("nok", "sum")])
 
     parts = ds.map_batches(partial, batch_format="pyarrow",
-                           zero_copy_batch=True).to_arrow_refs()
+                           zero_copy_batch=True).materialize().to_arrow_refs()
     import ray as _ray
     df = (pa.concat_tables(_ray.get(parts)).to_pandas()
           .groupby("hour", as_index=False)
@@ -527,7 +527,7 @@ def e_pareto(sf_dir):
                          "n": pc.cast(vc.field("counts"), pa.int64())})
 
     parts = ds.map_batches(partial, batch_format="pyarrow",
-                           zero_copy_batch=True).to_arrow_refs()
+                           zero_copy_batch=True).materialize().to_arrow_refs()
     import ray as _ray
     df = (pa.concat_tables(_ray.get(parts)).to_pandas()
           .groupby("event_type", as_index=False).agg(n=("n", "sum")))
@@ -614,7 +614,7 @@ def e_topk(sf_dir):
         return b.take(idx)
 
     parts = ds.map_batches(partial, batch_format="pyarrow",
-                           zero_copy_batch=True).to_arrow_refs()
+                           zero_copy_batch=True).materialize().to_arrow_refs()
     import ray as _ray
     df = (pa.concat_tables(_ray.get(parts)).to_pandas()
           .sort_values(["value", "event_id"], ascending=[False, True])
@@ -640,7 +640,7 @@ def e_top_per_user(sf_dir):
                 .groupby("user_id", sort=False).head(3))
 
     parts = ray.get(ds.map_batches(partial, batch_format="pandas")
-                    .to_arrow_refs())
+                    .materialize().to_arrow_refs())
     cand = pa.concat_tables(parts).to_pandas()
     cand = (cand.sort_values(["value", "event_id"],
                              ascending=[False, True], kind="stable")
@@ -682,7 +682,7 @@ def e_stratified_sample(sf_dir):
                 .groupby("event_type", sort=False).head(20))
 
     parts = ray.get(ds.map_batches(partial, batch_format="pandas")
-                    .to_arrow_refs())
+                    .materialize().to_arrow_refs())
     cand = pa.concat_tables(parts).to_pandas()
     cand = (cand.sort_values(["hkey", "event_id"], kind="stable")
             .groupby("event_type", sort=False).head(20))
@@ -777,7 +777,7 @@ def q1_lineitem(sf_dir):
         return g
 
     parts = ds.map_batches(partial, batch_format="pyarrow",
-                           zero_copy_batch=True).to_arrow_refs()
+                           zero_copy_batch=True).materialize().to_arrow_refs()
     import ray as _ray
     tbl = pa.concat_tables(_ray.get(parts))
     df = (tbl.to_pandas()
@@ -1407,7 +1407,7 @@ def d_lang_mix(sf_dir):
                 .groupby("lang", sort=False).head(kmax))
 
     parts = [t for t in ray.get(
-        ds.map_batches(cand, batch_format="pandas").to_arrow_refs())
+        ds.map_batches(cand, batch_format="pandas").materialize().to_arrow_refs())
         if isinstance(t, pa.Table) and "hkey" in t.schema.names]
     out = (pa.concat_tables(parts).to_pandas()
            .sort_values(["hkey", "doc_id"], kind="stable"))
@@ -1647,7 +1647,7 @@ def q_anti_bloom(sf_dir):
 
     parts = pa.concat_tables(ray.get(
         miss.map_batches(partial, batch_format="pyarrow",
-                         zero_copy_batch=True).to_arrow_refs()))
+                         zero_copy_batch=True).materialize().to_arrow_refs()))
     df = (parts.to_pandas().groupby("l_returnflag", as_index=False)
           .agg(sum_qty=("sum_qty_sum", "sum"),
                n_items=("count_all", "sum")))
@@ -1687,7 +1687,7 @@ def q_anti_bloom_big(sf_dir):
 
     parts = pa.concat_tables([t for t in ray.get(
         miss.map_batches(partial, batch_format="pyarrow",
-                         zero_copy_batch=True).to_arrow_refs())
+                         zero_copy_batch=True).materialize().to_arrow_refs())
         if "count_all" in t.schema.names])
     df = (parts.to_pandas().groupby("l_returnflag", as_index=False)
           .agg(sum_qty=("sum_qty_sum", "sum"),
@@ -1866,7 +1866,7 @@ def e_share(sf_dir):
             [([], "count_all")])
 
     refs = ds.map_batches(partial, batch_format="pyarrow",
-                          zero_copy_batch=True).to_arrow_refs()
+                          zero_copy_batch=True).materialize().to_arrow_refs()
     parts = [t for t in ray.get(refs) if "count_all" in t.schema.names]
     df = (pa.concat_tables(parts).to_pandas()
           .groupby(["day", "event_type"], as_index=False)["count_all"]
@@ -1901,7 +1901,7 @@ def e_props_extract(sf_dir):
             [("sum_k", "sum"), ("n_hi", "sum"), ("n_k", "sum")])
 
     refs = ds.map_batches(partial, batch_format="pyarrow",
-                          zero_copy_batch=True).to_arrow_refs()
+                          zero_copy_batch=True).materialize().to_arrow_refs()
     parts = [t for t in ray.get(refs)
              if isinstance(t, pa.Table) and "sum_k_sum" in t.schema.names]
     df = (pa.concat_tables(parts).to_pandas()
@@ -2072,7 +2072,7 @@ def q_region_brand_revenue(sf_dir):
 
     parts = [t for t in ray.get(
         ds.map_batches(partial, batch_format="pyarrow",
-                       zero_copy_batch=True).to_arrow_refs())
+                       zero_copy_batch=True).materialize().to_arrow_refs())
         if isinstance(t, pa.Table) and "count_all" in t.schema.names]
     df = (pa.concat_tables(parts).to_pandas()
           .groupby(["r_name", "p_brand"], as_index=False)
@@ -2106,7 +2106,7 @@ def d_lang_eval(sf_dir):
 
     parts = [t for t in ray.get(
         qt.map_batches(partial, batch_format="pyarrow",
-                       zero_copy_batch=True).to_arrow_refs())
+                       zero_copy_batch=True).materialize().to_arrow_refs())
         if isinstance(t, pa.Table) and "count_all" in t.schema.names]
     df = (pa.concat_tables(parts).to_pandas()
           .groupby(["lang_true", "lang_pred"], as_index=False)["count_all"]
@@ -2132,7 +2132,7 @@ def e_mode_hour(sf_dir):
 
     parts = [t for t in ray.get(
         ds.map_batches(partial, batch_format="pyarrow",
-                       zero_copy_batch=True).to_arrow_refs())
+                       zero_copy_batch=True).materialize().to_arrow_refs())
         if isinstance(t, pa.Table) and "count_all" in t.schema.names]
     df = (pa.concat_tables(parts).to_pandas()
           .groupby(["event_type", "hour"], as_index=False)["count_all"]
