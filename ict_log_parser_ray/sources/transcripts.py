@@ -40,9 +40,42 @@ def read_transcripts(path, columns=None, window=None, override_num_blocks=None):
     return ds
 
 
+_TABLE_META_CACHE: dict[str, tuple[int, int]] = {}
+
+
+def _table_num_blocks(path: str) -> int:
+    """Right-size the read split from the parquet footer: Ray's default
+    splits even a sub-MB file into ~2×CPU blocks, and the per-task
+    scheduling floor then dominates small-table queries (measured at
+    sf0.1/32 CPUs: 64-block default 0.55 s vs 32 blocks 0.35 s vs 4
+    blocks 0.19 s for a 5000-doc token count whose compute is 0.09 s).
+    Rule: one block per ~8 MB on disk, floored at one block per CPU when
+    the table is big enough to parallelize (≥4096 rows — downstream
+    per-row compute like minhash signatures needs the full wave), capped
+    at 4×CPU (the CLAUDE.md read rule) and at the row count."""
+    import os
+
+    import ray
+
+    if path not in _TABLE_META_CACHE:
+        import pyarrow.parquet as pq
+
+        _TABLE_META_CACHE[path] = (os.path.getsize(path),
+                                   pq.ParquetFile(path).metadata.num_rows)
+    nbytes, rows = _TABLE_META_CACHE[path]
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    nb = max(1, -(-nbytes // (8 << 20)))
+    if rows >= 4096:
+        nb = max(nb, ncpu)
+    return int(min(nb, 4 * ncpu, max(1, rows)))
+
+
 def read_table(sf_dir: str, name: str, columns=None):
     """One of the driver's TPC-H-ish tables."""
-    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    path = f"{sf_dir}/{name}.parquet"
+    return rd.read_parquet(path, columns=columns,
+                           override_num_blocks=_table_num_blocks(path))
 
 
 def write_date_partitioned(ds, root: str):
