@@ -74,15 +74,40 @@ def char_shingles(text: str, k: int = 5) -> set:
     return {t[i:i + k] for i in range(len(t) - k + 1)}
 
 
-def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
-    """n-gram Jaccard similarity verification kernel (hash-set based —
-    identical to string-shingle Jaccard up to 64-bit hash collisions)."""
-    sa, sb = _shingle_hashes(a, k), _shingle_hashes(b, k)
+def jaccard_from_hashes(sa: np.ndarray, sb: np.ndarray) -> float:
+    """Jaccard over two unique-shingle-hash arrays (the shared kernel of
+    ngram_jaccard and the memoized verify path — one place for the
+    math so the two are bit-identical)."""
     if not len(sa) and not len(sb):
         return 1.0
     inter = np.intersect1d(sa, sb, assume_unique=True).size
     union = sa.size + sb.size - inter
     return inter / max(1, union)
+
+
+def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
+    """n-gram Jaccard similarity verification kernel (hash-set based —
+    identical to string-shingle Jaccard up to 64-bit hash collisions)."""
+    return jaccard_from_hashes(_shingle_hashes(a, k), _shingle_hashes(b, k))
+
+
+# worker-level shingle-array memo for the broadcast verify: a doc's
+# shingle set was being REBUILT for every candidate pair it appears in
+# (107k pairs over ≤5k docs at sf0.1 cost 21 CPU-s — the whole verify
+# wall).  Keyed by the broadcast-table token so corpora never mix;
+# size-capped because the broadcast path admits up to ~2M docs.
+_SHINGLE_MEMO: dict = {}
+_SHINGLE_MEMO_MAX = 200_000
+
+
+def _memo_shingles(token: str) -> dict:
+    d = _SHINGLE_MEMO.get(token)
+    if d is None:
+        _SHINGLE_MEMO.clear()          # one corpus at a time per worker
+        d = _SHINGLE_MEMO.setdefault(token, {})
+    elif len(d) > _SHINGLE_MEMO_MAX:
+        d.clear()
+    return d
 
 
 class MinHasher:
@@ -247,6 +272,16 @@ def minhash_duplicate_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
     def _explode(df: pd.DataFrame) -> pd.DataFrame:
         return MinHasher(num_perm=num_perm, bands=bands, k=k)(df)
 
+    # broadcast-scale corpus: pin the (doc_id, text) read ONCE — the
+    # explode maps over the pinned blocks and the verify's broadcast
+    # attach reads the same blocks instead of re-reading the parquet
+    # (the attach would pin the same table anyway, so peak memory is
+    # unchanged; count() on the lazy read is footer metadata, free).
+    # Past the threshold the corpus must NOT be pinned — the verify
+    # takes the two-hash-join path and the source stays streaming.
+    if docs_ds.count() <= broadcast_threshold:
+        docs_ds = docs_ds.materialize()
+
     exploded = docs_ds.map_batches(_explode, batch_format="pandas")
     exploded = _only_colliding_buckets(exploded, "band_key")
 
@@ -310,12 +345,14 @@ def minhash_duplicate_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
         df = (tbl.to_pandas()
               .drop_duplicates(["doc_a", "doc_b"]).reset_index(drop=True))
         if len(df):
-            # split into ≥ncpu blocks — a single from_pandas block would
-            # SERIALIZE the downstream Jaccard verify into one task
-            # (measured 7.7 s of a 13.7 s run at sf0.1 before this)
+            # split into multiple blocks — a single from_pandas block
+            # would SERIALIZE the downstream Jaccard verify into one task
+            # (measured 7.7 s of a 13.7 s run at sf0.1 before this) —
+            # but keep ≥8 pairs per block: 64 four-pair verify tasks paid
+            # more scheduling than verify compute
             ncpu = int(ray.available_resources().get("CPU", 8)) \
                 if ray.is_initialized() else 8
-            nblk = max(1, min(len(df), 2 * ncpu))
+            nblk = max(1, min(2 * ncpu, -(-len(df) // 8)))
             cands = rd.from_pandas(np.array_split(df, nblk))
         else:
             cands = rd.from_arrow(
@@ -351,6 +388,7 @@ def minhash_duplicate_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
              if isinstance(t, pa.Table) and "doc_id" in t.schema.names]
         ).combine_chunks()
         tref = ray.put(ttbl)
+        token = tref.hex()
 
         def attach_verify(b: pa.Table) -> pd.DataFrame:
             t = ray.get(tref)
@@ -359,9 +397,25 @@ def minhash_duplicate_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
                 keys = keys.combine_chunks()
             ta = pc.take(t["text"], pc.index_in(b["doc_a"], value_set=keys))
             tb = pc.take(t["text"], pc.index_in(b["doc_b"], value_set=keys))
-            return _verify_rows(b["doc_a"].to_pylist(),
-                                b["doc_b"].to_pylist(),
-                                ta.to_pylist(), tb.to_pylist())
+            # per-worker shingle memo: each doc's hash set is computed
+            # once per worker, not once per pair (see _SHINGLE_MEMO)
+            memo = _memo_shingles(token)
+            out = {"doc_a": [], "doc_b": [], "jaccard": []}
+            for da, db, xa, xb in zip(b["doc_a"].to_pylist(),
+                                      b["doc_b"].to_pylist(),
+                                      ta.to_pylist(), tb.to_pylist()):
+                sa = memo.get(da)
+                if sa is None:
+                    sa = memo[da] = _shingle_hashes(xa or "", k)
+                sb = memo.get(db)
+                if sb is None:
+                    sb = memo[db] = _shingle_hashes(xb or "", k)
+                jac = jaccard_from_hashes(sa, sb)
+                if jac >= threshold:
+                    out["doc_a"].append(da)
+                    out["doc_b"].append(db)
+                    out["jaccard"].append(jac)
+            return pd.DataFrame(out)
 
         return cands.map_batches(attach_verify, batch_format="pyarrow",
                                  zero_copy_batch=True)
