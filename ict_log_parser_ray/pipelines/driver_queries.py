@@ -1381,7 +1381,7 @@ def d_lang_mix(sf_dir):
     (vocab.top_tokens shape) and pass 1 reuses cached corpus stats."""
     import ray
 
-    from ..blocks import shaped_tables
+    from ..blocks import concat_shaped
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
 
@@ -1389,16 +1389,17 @@ def d_lang_mix(sf_dir):
         t = b.filter(pc.is_valid(b["lang"])).select(["lang"])
         return pa.TableGroupBy(t, "lang").aggregate([([], "count_all")])
 
-    cnt = pa.concat_tables(shaped_tables(
+    cnt = concat_shaped(
         ds.map_batches(count_part, batch_format="pyarrow",
-                       zero_copy_batch=True).materialize(), "count_all"))
+                       zero_copy_batch=True).materialize(), "count_all",
+        empty_schema=pa.schema([("lang", pa.string()),
+                                ("count_all", pa.int64())]))
     cdf = cnt.to_pandas().groupby("lang", as_index=False)["count_all"].sum()
     c = cdf["count_all"].to_numpy()
     quota = np.minimum(c, np.maximum(
         1, 4 * np.floor(np.sqrt(c.astype(np.float64))).astype(np.int64)))
     quotas = dict(zip(cdf["lang"], (int(v) for v in quota)))
     kmax = int(quota.max()) if len(quota) else 0
-    qref = ray.put(quotas)
 
     def cand(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["lang"].notna()]
@@ -1409,10 +1410,14 @@ def d_lang_mix(sf_dir):
     parts = [t for t in ray.get(
         ds.map_batches(cand, batch_format="pandas").materialize().to_arrow_refs())
         if isinstance(t, pa.Table) and "hkey" in t.schema.names]
+    if not parts:          # all-null-lang / empty corpus
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "lang": pd.Series(dtype=str),
+                             "rn": pd.Series(dtype="int64")})
     out = (pa.concat_tables(parts).to_pandas()
            .sort_values(["hkey", "doc_id"], kind="stable"))
     out["rn"] = out.groupby("lang", sort=False).cumcount() + 1
-    out = out[out["rn"] <= out["lang"].map(ray.get(qref))]
+    out = out[out["rn"] <= out["lang"].map(quotas)]
     out = (out.sort_values(["lang", "rn"])
            .reset_index(drop=True)[["doc_id", "lang", "rn"]])
     return _i64(out, ["doc_id", "rn"])
@@ -1432,18 +1437,19 @@ def q_customer_order_counts(sf_dir):
     q_nation_revenue inner rollup; no shuffle join anywhere."""
     import ray
 
-    from ..blocks import shaped_tables
-
     orders = read_table(sf_dir, "orders", columns=["o_custkey"])
 
     def partial(b: pa.Table) -> pa.Table:
         return pa.TableGroupBy(b.select(["o_custkey"]),
                                "o_custkey").aggregate([([], "count_all")])
 
-    parts = pa.concat_tables(shaped_tables(
+    from ..blocks import concat_shaped
+    parts = concat_shaped(
         orders.map_batches(partial, batch_format="pyarrow",
                            zero_copy_batch=True).materialize(),
-        "count_all"))
+        "count_all",
+        empty_schema=pa.schema([("o_custkey", pa.int64()),
+                                ("count_all", pa.int64())]))
     fin = (parts.to_pandas().groupby("o_custkey", as_index=False)
            .agg(n_orders=("count_all", "sum")))
     keys = pa.array(fin["o_custkey"].to_numpy(), pa.int64())

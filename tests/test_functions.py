@@ -1821,3 +1821,40 @@ def test_lang_mix_quota_edges_tiny(ray_session, tmp_path):
     sizes = got.groupby("lang")["doc_id"].count().to_dict()
     assert sizes == {"en": 20, "de": 3, "fr": 1}
     assert 29 not in got["doc_id"].tolist() and 30 not in got["doc_id"].tolist()
+
+
+def test_new_queries_empty_and_all_null_inputs(ray_session, tmp_path):
+    """Empty orders / all-null-lang documents must yield empty-but-typed
+    results, not a pa.concat_tables([]) raise (the zero-row pass-through
+    family of traps — every driver-side concat needs an empty fallback)."""
+    import pyarrow.parquet as pq
+
+    from ict_log_parser_ray.pipelines.driver_queries import (
+        d_lang_mix, q_customer_order_counts)
+
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2], pa.int64()),
+        "c_name": pa.array(["a", "b"]),
+        "c_nationkey": pa.array([0, 0], pa.int64()),
+        "c_acctbal": pa.array([0.0, 0.0]),
+        "c_mktsegment": pa.array(["m", "m"]),
+    }), tmp_path / "customer.parquet")
+    pq.write_table(pa.schema([
+        ("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+        ("o_orderstatus", pa.string()), ("o_totalprice", pa.float64()),
+        ("o_orderdate", pa.string()), ("o_orderpriority", pa.string()),
+    ]).empty_table(), tmp_path / "orders.parquet")
+
+    got = q_customer_order_counts(str(tmp_path)).to_pandas() \
+        .sort_values("c_custkey")
+    assert got["n_orders"].tolist() == [0, 0]
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["x", "y"]),
+        "lang": pa.array([None, None], pa.string()),
+        "source": pa.array(["s", "s"]),
+        "n_chars": pa.array([1, 1], pa.int64()),
+    }), tmp_path / "documents.parquet")
+    out = d_lang_mix(str(tmp_path))
+    assert len(out) == 0 and list(out.columns) == ["doc_id", "lang", "rn"]
