@@ -586,7 +586,8 @@ def simhash_candidate_pairs(docs_ds, max_hamming: int = 3,
               .groupby(["doc_a", "doc_b"], as_index=False)["hamming"].min())
         if not len(df):
             return rd.from_arrow(_sh_schema.empty_table())
-        nblk = max(1, min(len(df), 2 * ncpu))
+        # ≥8 rows per block (the minhash verify scheduling lesson)
+        nblk = max(1, min(2 * ncpu, -(-len(df) // 8)))
         return rd.from_pandas(np.array_split(df, nblk))
     from ray.data.aggregate import Min
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(
