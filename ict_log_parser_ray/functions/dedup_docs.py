@@ -95,19 +95,30 @@ def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
 # shingle set was being REBUILT for every candidate pair it appears in
 # (107k pairs over ≤5k docs at sf0.1 cost 21 CPU-s — the whole verify
 # wall).  Keyed by the broadcast-table token so corpora never mix;
-# size-capped because the broadcast path admits up to ~2M docs.
+# capped by accumulated BYTES, not entries — the broadcast path admits
+# ~2M docs and each entry is ~8 B/char of its doc, so an entry-count cap
+# could still hold many GB of large-doc arrays per worker.
 _SHINGLE_MEMO: dict = {}
-_SHINGLE_MEMO_MAX = 200_000
+_SHINGLE_MEMO_MAX_BYTES = 256 << 20
+_SHINGLE_MEMO_BYTES = [0]
 
 
 def _memo_shingles(token: str) -> dict:
     d = _SHINGLE_MEMO.get(token)
     if d is None:
         _SHINGLE_MEMO.clear()          # one corpus at a time per worker
+        _SHINGLE_MEMO_BYTES[0] = 0
         d = _SHINGLE_MEMO.setdefault(token, {})
-    elif len(d) > _SHINGLE_MEMO_MAX:
+    elif _SHINGLE_MEMO_BYTES[0] > _SHINGLE_MEMO_MAX_BYTES:
         d.clear()
+        _SHINGLE_MEMO_BYTES[0] = 0
     return d
+
+
+def _memo_put(memo: dict, key, arr: np.ndarray) -> np.ndarray:
+    memo[key] = arr
+    _SHINGLE_MEMO_BYTES[0] += arr.nbytes
+    return arr
 
 
 class MinHasher:
@@ -279,6 +290,9 @@ def minhash_duplicate_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
     # unchanged; count() on the lazy read is footer metadata, free).
     # Past the threshold the corpus must NOT be pinned — the verify
     # takes the two-hash-join path and the source stays streaming.
+    # CONTRACT: pass a pure read or a materialized Dataset; a lazy
+    # TRANSFORMED input pays one extra plan execution for this count()
+    # gate (no public cheap-count API distinguishes the cases).
     if docs_ds.count() <= broadcast_threshold:
         docs_ds = docs_ds.materialize()
 
@@ -406,10 +420,10 @@ def minhash_duplicate_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
                                       ta.to_pylist(), tb.to_pylist()):
                 sa = memo.get(da)
                 if sa is None:
-                    sa = memo[da] = _shingle_hashes(xa or "", k)
+                    sa = _memo_put(memo, da, _shingle_hashes(xa or "", k))
                 sb = memo.get(db)
                 if sb is None:
-                    sb = memo[db] = _shingle_hashes(xb or "", k)
+                    sb = _memo_put(memo, db, _shingle_hashes(xb or "", k))
                 jac = jaccard_from_hashes(sa, sb)
                 if jac >= threshold:
                     out["doc_a"].append(da)

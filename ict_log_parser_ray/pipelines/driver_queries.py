@@ -1407,9 +1407,13 @@ def d_lang_mix(sf_dir):
         return (df.sort_values(["hkey", "doc_id"], kind="stable")
                 .groupby("lang", sort=False).head(kmax))
 
+    # num_rows > 0: a zero-row PANDAS batch that does reach the UDF
+    # yields an empty frame whose columns convert to arrow `null` type —
+    # it passes the column-name guard but poisons the concat
     parts = [t for t in ray.get(
         ds.map_batches(cand, batch_format="pandas").materialize().to_arrow_refs())
-        if isinstance(t, pa.Table) and "hkey" in t.schema.names]
+        if isinstance(t, pa.Table) and "hkey" in t.schema.names
+        and t.num_rows > 0]
     if not parts:          # all-null-lang / empty corpus
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                              "lang": pd.Series(dtype=str),
@@ -1456,6 +1460,9 @@ def q_customer_order_counts(sf_dir):
     cnts = pa.array(fin["n_orders"].to_numpy(), pa.int64())
     kref = ray.put((keys, cnts))
 
+    from ..stages.join import _memo_key, lookup_indices
+    token = _memo_key(kref)
+
     cust = read_table(sf_dir, "customer", columns=["c_custkey"])
 
     def attach(b: pa.Table) -> pa.Table:
@@ -1463,7 +1470,9 @@ def q_customer_order_counts(sf_dir):
         ck = b["c_custkey"]
         if isinstance(ck, pa.ChunkedArray):
             ck = ck.combine_chunks()
-        idx = pc.index_in(pc.cast(ck, pa.int64()), value_set=k)
+        # memoized khash probe — the distinct-custkey set is BIG at scale
+        # and plain index_in rebuilds its hash table per batch (CLAUDE.md)
+        idx = lookup_indices(pc.cast(ck, pa.int64()), k, memo_token=token)
         n = pc.fill_null(pc.take(c, idx), 0)  # miss → LEFT-join zero
         return pa.table({"c_custkey": pc.cast(ck, pa.int64()),
                          "n_orders": n})

@@ -611,7 +611,6 @@ def write_sinks_with_metrics(flagged, out_dir: str) -> dict:
     """
     import os
 
-    import pyarrow.parquet as _pq
     import ray
 
     from ..stages.route import SINKS

@@ -40,7 +40,7 @@ def read_transcripts(path, columns=None, window=None, override_num_blocks=None):
     return ds
 
 
-_TABLE_META_CACHE: dict[str, tuple[int, int]] = {}
+_TABLE_META_CACHE: dict[str, tuple[int, int, int]] = {}
 
 
 def _table_num_blocks(path: str) -> int:
@@ -57,12 +57,18 @@ def _table_num_blocks(path: str) -> int:
 
     import ray
 
-    if path not in _TABLE_META_CACHE:
+    # validate by (size, mtime): a rewritten file at the same path must
+    # not inherit the old file's block sizing (stat calls are ~free; the
+    # cache only avoids the footer read)
+    st = os.stat(path)
+    cached = _TABLE_META_CACHE.get(path)
+    if cached is None or cached[:2] != (st.st_size, st.st_mtime_ns):
         import pyarrow.parquet as pq
 
-        _TABLE_META_CACHE[path] = (os.path.getsize(path),
-                                   pq.ParquetFile(path).metadata.num_rows)
-    nbytes, rows = _TABLE_META_CACHE[path]
+        cached = (st.st_size, st.st_mtime_ns,
+                  pq.ParquetFile(path).metadata.num_rows)
+        _TABLE_META_CACHE[path] = cached
+    nbytes, rows = cached[0], cached[2]
     ncpu = int(ray.cluster_resources().get("CPU", 8)) \
         if ray.is_initialized() else 8
     nb = max(1, -(-nbytes // (8 << 20)))

@@ -1639,12 +1639,22 @@ def test_weighted_sampling_is_weight_proportional(ray_session):
     assert 0.85 < heavy_frac < 0.95
 
 
-def test_percentile_filter_ties_nulls_tiny(ray_session, tmp_path):
+def _force_tiny_blocks(monkeypatch, n=33):
+    """Pin the read split ABOVE the tiny fixtures' row counts so the
+    zero-row pass-through guards stay exercised: read_table's footer
+    sizing gives a sub-MB test file exactly 1 block, which silently
+    removed the forced-block coverage these tests document."""
+    from ict_log_parser_ray.sources import transcripts as _tr
+    monkeypatch.setattr(_tr, "_table_num_blocks", lambda path: n)
+
+
+def test_percentile_filter_ties_nulls_tiny(ray_session, tmp_path, monkeypatch):
     """d_percentile_filter adversarial edges vs DuckDB on the SAME file:
     threshold ties kept (>=), null-lang rows dropped on both sides
     (inner-join semantics), single-doc language keeps its only doc, and
     a tiny input (rows << forced block count) exercises the zero-row
     pass-through schema path."""
+    _force_tiny_blocks(monkeypatch)
     import duckdb
     import pyarrow.parquet as pq
 
@@ -1683,12 +1693,13 @@ def test_percentile_filter_ties_nulls_tiny(ray_session, tmp_path):
     assert 9 in got["doc_id"].tolist()
 
 
-def test_contamination_probes_dups_nulls_tiny(ray_session, tmp_path):
+def test_contamination_probes_dups_nulls_tiny(ray_session, tmp_path, monkeypatch):
     """d_contamination adversarial edges vs DuckDB on the SAME file:
     multi-probe hits count correctly, duplicate probe texts dedup
     (DISTINCT semantics), sub-40-char seed docs contribute no probe,
     null text never matches, and the tiny input (rows << forced block
     count) exercises the zero-row pass-through concat guard."""
+    _force_tiny_blocks(monkeypatch)
     import duckdb
     import pyarrow.parquet as pq
 
@@ -1734,11 +1745,12 @@ def test_contamination_probes_dups_nulls_tiny(ray_session, tmp_path):
     assert 3 not in hits and 4 not in hits and 5 not in hits
 
 
-def test_customer_order_counts_left_zero_orphan_tiny(ray_session, tmp_path):
+def test_customer_order_counts_left_zero_orphan_tiny(ray_session, tmp_path, monkeypatch):
     """q_customer_order_counts LEFT-join edges vs DuckDB on the SAME
     files: zero-order customers appear with n_orders=0, orphan orders
     (custkey not in customer) are invisible, multi-order customers
     count exactly; tiny input → zero-row pass-through blocks."""
+    _force_tiny_blocks(monkeypatch)
     import duckdb
     import pyarrow.parquet as pq
 
@@ -1777,12 +1789,13 @@ def test_customer_order_counts_left_zero_orphan_tiny(ray_session, tmp_path):
         want["n_orders"].astype("int64").tolist() == [3, 0, 0]
 
 
-def test_lang_mix_quota_edges_tiny(ray_session, tmp_path):
+def test_lang_mix_quota_edges_tiny(ray_session, tmp_path, monkeypatch):
     """d_lang_mix adversarial edges vs DuckDB on the SAME file: the
     dominant language is downsampled to its 4·⌊√c⌋ quota, a tail
     language smaller than its quota survives whole, a singleton keeps
     its one doc, null langs drop, and a perfect-square count (c=25)
     exercises the floor(sqrt) boundary both engines must agree on."""
+    _force_tiny_blocks(monkeypatch)
     import duckdb
     import pyarrow.parquet as pq
 
@@ -1823,10 +1836,11 @@ def test_lang_mix_quota_edges_tiny(ray_session, tmp_path):
     assert 29 not in got["doc_id"].tolist() and 30 not in got["doc_id"].tolist()
 
 
-def test_new_queries_empty_and_all_null_inputs(ray_session, tmp_path):
+def test_new_queries_empty_and_all_null_inputs(ray_session, tmp_path, monkeypatch):
     """Empty orders / all-null-lang documents must yield empty-but-typed
     results, not a pa.concat_tables([]) raise (the zero-row pass-through
     family of traps — every driver-side concat needs an empty fallback)."""
+    _force_tiny_blocks(monkeypatch)
     import pyarrow.parquet as pq
 
     from ict_log_parser_ray.pipelines.driver_queries import (
