@@ -639,8 +639,15 @@ def e_top_per_user(sf_dir):
                                ascending=[False, True], kind="stable")
                 .groupby("user_id", sort=False).head(3))
 
-    parts = ray.get(ds.map_batches(partial, batch_format="pandas")
-                    .materialize().to_arrow_refs())
+    parts = [t for t in
+             ray.get(ds.map_batches(partial, batch_format="pandas")
+                     .materialize().to_arrow_refs())
+             if isinstance(t, pa.Table) and t.num_rows > 0]
+    if not parts:
+        return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                             "event_id": pd.Series(dtype="int64"),
+                             "value": pd.Series(dtype=float),
+                             "rk": pd.Series(dtype="int64")})
     cand = pa.concat_tables(parts).to_pandas()
     cand = (cand.sort_values(["value", "event_id"],
                              ascending=[False, True], kind="stable")
@@ -681,8 +688,15 @@ def e_stratified_sample(sf_dir):
         return (df.sort_values(["hkey", "event_id"], kind="stable")
                 .groupby("event_type", sort=False).head(20))
 
-    parts = ray.get(ds.map_batches(partial, batch_format="pandas")
-                    .materialize().to_arrow_refs())
+    parts = [t for t in
+             ray.get(ds.map_batches(partial, batch_format="pandas")
+                     .materialize().to_arrow_refs())
+             if isinstance(t, pa.Table) and t.num_rows > 0]
+    if not parts:
+        return pd.DataFrame({"event_type": pd.Series(dtype=str),
+                             "event_id": pd.Series(dtype="int64"),
+                             "value": pd.Series(dtype=float),
+                             "rn": pd.Series(dtype="int64")})
     cand = pa.concat_tables(parts).to_pandas()
     cand = (cand.sort_values(["hkey", "event_id"], kind="stable")
             .groupby("event_type", sort=False).head(20))
