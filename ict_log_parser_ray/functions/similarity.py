@@ -416,6 +416,95 @@ def knn_ivf_indexed(index_dir: str, query: np.ndarray, k: int = 10,
     return knn_bruteforce(ds, query, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def lsh_planes(dim: int, nbits: int = 12, seed: int = 42) -> np.ndarray:
+    """Seeded random-hyperplane matrix (dim × nbits) for sign-bit LSH."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, nbits)).astype(np.float32)
+
+
+def lsh_codes(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """uint32 sign-bit bucket code per row of ``m`` (vectorized: one
+    matmul + bit packing; bit j set iff m·plane_j > 0)."""
+    bits = (m @ planes) > 0
+    code = np.zeros(len(m), np.uint32)
+    for j in range(planes.shape[1]):
+        code |= bits[:, j].astype(np.uint32) << np.uint32(j)
+    return code
+
+
+def lsh_probe_codes(qcode: int, nbits: int, radius: int) -> np.ndarray:
+    """All bucket codes within Hamming distance ``radius`` of ``qcode``
+    (multi-probe LSH: neighbors differing in few sign bits are the
+    likeliest holders of missed true neighbors)."""
+    from itertools import combinations
+
+    out = [qcode]
+    for r in range(1, radius + 1):
+        for comb in combinations(range(nbits), r):
+            c = qcode
+            for b in comb:
+                c ^= 1 << b
+            out.append(c)
+    return np.array(sorted(set(out)), np.uint32)
+
+
+def knn_lsh(emb_ds, query: np.ndarray, k: int = 10, nbits: int = 12,
+            radius: int = 2, seed: int = 42, id_col: str = "vec_id",
+            vec_col: str = "embedding"):
+    """Random-hyperplane LSH-bucketed approximate top-k — the second
+    scale path of the similarity family (IVF = learned partitions, LSH =
+    data-independent sign buckets; LSH needs no training pass and its
+    bucket of a vector never changes, so incremental corpora append
+    without re-clustering).
+
+    One streaming pass: each batch computes its sign codes (one matmul),
+    keeps only rows whose code falls in the broadcast multi-probe set
+    (Hamming ≤ ``radius`` of the query's code — 1+C(nbits,1)+… buckets of
+    2^nbits), and emits its local cosine top-k; candidates-only leave the
+    blocks.  ``radius = nbits`` probes every bucket and equals the exact
+    scan (the parity pytest).  At 100 TB, persist the codes once and
+    hive-partition by code exactly like ``write_ivf_index`` — the probe
+    then reads only matching partitions (same layout contract; not
+    duplicated here).  Returns pa.Table (id, cosine) sorted desc, id-asc
+    tiebreak."""
+    import pyarrow.compute as pc
+
+    q = np.asarray(query, dtype=np.float32).reshape(-1)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    planes = lsh_planes(len(q), nbits=nbits, seed=seed)
+    qcode = int(lsh_codes(qn.reshape(1, -1), planes)[0])
+    probes = lsh_probe_codes(qcode, nbits, radius)
+    bref = ray.put((planes, probes, qn))
+
+    def topk_batch(batch: pa.Table) -> pa.Table:
+        pl, pr, qv = ray.get(bref)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        keep = np.isin(lsh_codes(m, pl), pr)
+        if not keep.any():
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        sims = m[keep] @ qv
+        ids = batch[id_col].to_numpy(zero_copy_only=False)[keep]
+        kk = min(k, len(sims))
+        idx = np.argpartition(-sims, kk - 1)[:kk]
+        return pa.table({id_col: pa.array(ids[idx].astype(np.int64)),
+                         "cosine": pa.array(sims[idx].astype(np.float64))})
+
+    cand = emb_ds.map_batches(topk_batch, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    # zero-row pass-through guard: untouched input blocks keep the
+    # upstream (id, embedding) schema
+    tbl = pa.concat_tables(
+        [t for t in ray.get(cand.materialize().to_arrow_refs())
+         if isinstance(t, pa.Table) and "cosine" in t.schema.names]
+        or [pa.schema([(id_col, pa.int64()),
+                       ("cosine", pa.float64())]).empty_table()]
+    ).combine_chunks()
+    order = pc.sort_indices(tbl, sort_keys=[("cosine", "descending"),
+                                            (id_col, "ascending")])
+    return tbl.take(order[:k])
+
+
 def knn_ivf(emb_ds, query: np.ndarray, k: int = 10, nlist: int = 16,
             nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
             model: _KMeans | None = None, index_dir: str | None = None):

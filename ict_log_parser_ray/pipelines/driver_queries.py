@@ -941,6 +941,21 @@ def emb_knn_ivf(sf_dir):
                      "rank": pa.array(range(1, top.num_rows + 1), pa.int64())})
 
 
+def emb_knn_lsh(sf_dir):
+    """Random-hyperplane LSH-bucketed approximate top-10 (rows-only —
+    approximate by design; the similarity family's second scale path
+    next to IVF: data-independent buckets, no training pass, incremental
+    corpora append without re-clustering).  radius=nbits in the pytest
+    proves parity with the exact scan."""
+    from ..functions.similarity import knn_lsh
+
+    q, _ = _load_query_vec(sf_dir)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    top = knn_lsh(ds, q, k=10, nbits=12, radius=2)
+    return pa.table({"vec_id": pc.cast(top["vec_id"], pa.int64()),
+                     "rank": pa.array(range(1, top.num_rows + 1), pa.int64())})
+
+
 def emb_near_dups(sf_dir):
     """Embedding-cosine near-dup pairs over embeddings (rows-only by
     design — IVF candidate generation is approximate; the exact twin is
@@ -2588,13 +2603,14 @@ def build_queries() -> dict:
         "e_sample": e_sample,
         "e_value_quantiles_approx": e_value_quantiles_approx,
         "emb_knn_ivf": emb_knn_ivf,
+        "emb_knn_lsh": emb_knn_lsh,
         "emb_near_dups": emb_near_dups,
         "d_analysis": d_analysis,
         "d_simhash": d_simhash,
         "media_features": media_features,
     }
     first50 = list(q)[:50]
-    assert len(q) == 83 and all(n in build_oracles() for n in first50), \
+    assert len(q) == 84 and all(n in build_oracles() for n in first50), \
         "driver checks only the first 50 keys — keep them oracle-backed"
     return q
 

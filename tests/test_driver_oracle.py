@@ -90,10 +90,10 @@ def test_query_matches_oracle(contract, con, name):
                                   check_exact=False, rtol=1e-9, atol=1e-9)
 
 
-ROWS_ONLY = ["e_sample", "emb_knn_ivf", "emb_near_dups", "d_analysis",
-             "d_simhash", "media_features", "e_distinct_users_approx",
-             "e_value_quantiles_approx", "emb_kmeans",
-             "d_top_tokens_approx"]
+ROWS_ONLY = ["e_sample", "emb_knn_ivf", "emb_knn_lsh", "emb_near_dups",
+             "d_analysis", "d_simhash", "media_features",
+             "e_distinct_users_approx", "e_value_quantiles_approx",
+             "emb_kmeans", "d_top_tokens_approx"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)

@@ -1872,3 +1872,46 @@ def test_new_queries_empty_and_all_null_inputs(ray_session, tmp_path, monkeypatc
     }), tmp_path / "documents.parquet")
     out = d_lang_mix(str(tmp_path))
     assert len(out) == 0 and list(out.columns) == ["doc_id", "lang", "rn"]
+
+
+def test_knn_lsh_full_probe_parity_and_recall(ray_session):
+    """LSH-bucketed ANN: radius = nbits probes every bucket and must
+    equal the exact scan's top-k (same cosine ordering + id tiebreak);
+    at the production radius the approximate result keeps decent
+    recall@10; an out-of-bucket query on a tiny corpus exercises the
+    zero-row pass-through concat guard (no block emits candidates)."""
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.similarity import (knn_bruteforce,
+                                                         knn_lsh)
+
+    rng = np.random.default_rng(7)
+    n, dim = 400, 32
+    base = rng.standard_normal(dim).astype(np.float32)
+    m = rng.standard_normal((n, dim)).astype(np.float32)
+    # plant 10 TRUE neighbors of the query — on pure-random data the
+    # exact top-10 are near-orthogonal strangers and recall@10 measures
+    # nothing; LSH's contract is about actual high-cosine neighbors
+    m[:10] = base + rng.standard_normal((10, dim)).astype(np.float32) * 0.3
+    tbl = pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                    "embedding": pa.array([list(map(float, r)) for r in m],
+                                          pa.list_(pa.float32()))})
+    ds = rd.from_arrow(tbl)
+    q = base
+
+    exact = knn_bruteforce(ds, q, k=10)
+    full = knn_lsh(ds, q, k=10, nbits=8, radius=8)
+    assert full["vec_id"].to_pylist() == exact["vec_id"].to_pylist()
+    assert np.allclose(full["cosine"].to_numpy(), exact["cosine"].to_numpy())
+
+    approx = knn_lsh(ds, q, k=10, nbits=8, radius=2)
+    recall = len(set(approx["vec_id"].to_pylist())
+                 & set(exact["vec_id"].to_pylist())) / 10
+    assert recall >= 0.5, recall
+    # the true nearest neighbor shares the query's bucket w.h.p.
+    assert exact["vec_id"][0].as_py() in approx["vec_id"].to_pylist()
+
+    # radius=0, antipodal query → likely zero candidates in some blocks;
+    # must return an empty/short typed table, not raise on concat
+    far = knn_lsh(ds, -q, k=10, nbits=8, radius=0)
+    assert far.schema.names == ["vec_id", "cosine"]
