@@ -119,9 +119,12 @@ def run_queries(sf_dir: str) -> dict:
 
     # first six unchanged since round 1 (cross-round comparability);
     # the round-2 additions showcase the LSH dedup path (5× faster this
-    # round) and the multi-level aggregate
+    # round) and the multi-level aggregate; the round-3 tail adds the
+    # decontamination scan and the language-mix sampler (new
+    # training-data-curation families)
     names = ["e_hourly", "e_pareto", "q1_lineitem", "d_token_counts",
-             "emb_knn", "d_simhash", "d_minhash_pairs", "q_cube_revenue"]
+             "emb_knn", "d_simhash", "d_minhash_pairs", "q_cube_revenue",
+             "d_contamination", "d_lang_mix"]
     out = {}
     qmap = dq.build_queries()
     for n in names:
