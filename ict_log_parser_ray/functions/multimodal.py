@@ -139,3 +139,133 @@ def media_digest(media_ds, batch_size: int = 64):
 
     return media_ds.map_batches(digest, batch_format="pyarrow",
                                 batch_size=batch_size)
+
+
+class MediaResizer:
+    """Actor-pool image/video RESIZE stage (task-brief op #3).
+
+    Real plumbing, stubbed pixel kernel: the OUTPUT GEOMETRY is computed
+    for real from the typed metadata (cap the longer side at ``max_side``,
+    preserve aspect ratio, never upscale), and ``decode="fake"`` emits a
+    deterministic payload (sha256 of the input payload + target geometry,
+    length scaled by the area ratio — so payload size responds to the
+    resize like a real re-encode would).  ``decode="real"`` raises at the
+    exact point PIL/pyav would run.  Audio rows pass through untouched.
+    """
+
+    def __init__(self, max_side: int = 256, decode: str = "fake"):
+        if decode not in ("fake", "real"):
+            raise ValueError(decode)
+        if decode == "real":
+            raise NotImplementedError(
+                "real media resize requires image/video libs not present "
+                "in this environment; use decode='fake'")
+        self.max_side = max_side
+
+    @staticmethod
+    def _target(w: int, h: int, max_side: int) -> tuple[int, int]:
+        long_side = max(w, h)
+        if long_side <= max_side:
+            return w, h
+        # floor-scale, keep ≥1 — the geometry math is the REAL part
+        if w >= h:
+            return max_side, max(1, (h * max_side) // w)
+        return max(1, (w * max_side) // h), max_side
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        kinds = batch["kind"].to_pylist()
+        ws = batch["width"].to_pylist()
+        hs = batch["height"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        out_w, out_h, out_p = [], [], []
+        for kind, w, h, p in zip(kinds, ws, hs, payloads):
+            if kind == "audio" or w is None or h is None:
+                out_w.append(w)
+                out_h.append(h)
+                out_p.append(p)
+                continue
+            tw, th = self._target(int(w), int(h), self.max_side)
+            if (tw, th) == (w, h):
+                out_w.append(w)
+                out_h.append(h)
+                out_p.append(p)
+                continue
+            seed = hashlib.sha256(
+                p + f"|resize|{tw}x{th}".encode()).digest()
+            # length ∝ area ratio, floored — a real re-encode shrinks
+            # roughly with pixel count
+            n = max(16, int(len(p) * (tw * th) / (int(w) * int(h))))
+            reps = -(-n // len(seed))
+            out_p.append((seed * reps)[:n])
+            out_w.append(tw)
+            out_h.append(th)
+        out = batch.drop_columns(["payload", "width", "height"])
+        out = out.append_column("payload", pa.array(out_p, pa.binary()))
+        out = out.append_column("width", pa.array(
+            [None if v is None else int(v) for v in out_w], pa.int32()))
+        out = out.append_column("height", pa.array(
+            [None if v is None else int(v) for v in out_h], pa.int32()))
+        return out.select([f.name for f in MEDIA_SCHEMA])
+
+
+def resize_media(media_ds, max_side: int = 256, concurrency=(1, 4),
+                 batch_size: int = 64, decode: str = "fake"):
+    """Actor-pool resize over binary media rows (small batches — payload
+    rows are heavy; geometry math real, pixel kernel stubbed)."""
+    return media_ds.map_batches(
+        MediaResizer,
+        fn_constructor_kwargs={"max_side": max_side, "decode": decode},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
+
+
+FRAME_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("frame_idx", pa.int64()),
+    ("ts_ms", pa.int64()),
+    ("payload", pa.binary()),
+])
+
+
+def sample_frames(media_ds, every_ms: int = 1000, batch_size: int = 64,
+                  decode: str = "fake"):
+    """Video FRAME-SAMPLE stage (task-brief op #4): one frame row per
+    ``every_ms`` of duration — a row-EXPANDING map (flat_map semantics
+    via a batch fn returning more rows than it got), so each output block
+    stays payload-bounded by the small input ``batch_size``.
+
+    Frame timing/count math is real (frames at t = 0, every_ms, …,
+    < duration_ms; non-video rows contribute nothing); the pixel decode
+    is the deterministic fake (sha256(payload | ts) bytes) — ``"real"``
+    raises where pyav would seek+decode."""
+    if decode not in ("fake", "real"):
+        raise ValueError(decode)
+    if decode == "real":
+        raise NotImplementedError(
+            "real frame sampling requires video libs not present in this "
+            "environment; use decode='fake'")
+
+    def frames(batch: pa.Table) -> pa.Table:
+        ids, idxs, tss, pays = [], [], [], []
+        kinds = batch["kind"].to_pylist()
+        durs = batch["duration_ms"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        mids = batch["media_id"].to_pylist()
+        for mid, kind, dur, p in zip(mids, kinds, durs, payloads):
+            if kind != "video" or not dur:
+                continue
+            for j, t in enumerate(range(0, int(dur), every_ms)):
+                ids.append(mid)
+                idxs.append(j)
+                tss.append(t)
+                pays.append(hashlib.sha256(
+                    p + f"|frame|{t}".encode()).digest())
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "frame_idx": pa.array(idxs, pa.int64()),
+                         "ts_ms": pa.array(tss, pa.int64()),
+                         "payload": pa.array(pays, pa.binary())})
+
+    return media_ds.map_batches(frames, batch_format="pyarrow",
+                                batch_size=batch_size)

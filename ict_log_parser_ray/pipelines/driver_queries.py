@@ -2407,6 +2407,32 @@ def d_simhash(sf_dir):
     return _i64(simhash_documents(ds).to_pandas(), ["doc_id", "simhash"])
 
 
+def media_frames(sf_dir):
+    """Multimodal resize → frame-sample chain (rows-only — stubbed pixel
+    kernels; the geometry/timing math and the row-expanding Ray plumbing
+    are real and pytest-pinned): videos resized to ≤256 px then sampled
+    one frame per 5 s; returns (media_id, frame_idx, ts_ms, n_bytes)."""
+    import ray.data as rd
+
+    from ..functions.multimodal import (resize_media, sample_frames,
+                                        synth_media_table)
+
+    ds = rd.from_arrow(synth_media_table(n=48))
+    fr = sample_frames(resize_media(ds, max_side=256), every_ms=5000)
+
+    def slim(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return pa.table({
+            "media_id": b["media_id"],
+            "frame_idx": b["frame_idx"],
+            "ts_ms": b["ts_ms"],
+            "n_bytes": _pc.cast(_pc.binary_length(b["payload"]), pa.int64()),
+        })
+
+    return fr.map_batches(slim, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def media_features(sf_dir):
     """Multimodal plumbing demo: synthetic media → features (rows-only)."""
     import ray.data as rd
@@ -2608,9 +2634,10 @@ def build_queries() -> dict:
         "d_analysis": d_analysis,
         "d_simhash": d_simhash,
         "media_features": media_features,
+        "media_frames": media_frames,
     }
     first50 = list(q)[:50]
-    assert len(q) == 84 and all(n in build_oracles() for n in first50), \
+    assert len(q) == 85 and all(n in build_oracles() for n in first50), \
         "driver checks only the first 50 keys — keep them oracle-backed"
     return q
 

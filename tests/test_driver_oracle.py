@@ -91,7 +91,7 @@ def test_query_matches_oracle(contract, con, name):
 
 
 ROWS_ONLY = ["e_sample", "emb_knn_ivf", "emb_knn_lsh", "emb_near_dups",
-             "d_analysis", "d_simhash", "media_features",
+             "d_analysis", "d_simhash", "media_features", "media_frames",
              "e_distinct_users_approx", "e_value_quantiles_approx",
              "emb_kmeans", "d_top_tokens_approx"]
 

@@ -1915,3 +1915,60 @@ def test_knn_lsh_full_probe_parity_and_recall(ray_session):
     # must return an empty/short typed table, not raise on concat
     far = knn_lsh(ds, -q, k=10, nbits=8, radius=0)
     assert far.schema.names == ["vec_id", "cosine"]
+
+
+def test_media_resize_geometry_and_passthrough(ray_session):
+    """Resize stage: aspect ratio preserved with the longer side capped,
+    no upscaling (small images untouched byte-identical), audio rows pass
+    through, payload size tracks the area ratio, output deterministic."""
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.multimodal import (MediaResizer,
+                                                         resize_media,
+                                                         synth_media_table)
+
+    assert MediaResizer._target(1000, 500, 256) == (256, 128)
+    assert MediaResizer._target(500, 1000, 256) == (128, 256)
+    assert MediaResizer._target(100, 50, 256) == (100, 50)   # no upscale
+    assert MediaResizer._target(10000, 3, 256) == (256, 1)   # floor ≥ 1
+
+    tbl = synth_media_table(n=24)
+    out = (resize_media(rd.from_arrow(tbl), max_side=64)
+           .to_pandas().set_index("media_id"))
+    src = tbl.to_pandas().set_index("media_id")
+    for mid, row in out.iterrows():
+        s = src.loc[mid]
+        if s["kind"] == "audio":
+            assert row["payload"] == s["payload"]      # untouched
+            continue
+        assert max(row["width"], row["height"]) <= 64
+        # aspect ratio preserved to floor precision
+        if (s["width"], s["height"]) != (row["width"], row["height"]):
+            assert len(row["payload"]) <= len(s["payload"])
+    # deterministic across runs
+    out2 = (resize_media(rd.from_arrow(tbl), max_side=64)
+            .to_pandas().set_index("media_id"))
+    assert (out["payload"] == out2["payload"]).all()
+
+
+def test_media_frame_sampling_counts_and_timing(ray_session):
+    """Frame-sample stage: one frame per every_ms starting at t=0,
+    strictly below duration; non-video rows contribute nothing; frame
+    payloads deterministic; row EXPANSION happens inside the batch fn."""
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.multimodal import (sample_frames,
+                                                         synth_media_table)
+
+    tbl = synth_media_table(n=24)
+    fr = sample_frames(rd.from_arrow(tbl), every_ms=7000).to_pandas()
+    src = tbl.to_pandas().set_index("media_id")
+    vids = src[src["kind"] == "video"]
+    assert set(fr["media_id"]) <= set(vids.index)
+    for mid, g in fr.groupby("media_id"):
+        dur = int(vids.loc[mid, "duration_ms"])
+        want = len(range(0, dur, 7000))
+        assert len(g) == want
+        assert g["ts_ms"].tolist() == list(range(0, dur, 7000))
+        assert g["frame_idx"].tolist() == list(range(want))
+    assert (fr["payload"].str.len() == 32).all()   # sha256 frames
