@@ -412,7 +412,16 @@ def knn_ivf_indexed(index_dir: str, query: np.ndarray, k: int = 10,
     dirs = probed_partition_dirs(index_dir, query, nprobe)
     files = [f for d in dirs
              for f in sorted(glob.glob(os.path.join(d, "*.parquet")))]
-    ds = rd.read_parquet(files, columns=[id_col, vec_col])
+    # size the split from total bytes: Ray's default over-splits the few
+    # small probed-partition files into ~2×CPU blocks and the per-task
+    # floor dominates (the read_table lesson, sources/transcripts.py)
+    nbytes = sum(os.path.getsize(f) for f in files)
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    nb = int(min(max(1, -(-nbytes // (8 << 20))) if nbytes < (64 << 20)
+                 else 4 * ncpu, 4 * ncpu))
+    ds = rd.read_parquet(files, columns=[id_col, vec_col],
+                         override_num_blocks=max(nb, min(len(files), ncpu)))
     return knn_bruteforce(ds, query, k=k, id_col=id_col, vec_col=vec_col)
 
 
