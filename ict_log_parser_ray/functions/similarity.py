@@ -386,6 +386,25 @@ def load_ivf_model(index_dir: str) -> _KMeans:
     return _KMeans.from_centroids(cent)
 
 
+def sized_read_parquet(files: list, columns=None):
+    """Multi-file read with the split sized from total bytes: Ray's
+    default over-splits a few small partition files into ~2×CPU blocks
+    and the per-task floor dominates small queries (the read_table lesson,
+    sources/transcripts.py).  One block per ~8 MB, floored at
+    min(nfiles, ncpu) so a big probed set still parallelizes, capped at
+    4×CPU."""
+    import os
+
+    import ray.data as rd
+
+    nbytes = sum(os.path.getsize(f) for f in files)
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    nb = max(1, min(4 * ncpu, -(-nbytes // (8 << 20))))
+    nb = max(nb, min(len(files), ncpu))
+    return rd.read_parquet(files, columns=columns, override_num_blocks=nb)
+
+
 def probed_partition_dirs(index_dir: str, query: np.ndarray,
                           nprobe: int) -> list:
     """The cluster partition directories a query must read — and nothing
@@ -412,16 +431,7 @@ def knn_ivf_indexed(index_dir: str, query: np.ndarray, k: int = 10,
     dirs = probed_partition_dirs(index_dir, query, nprobe)
     files = [f for d in dirs
              for f in sorted(glob.glob(os.path.join(d, "*.parquet")))]
-    # size the split from total bytes: Ray's default over-splits the few
-    # small probed-partition files into ~2×CPU blocks and the per-task
-    # floor dominates (the read_table lesson, sources/transcripts.py)
-    nbytes = sum(os.path.getsize(f) for f in files)
-    ncpu = int(ray.cluster_resources().get("CPU", 8)) \
-        if ray.is_initialized() else 8
-    nb = int(min(max(1, -(-nbytes // (8 << 20))) if nbytes < (64 << 20)
-                 else 4 * ncpu, 4 * ncpu))
-    ds = rd.read_parquet(files, columns=[id_col, vec_col],
-                         override_num_blocks=max(nb, min(len(files), ncpu)))
+    ds = sized_read_parquet(files, columns=[id_col, vec_col])
     return knn_bruteforce(ds, query, k=k, id_col=id_col, vec_col=vec_col)
 
 

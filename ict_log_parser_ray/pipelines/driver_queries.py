@@ -989,14 +989,15 @@ def emb_knn_ivf_full(sf_dir):
 
     import ray.data as rd
 
-    from ..functions.similarity import probed_partition_dirs
+    from ..functions.similarity import (probed_partition_dirs,
+                                        sized_read_parquet)
 
     q, _ = _load_query_vec(sf_dir)
     idx = _ivf_index_dir(sf_dir, nlist=8)
     dirs = probed_partition_dirs(idx, q, nprobe=8)
     files = [f for d in dirs
              for f in sorted(glob.glob(os.path.join(d, "*.parquet")))]
-    ds = rd.read_parquet(files, columns=["vec_id", "embedding"])
+    ds = sized_read_parquet(files, columns=["vec_id", "embedding"])
     return _knn_rank(ds, q, k=10)
 
 
