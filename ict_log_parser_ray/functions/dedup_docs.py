@@ -261,6 +261,91 @@ def _bucket_pairs(ids, cap: int, what: str, band_key) -> list:
     return [(ids[0], other) for other in ids[1:]]
 
 
+def _partitioned_pairs(exploded_ds, key_col: str, cap: int, what: str):
+    """(key, doc_id) exploded rows → candidate-pair Dataset (doc_a, doc_b).
+
+    Hash-partitions the (already collision-only) rows by ``key_col`` into
+    ~2×CPU remote tasks, each grouping ITS shard with one pandas groupby —
+    a Ray ``groupby(key).map_groups`` here pays ~100µs/bucket of
+    scheduling (CLAUDE.md; measured 2.0 s for ~17k minhash buckets at
+    sf0.1 vs ~0.3 s for this shape).  Shared by the minhash band buckets
+    and the word-n-gram prefix buckets."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.bloom import _M1, _mix
+
+    exploded_ds = exploded_ds.materialize()
+    erefs = exploded_ds.to_arrow_refs()
+    ncpu = int(ray.available_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    nparts = max(8, min(2 * ncpu, 64))
+    _pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+
+    @ray.remote
+    def _pairs_part(p: int) -> pa.Table:
+        subs = []
+        for t in ray.get(erefs):
+            if not isinstance(t, pa.Table) or \
+                    key_col not in t.schema.names or t.num_rows == 0:
+                continue
+            col = t[key_col]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            tag = (_mix(col.to_numpy(zero_copy_only=False)
+                        .astype(np.uint64), _M1)
+                   % np.uint64(nparts)).astype(np.int64)
+            subs.append(t.filter(pa.array(tag == p)))
+        subs = [s for s in subs if s.num_rows]
+        if not subs:
+            return _pair_schema.empty_table()
+        df = pa.concat_tables(subs).to_pandas()
+        out = []
+        for bk, g in df.groupby(key_col, sort=False):
+            out += _bucket_pairs(g["doc_id"].tolist(), cap, what, bk)
+        if not out:
+            return _pair_schema.empty_table()
+        a, b = zip(*out)
+        return pa.table({"doc_a": pa.array(a, pa.int64()),
+                         "doc_b": pa.array(b, pa.int64())})
+
+    return rd.from_arrow_refs([_pairs_part.remote(p) for p in range(nparts)])
+
+
+def _dedup_pairs(cands, collect_threshold: int = 5_000_000):
+    """Candidate-pair Dataset → distinct pairs (a pair surfaces once per
+    matching band/bucket).  Output-sized: collect + one vectorized
+    drop_duplicates under the threshold (a Ray groupby at ~all-distinct
+    keys pays ~100µs/group); distributed groupby beyond."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    cands = cands.materialize()
+    if cands.count() > collect_threshold:
+        return cands.groupby(["doc_a", "doc_b"]).aggregate(
+            Count(alias_name="_n_bands"))
+    tbl = pa.concat_tables(ray.get(cands.to_arrow_refs()))
+    df = (tbl.to_pandas()
+          .drop_duplicates(["doc_a", "doc_b"]).reset_index(drop=True))
+    if not len(df):
+        return rd.from_arrow(
+            pa.schema([("doc_a", tbl.schema.field("doc_a").type
+                        if tbl.num_columns else pa.int64()),
+                       ("doc_b", tbl.schema.field("doc_b").type
+                        if tbl.num_columns else pa.int64())])
+            .empty_table())
+    # split into multiple blocks — a single from_pandas block would
+    # SERIALIZE the downstream Jaccard verify into one task (measured
+    # 7.7 s of a 13.7 s run at sf0.1 before this) — but keep ≥8 pairs
+    # per block: 64 four-pair verify tasks paid more scheduling than
+    # verify compute
+    ncpu = int(ray.available_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    nblk = max(1, min(2 * ncpu, -(-len(df) // 8)))
+    return rd.from_pandas(np.array_split(df, nblk))
+
+
 def minhash_duplicate_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
                             k: int = 5, threshold: float = 0.7,
                             concurrency=(1, 8), cap: int = 50,
@@ -272,7 +357,7 @@ def minhash_duplicate_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
     groupby(band_key) → within-bucket candidate pairs → pair dedup across
     bands (output-sized groupby) → text attach (broadcast ≤ threshold,
     hash join beyond) → vectorized Jaccard verify ≥ threshold."""
-    from ray.data.aggregate import Count
+    import ray
 
     from ..stages.join import attach_lookup
 
@@ -298,86 +383,8 @@ def minhash_duplicate_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
 
     exploded = docs_ds.map_batches(_explode, batch_format="pandas")
     exploded = _only_colliding_buckets(exploded, "band_key")
-
-    # Bucket pair generation: hash-partition the (already collision-only)
-    # band rows by band_key into ~2×CPU remote tasks, each grouping ITS
-    # shard with one pandas groupby.  A Ray groupby(band_key).map_groups
-    # here pays ~100µs/bucket of scheduling (CLAUDE.md) — measured 2.0 s
-    # for ~17k buckets at sf0.1 vs ~0.3 s for this partitioned shape.
-    import ray
-    import ray.data as rd
-
-    from ..stages.bloom import _M1, _mix
-
-    exploded = exploded.materialize()
-    erefs = exploded.to_arrow_refs()
-    ncpu = int(ray.available_resources().get("CPU", 8)) \
-        if ray.is_initialized() else 8
-    nparts = max(8, min(2 * ncpu, 64))
-    _pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
-
-    @ray.remote
-    def _pairs_part(p: int) -> pa.Table:
-        subs = []
-        for t in ray.get(erefs):
-            if not isinstance(t, pa.Table) or \
-                    "band_key" not in t.schema.names or t.num_rows == 0:
-                continue
-            col = t["band_key"]
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            tag = (_mix(col.to_numpy(zero_copy_only=False)
-                        .astype(np.uint64), _M1)
-                   % np.uint64(nparts)).astype(np.int64)
-            subs.append(t.filter(pa.array(tag == p)))
-        subs = [s for s in subs if s.num_rows]
-        if not subs:
-            return _pair_schema.empty_table()
-        df = pa.concat_tables(subs).to_pandas()
-        out = []
-        for bk, g in df.groupby("band_key", sort=False):
-            out += _bucket_pairs(g["doc_id"].tolist(), cap, "minhash", bk)
-        if not out:
-            return _pair_schema.empty_table()
-        a, b = zip(*out)
-        return pa.table({"doc_a": pa.array(a, pa.int64()),
-                         "doc_b": pa.array(b, pa.int64())})
-
-    cands = rd.from_arrow_refs(
-        [_pairs_part.remote(p) for p in range(nparts)])
-    # a pair surfaces once per matching band → dedup on the pair key.
-    # Output-sized, so collect + one vectorized drop_duplicates under the
-    # threshold (CLAUDE.md: a Ray groupby at ~all-distinct keys pays
-    # ~100µs/group of scheduling); the distributed groupby remains the
-    # >threshold fallback.
-    import ray
-    import ray.data as rd
-
-    cands = cands.materialize()
-    if cands.count() <= 5_000_000:
-        tbl = pa.concat_tables(ray.get(cands.to_arrow_refs()))
-        df = (tbl.to_pandas()
-              .drop_duplicates(["doc_a", "doc_b"]).reset_index(drop=True))
-        if len(df):
-            # split into multiple blocks — a single from_pandas block
-            # would SERIALIZE the downstream Jaccard verify into one task
-            # (measured 7.7 s of a 13.7 s run at sf0.1 before this) —
-            # but keep ≥8 pairs per block: 64 four-pair verify tasks paid
-            # more scheduling than verify compute
-            ncpu = int(ray.available_resources().get("CPU", 8)) \
-                if ray.is_initialized() else 8
-            nblk = max(1, min(2 * ncpu, -(-len(df) // 8)))
-            cands = rd.from_pandas(np.array_split(df, nblk))
-        else:
-            cands = rd.from_arrow(
-                pa.schema([("doc_a", tbl.schema.field("doc_a").type
-                            if tbl.num_columns else pa.int64()),
-                           ("doc_b", tbl.schema.field("doc_b").type
-                            if tbl.num_columns else pa.int64())])
-                .empty_table())
-    else:
-        cands = cands.groupby(["doc_a", "doc_b"]).aggregate(
-            Count(alias_name="_n_bands"))
+    cands = _dedup_pairs(_partitioned_pairs(exploded, "band_key", cap,
+                                            "minhash"))
 
     def _verify_rows(doc_a, doc_b, text_a, text_b) -> pd.DataFrame:
         out = {"doc_a": [], "doc_b": [], "jaccard": []}
@@ -452,6 +459,177 @@ def minhash_duplicate_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
                             df["text_a"], df["text_b"])
 
     return withb.map_batches(verify, batch_format="pandas")
+
+
+def _pair_frame(out: dict) -> pd.DataFrame:
+    """Typed (doc_a, doc_b, jaccard) frame — an empty dict-of-lists frame
+    defaults every column to float64, which flips the output block schema
+    between batches (Ray warns on the mixed RefBundle schemas)."""
+    return pd.DataFrame({"doc_a": pd.Series(out["doc_a"], dtype="int64"),
+                         "doc_b": pd.Series(out["doc_b"], dtype="int64"),
+                         "jaccard": pd.Series(out["jaccard"],
+                                              dtype="float64")})
+
+
+def _word_gram_hash_list(texts, n: int = 3) -> list:
+    """Per-doc UNIQUE word-n-gram 64-bit hash arrays (sorted uint64) for a
+    whole batch.  One C-backed word-hash pass over the exploded word
+    stream (pandas row hash, like ``SimHasher._hash_words``) + a per-doc
+    vectorized rolling combine — Python dispatch is O(docs), not
+    O(grams).  Docs with fewer than ``n`` words contribute ONE gram (the
+    whole word sequence, the standard short-doc convention — mirrored in
+    the SQL oracle's ``greatest(1, len(w) - (n-1))``); empty/null text
+    contributes none."""
+    from pandas.util import hash_pandas_object
+
+    s = pd.Series(texts).fillna("").astype(str).str.lower().str.split()
+    m = len(s)
+    lens = s.str.len().to_numpy(np.int64) if m else np.empty(0, np.int64)
+    if m == 0 or lens.sum() == 0:
+        return [np.empty(0, np.uint64) for _ in range(m)]
+    words = pd.Series(np.concatenate(
+        [np.asarray(w, dtype=object) for w in s if len(w)]))
+    wh = hash_pandas_object(words, index=False).to_numpy()
+    offs = np.r_[np.int64(0), np.cumsum(lens)]
+    out = []
+    with np.errstate(over="ignore"):
+        for i in range(m):
+            L = lens[i]
+            if L == 0:
+                out.append(np.empty(0, np.uint64))
+                continue
+            h = wh[offs[i]:offs[i + 1]]
+            ng = max(L - n + 1, 1)          # grams in this doc
+            w = min(n, L)                   # words per gram (short docs)
+            g = np.zeros(ng, np.uint64)
+            for j in range(w):
+                g = g * _FNV_PRIME + h[j:j + ng]
+            out.append(np.unique(g))
+    return out
+
+
+def word_ngram_duplicate_pairs(docs_ds, n: int = 3, threshold: float = 0.5,
+                               cap: int = 50,
+                               broadcast_threshold: int = 2_000_000):
+    """documents → EXACT word-n-gram Jaccard near-dup pairs Dataset
+    (doc_a, doc_b, jaccard) — the dedup family's n-gram Jaccard member.
+
+    Candidate generation is the PREFIX FILTER from the public all-pairs
+    similarity-search literature (Chaudhuri et al. ICDE'06 SSJoin;
+    Bayardo et al. WWW'07; Xiao et al. PPJoin): order each doc's unique
+    gram hashes by the global uint64 order and index only the first
+    ``L - ceil(t*L) + 1``.  For any pair with J >= t, the smallest
+    COMMON gram (in the global order) provably sits inside both prefixes
+    — at most ``ceil(t*L) - 1`` elements of a doc can follow it, fewer
+    than the >= ceil(t*L) shared elements J >= t implies — so recall is
+    exactly 1.0.  Unlike MinHash+LSH there is no probabilistic miss,
+    which is what makes this output value-checkable against the
+    all-pairs SQL oracle at ANY threshold.
+
+    The indexed (gram_key, doc_id) stream is payload-free and sized
+    ~(1-t)·grams, then flows through the same collision prefilter,
+    hash-partitioned pair tasks, pair dedup and broadcast-or-hash-join
+    exact verify as minhash (star-overflow semantics documented in the
+    module docstring)."""
+    import ray
+
+    from ..stages.join import attach_lookup
+
+    eps = 1e-9  # guard: t*L computed a hair HIGH would shrink the prefix
+
+    def _prefix_explode(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"gram_key": pd.Series([], dtype="int64"),
+                                 "doc_id": pd.Series([], dtype="int64")})
+        sets = _word_gram_hash_list(df["text"], n)
+        lens = np.fromiter((len(a) for a in sets), np.int64,
+                           count=len(sets))
+        p = np.where(lens == 0, 0,
+                     lens - np.ceil(threshold * lens - eps).astype(np.int64)
+                     + 1)
+        keys = (np.concatenate([a[:k] for a, k in zip(sets, p)])
+                if p.sum() else np.empty(0, np.uint64))
+        return pd.DataFrame(
+            {"gram_key": keys.view(np.int64),
+             "doc_id": np.repeat(df["doc_id"].to_numpy(), p)})
+
+    # same pin/stream contract as minhash: broadcast-scale corpora pin
+    # the (doc_id, text) read once — explode and verify share the blocks
+    if docs_ds.count() <= broadcast_threshold:
+        docs_ds = docs_ds.materialize()
+
+    exploded = docs_ds.map_batches(_prefix_explode, batch_format="pandas")
+    exploded = _only_colliding_buckets(exploded, "gram_key")
+    cands = _dedup_pairs(_partitioned_pairs(exploded, "gram_key", cap,
+                                            "wordgram"))
+
+    if docs_ds.count() <= broadcast_threshold:
+        import pyarrow.compute as pc
+
+        texts = docs_ds.select_columns(["doc_id", "text"])
+        ttbl = pa.concat_tables(
+            [t for t in ray.get(texts.materialize().to_arrow_refs())
+             if isinstance(t, pa.Table) and "doc_id" in t.schema.names]
+        ).combine_chunks()
+        tref = ray.put(ttbl)
+        token = tref.hex()
+
+        def attach_verify(b: pa.Table) -> pd.DataFrame:
+            t = ray.get(tref)
+            keys = t["doc_id"]
+            if isinstance(keys, pa.ChunkedArray):
+                keys = keys.combine_chunks()
+            ta = pc.take(t["text"], pc.index_in(b["doc_a"], value_set=keys))
+            tb = pc.take(t["text"], pc.index_in(b["doc_b"], value_set=keys))
+            memo = _memo_shingles(token)
+            da, db_ = b["doc_a"].to_pylist(), b["doc_b"].to_pylist()
+            need: dict = {}
+            for x, tx in zip(da + db_, ta.to_pylist() + tb.to_pylist()):
+                if x not in memo and x not in need:
+                    need[x] = tx
+            if need:
+                for x, arr in zip(need,
+                                  _word_gram_hash_list(list(need.values()),
+                                                       n)):
+                    _memo_put(memo, x, arr)
+            out = {"doc_a": [], "doc_b": [], "jaccard": []}
+            for x, y in zip(da, db_):
+                jac = jaccard_from_hashes(memo[x], memo[y])
+                if jac >= threshold:
+                    out["doc_a"].append(x)
+                    out["doc_b"].append(y)
+                    out["jaccard"].append(jac)
+            return _pair_frame(out)
+
+        return cands.map_batches(attach_verify, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    # big corpus: two hash-join attaches, then the batch verify kernel
+    texts = docs_ds.select_columns(["doc_id", "text"])
+    a_side = texts.map_batches(
+        lambda t: t.rename_columns(["doc_a", "text_a"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    b_side = texts.map_batches(
+        lambda t: t.rename_columns(["doc_b", "text_b"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    withab = attach_lookup(
+        attach_lookup(cands, a_side, on="doc_a",
+                      broadcast_threshold=broadcast_threshold),
+        b_side, on="doc_b", broadcast_threshold=broadcast_threshold)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        sa = _word_gram_hash_list(df["text_a"], n)
+        sb = _word_gram_hash_list(df["text_b"], n)
+        out = {"doc_a": [], "doc_b": [], "jaccard": []}
+        for x, y, ha, hb in zip(df["doc_a"], df["doc_b"], sa, sb):
+            jac = jaccard_from_hashes(ha, hb)
+            if jac >= threshold:
+                out["doc_a"].append(x)
+                out["doc_b"].append(y)
+                out["jaccard"].append(jac)
+        return _pair_frame(out)
+
+    return withab.map_batches(verify, batch_format="pandas")
 
 
 class SimHasher:

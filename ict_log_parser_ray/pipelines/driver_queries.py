@@ -2400,6 +2400,25 @@ def d_dedup_keep(sf_dir):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def d_wordgram_pairs(sf_dir):
+    """Word-3-gram Jaccard near-dup pairs over documents — value-checked.
+
+    The dedup family's n-gram Jaccard member: EXACT all-pairs output by
+    the prefix-filter recall guarantee (see word_ngram_duplicate_pairs),
+    so unlike d_minhash_pairs the oracle match needs no planted-pair
+    recall argument — it holds at ANY threshold on ANY data.  Jaccard
+    rounded to 4 decimals (the repo's float-oracle convention)."""
+    from ..functions.dedup_docs import word_ngram_duplicate_pairs
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    df = word_ngram_duplicate_pairs(ds, n=3, threshold=0.5).to_pandas()
+    if len(df):
+        df["jaccard"] = df["jaccard"].round(4)
+        df = _i64(df, ["doc_a", "doc_b"])
+        df = df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return df
+
+
 def d_simhash(sf_dir):
     """SimHash fingerprints over documents (rows-only)."""
     from ..functions.dedup_docs import simhash_documents
@@ -2587,6 +2606,7 @@ def build_queries() -> dict:
         "d_contamination": d_contamination,
         "q_customer_order_counts": q_customer_order_counts,
         "d_lang_mix": d_lang_mix,
+        "d_wordgram_pairs": d_wordgram_pairs,
         # slots 45-50: a diverse already-green set (one per operator
         # family) keeps the flagship + join + rollup + tfidf paths under
         # continuous external check (e_hourly/e_user_first_last/
@@ -2597,9 +2617,11 @@ def build_queries() -> dict:
         "q_anti_bloom_big": q_anti_bloom_big,
         "q_cube_revenue": q_cube_revenue,
         "e_value_corr": e_value_corr,
-        "d_tfidf_top_terms": d_tfidf_top_terms,
         # --------------------- past the driver's 50-cap -------------------
-        # (all still value-checked in-repo by tests/test_driver_oracle.py)
+        # (all still value-checked in-repo by tests/test_driver_oracle.py;
+        # d_tfidf_top_terms rotated below the cap for d_wordgram_pairs —
+        # green in r02, still value-checked in-repo)
+        "d_tfidf_top_terms": d_tfidf_top_terms,
         "e_hourly": e_hourly,
         "e_user_first_last": e_user_first_last,
         "e_daily_active": e_daily_active,
@@ -2638,7 +2660,7 @@ def build_queries() -> dict:
         "media_frames": media_frames,
     }
     first50 = list(q)[:50]
-    assert len(q) == 85 and all(n in build_oracles() for n in first50), \
+    assert len(q) == 86 and all(n in build_oracles() for n in first50), \
         "driver checks only the first 50 keys — keep them oracle-backed"
     return q
 
@@ -2959,6 +2981,42 @@ j AS (
 SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
        round(jac, 4) AS jaccard
 FROM j WHERE jac >= 0.6
+ORDER BY doc_a, doc_b
+""",
+        # Exact all-pairs word-TRIGRAM Jaccard at threshold 0.5 — the
+        # engine's prefix-filter candidate generation has recall exactly
+        # 1.0 (SSJoin/PPJoin prefix bound) and verifies with exact
+        # Jaccard, so engine == oracle at any threshold on any data.
+        # Short docs (< 3 words) contribute ONE gram (the whole word
+        # sequence) on both sides; empty/null text contributes none.
+        # generate_series takes constants only: 4096 >> max word count.
+        "d_wordgram_pairs": r"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(COALESCE(text, '')), '\S+') AS w
+  FROM documents
+),
+idx AS (SELECT CAST(i AS INT) AS i FROM generate_series(1, 4096) g(i)),
+gr AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(w, i, least(i + 2, len(w))), ' ') AS s
+  FROM d JOIN idx ON idx.i <= greatest(1, len(d.w) - 2)
+  WHERE len(w) > 0
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM gr GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS isz
+  FROM gr a JOIN gr b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT doc_a, doc_b, isz * 1.0 / (ca.n + cb.n - isz) AS jac
+  FROM inter
+  JOIN cnt ca ON ca.doc_id = inter.doc_a
+  JOIN cnt cb ON cb.doc_id = inter.doc_b
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       round(jac, 4) AS jaccard
+FROM j WHERE jac >= 0.5
 ORDER BY doc_a, doc_b
 """,
         "d_dup_clusters": r"""

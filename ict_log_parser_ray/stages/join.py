@@ -173,5 +173,15 @@ def attach_lookup(left_ds, right_ds, on: str, broadcast_threshold: int = 2_000_0
 
         return left_ds.map_batches(lookup, batch_format="pyarrow",
                                    zero_copy_batch=True)
-    return left_ds.join(right, "left_outer", num_partitions=num_partitions,
+    # Ray's hash join spawns num_partitions HashShuffleAggregator actors,
+    # each reserving 0.125 CPU + ~1 GB logical memory.  A hard 32 reserves
+    # ALL CPU on a small session (4 CPUs × 8 = 32 × 0.125) — two chained
+    # attaches then DEADLOCK: the second join's aggregators and every map
+    # task wait forever.  Cap at 2×CPU so one join reserves ≤ 1/4 of the
+    # cluster; at real scale num_partitions should grow with DATA and the
+    # cap (2×CPUs across the cluster) is far above any requested value.
+    ncpu = int(ray.available_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    nparts = max(2, min(num_partitions, 2 * ncpu))
+    return left_ds.join(right, "left_outer", num_partitions=nparts,
                         on=(on,))

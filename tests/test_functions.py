@@ -93,6 +93,80 @@ def test_minhash_lsh_finds_planted_near_dups(ray_session):
     assert not any(3 in p or 4 in p for p in got)  # unrelated stays out
 
 
+def _wordgram_bruteforce(texts, n=3, threshold=0.5):
+    """Exact all-pairs word-n-gram Jaccard >= threshold, pure Python."""
+    sets = []
+    for t in texts:
+        w = (t or "").lower().split()
+        if not w:
+            sets.append(set())
+        elif len(w) < n:
+            sets.append({tuple(w)})     # short-doc convention: one gram
+        else:
+            sets.append({tuple(w[i:i + n]) for i in range(len(w) - n + 1)})
+    out = []
+    for a in range(len(sets)):
+        for b in range(a + 1, len(sets)):
+            sa, sb = sets[a], sets[b]
+            if not sa or not sb:
+                continue
+            jac = len(sa & sb) / len(sa | sb)
+            if jac >= threshold:
+                out.append((a, b, jac))
+    return out
+
+
+@pytest.mark.parametrize("threshold", [0.3, 0.5, 0.8])
+def test_word_ngram_pairs_match_bruteforce(ray_session, threshold):
+    """Prefix-filter recall is provably 1.0, so the output must EQUAL the
+    exact all-pairs threshold set — ids and Jaccard values — at any
+    threshold, including short (<n words), empty, and null docs."""
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.dedup_docs import (
+        word_ngram_duplicate_pairs)
+
+    rng = np.random.default_rng(7)
+    vocab = np.array([f"w{i}" for i in range(30)])
+    texts = [" ".join(rng.choice(vocab, int(rng.integers(0, 12))))
+             for _ in range(50)]
+    texts += [texts[0], texts[1] + " extra tail words here",
+              None, "", "one", "two words", "two words"]
+    docs = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+    got = (word_ngram_duplicate_pairs(rd.from_arrow(docs), n=3,
+                                      threshold=threshold)
+           .to_pandas().sort_values(["doc_a", "doc_b"])
+           .reset_index(drop=True))
+    want = _wordgram_bruteforce(texts, 3, threshold)
+    assert list(map(tuple, got[["doc_a", "doc_b"]].to_numpy())) == \
+        [(a, b) for a, b, _ in want]
+    np.testing.assert_allclose(got["jaccard"].to_numpy(),
+                               [j for _, _, j in want], rtol=1e-12)
+
+
+def test_word_ngram_pairs_hash_join_path(ray_session):
+    """broadcast_threshold=0 forces the big-corpus two-hash-join verify —
+    must produce the same exact set as the broadcast path."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.dedup_docs import (
+        word_ngram_duplicate_pairs)
+
+    ds = rd.from_arrow(_near_dup_docs())
+    big = (word_ngram_duplicate_pairs(ds, n=3, threshold=0.3,
+                                      broadcast_threshold=0)
+           .to_pandas().sort_values(["doc_a", "doc_b"])
+           .reset_index(drop=True))
+    small = (word_ngram_duplicate_pairs(rd.from_arrow(_near_dup_docs()),
+                                        n=3, threshold=0.3)
+             .to_pandas().sort_values(["doc_a", "doc_b"])
+             .reset_index(drop=True))
+    pd.testing.assert_frame_equal(big, small)
+    assert (0, 1) in set(map(tuple, big[["doc_a", "doc_b"]].to_numpy()))
+
+
 def test_simhash_candidates(ray_session):
     import ray.data as rd
 
