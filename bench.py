@@ -120,11 +120,13 @@ def run_queries(sf_dir: str) -> dict:
     # first six unchanged since round 1 (cross-round comparability);
     # the round-2 additions showcase the LSH dedup path (5× faster this
     # round) and the multi-level aggregate; the round-3 tail adds the
-    # decontamination scan and the language-mix sampler (new
-    # training-data-curation families)
+    # decontamination scan, the language-mix sampler (new
+    # training-data-curation families) and the exact prefix-filter
+    # word-n-gram Jaccard join (the dedup family's non-probabilistic
+    # member)
     names = ["e_hourly", "e_pareto", "q1_lineitem", "d_token_counts",
              "emb_knn", "d_simhash", "d_minhash_pairs", "q_cube_revenue",
-             "d_contamination", "d_lang_mix"]
+             "d_contamination", "d_lang_mix", "d_wordgram_pairs"]
     out = {}
     qmap = dq.build_queries()
     for n in names:

@@ -261,7 +261,34 @@ def _bucket_pairs(ids, cap: int, what: str, band_key) -> list:
     return [(ids[0], other) for other in ids[1:]]
 
 
-def _partitioned_pairs(exploded_ds, key_col: str, cap: int, what: str):
+def _bucket_pairs_lenfilt(ids: np.ndarray, lens: np.ndarray,
+                          threshold: float) -> list:
+    """EXACT candidate pairs within one bucket under the LENGTH FILTER
+    (SSJoin): J >= t ⇒ t·|A| ≤ |B| ≤ |A|/t, so after sorting by gram
+    count each doc only pairs forward while lens[j] ≤ lens[i]/t.  No
+    cap — the exact join's output is inherently quadratic on a bucket
+    of same-length near-identical docs, and dropping pairs there would
+    break the any-data oracle-equality guarantee."""
+    ids, first = np.unique(ids, return_index=True)
+    lens = lens[first]
+    m = len(ids)
+    if m < 2:
+        return []
+    order = np.argsort(lens, kind="stable")
+    ids, lens = ids[order], lens[order]
+    out = []
+    for i in range(m - 1):
+        j_end = np.searchsorted(lens, lens[i] / threshold, side="right") \
+            if threshold > 0 else m
+        for j in range(i + 1, j_end):
+            a, b = ids[i], ids[j]
+            out.append((a, b) if a < b else (b, a))
+    return out
+
+
+def _partitioned_pairs(exploded_ds, key_col: str, cap: int, what: str,
+                       lens_col: str | None = None,
+                       threshold: float | None = None):
     """(key, doc_id) exploded rows → candidate-pair Dataset (doc_a, doc_b).
 
     Hash-partitions the (already collision-only) rows by ``key_col`` into
@@ -301,8 +328,15 @@ def _partitioned_pairs(exploded_ds, key_col: str, cap: int, what: str):
             return _pair_schema.empty_table()
         df = pa.concat_tables(subs).to_pandas()
         out = []
-        for bk, g in df.groupby(key_col, sort=False):
-            out += _bucket_pairs(g["doc_id"].tolist(), cap, what, bk)
+        if lens_col is not None:
+            # exact mode (wordgram): uncapped length-filtered pairs
+            for bk, g in df.groupby(key_col, sort=False):
+                out += _bucket_pairs_lenfilt(g["doc_id"].to_numpy(),
+                                             g[lens_col].to_numpy(),
+                                             threshold)
+        else:
+            for bk, g in df.groupby(key_col, sort=False):
+                out += _bucket_pairs(g["doc_id"].tolist(), cap, what, bk)
         if not out:
             return _pair_schema.empty_table()
         a, b = zip(*out)
@@ -508,60 +542,193 @@ def _word_gram_hash_list(texts, n: int = 3) -> list:
     return out
 
 
+def _common_gram_df(docs_ds, n: int, max_common: int = 4_000_000):
+    """Corpus-wide (gram, df) arrow table for grams in >= 2 documents.
+
+    Feeds the df-ordered prefix filter: per-batch partials (each doc
+    contributes each unique gram once → sort + run-length count), then
+    ~2×CPU hash-partitioned shard tasks combine them — NEVER a Ray
+    groupby at ~all-distinct gram keys (~100µs/group, CLAUDE.md).  The
+    df>=2 output is bounded by true cross-doc repetition, and the
+    ``max_common`` cap keeps the broadcast bounded at web scale: grams
+    dropped from the map just revert to df=1 ordering, which costs
+    pruning, never recall."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.bloom import _M1, _mix
+
+    def _df_part(df: pd.DataFrame) -> pd.DataFrame:
+        sets = _word_gram_hash_list(df["text"], n)
+        sets = [a for a in sets if len(a)]
+        if not sets:
+            return pd.DataFrame({"g": pd.Series([], dtype="int64"),
+                                 "c": pd.Series([], dtype="int64")})
+        allg = np.sort(np.concatenate(sets))
+        bounds = np.flatnonzero(np.r_[True, allg[1:] != allg[:-1]])
+        cnt = np.diff(np.r_[bounds, allg.size])
+        return pd.DataFrame({"g": allg[bounds].view(np.int64),
+                             "c": cnt.astype(np.int64)})
+
+    parts = docs_ds.map_batches(_df_part,
+                                batch_format="pandas").materialize()
+    prefs = parts.to_arrow_refs()
+    ncpu = int(ray.available_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    nparts = max(8, min(2 * ncpu, 64))
+    _df_schema = pa.schema([("g", pa.int64()), ("df", pa.int32())])
+
+    @ray.remote
+    def _df_shard(p: int) -> pa.Table:
+        subs = []
+        for t in ray.get(prefs):
+            if not isinstance(t, pa.Table) or \
+                    "g" not in t.schema.names or t.num_rows == 0:
+                continue
+            col = t["g"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            tag = (_mix(col.to_numpy(zero_copy_only=False)
+                        .astype(np.uint64), _M1)
+                   % np.uint64(nparts)).astype(np.int64)
+            sub = t.filter(pa.array(tag == p))
+            if sub.num_rows:
+                subs.append(sub)
+        if not subs:
+            return _df_schema.empty_table()
+        tbl = pa.concat_tables(subs)
+        g = tbl["g"].to_numpy(zero_copy_only=False)
+        c = tbl["c"].to_numpy(zero_copy_only=False)
+        order = np.argsort(g, kind="stable")
+        gs, cs = g[order], c[order]
+        bounds = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+        dfc = np.add.reduceat(cs, bounds)
+        keep = dfc >= 2
+        return pa.table({"g": pa.array(gs[bounds][keep], pa.int64()),
+                         "df": pa.array(np.minimum(dfc[keep], 2**31 - 1)
+                                        .astype(np.int32), pa.int32())})
+
+    shards = [t for t in ray.get([_df_shard.remote(p)
+                                  for p in range(nparts)]) if t.num_rows]
+    if not shards:
+        return _df_schema.empty_table()
+    tbl = pa.concat_tables(shards).combine_chunks()
+    if tbl.num_rows > max_common:
+        dfc = tbl["df"].to_numpy(zero_copy_only=False)
+        top = np.sort(np.argpartition(dfc, -max_common)[-max_common:])
+        tbl = tbl.take(pa.array(top))
+    return tbl
+
+
+def _gram_df_probe(grams_i64: np.ndarray, dfref, token: str) -> np.ndarray:
+    """df values (int64, default 1) for gram hashes via a worker-memoized
+    khash Index over the broadcast (g, df) table — the ``isin_mask_memo``
+    shape (per-batch index_in would rebuild its hash table every call)."""
+    import ray
+
+    from ..stages.join import _WORKER_MEMO
+    from ..stages.join import _memo_put as _wm_put
+
+    key = ("gramdf", token)
+    memo = _WORKER_MEMO.get(key)
+    if memo is None:
+        t = ray.get(dfref)
+        memo = _wm_put(key, (pd.Index(t["g"].to_numpy(zero_copy_only=False)),
+                             t["df"].to_numpy(zero_copy_only=False)
+                             .astype(np.int64)))
+    ix, dfv = memo
+    pos = ix.get_indexer(grams_i64)
+    return np.where(pos >= 0, dfv[np.maximum(pos, 0)], np.int64(1))
+
+
 def word_ngram_duplicate_pairs(docs_ds, n: int = 3, threshold: float = 0.5,
-                               cap: int = 50,
-                               broadcast_threshold: int = 2_000_000):
+                               broadcast_threshold: int = 2_000_000,
+                               max_common: int = 4_000_000):
     """documents → EXACT word-n-gram Jaccard near-dup pairs Dataset
     (doc_a, doc_b, jaccard) — the dedup family's n-gram Jaccard member.
 
     Candidate generation is the PREFIX FILTER from the public all-pairs
     similarity-search literature (Chaudhuri et al. ICDE'06 SSJoin;
     Bayardo et al. WWW'07; Xiao et al. PPJoin): order each doc's unique
-    gram hashes by the global uint64 order and index only the first
+    gram hashes by a GLOBAL total order and index only the first
     ``L - ceil(t*L) + 1``.  For any pair with J >= t, the smallest
     COMMON gram (in the global order) provably sits inside both prefixes
     — at most ``ceil(t*L) - 1`` elements of a doc can follow it, fewer
     than the >= ceil(t*L) shared elements J >= t implies — so recall is
-    exactly 1.0.  Unlike MinHash+LSH there is no probabilistic miss,
-    which is what makes this output value-checkable against the
-    all-pairs SQL oracle at ANY threshold.
+    exactly 1.0 under ANY total order.  Unlike MinHash+LSH there is no
+    probabilistic miss, which is what makes this output value-checkable
+    against the all-pairs SQL oracle at ANY threshold.
 
-    The indexed (gram_key, doc_id) stream is payload-free and sized
-    ~(1-t)·grams, then flows through the same collision prefilter,
+    The order used is (document frequency, hash) — the literature's
+    rarest-first order: prefixes then hold each doc's RAREST grams, so
+    unrelated docs sharing only common grams generate no candidates.
+    Plain hash order produced 567k candidate pairs for 256 real pairs on
+    the sf0.1 fixture (small shared vocabulary); df-ordering needs one
+    extra gram-hash pass over the pinned corpus to build the df map
+    (grams with df >= 2, broadcast once, worker-memoized probe) but
+    collapses the candidate set.  Grams beyond the ``max_common`` most
+    frequent fall back to df=1 ordering — less pruning, never a recall
+    loss.
+
+    The indexed (gram_key, doc_id, glen) stream is payload-free and
+    sized ~(1-t)·grams, then flows through the same collision prefilter,
     hash-partitioned pair tasks, pair dedup and broadcast-or-hash-join
-    exact verify as minhash (star-overflow semantics documented in the
-    module docstring)."""
+    exact verify as minhash — except bucket pairing is UNCAPPED (star
+    overflow would lose exact pairs) and instead pruned by the SSJoin
+    length filter t·|A| ≤ |B| via the glen column."""
     import ray
 
-    from ..stages.join import attach_lookup
+    from ..stages.join import _memo_key, attach_lookup
 
     eps = 1e-9  # guard: t*L computed a hair HIGH would shrink the prefix
+
+    # same pin/stream contract as minhash: broadcast-scale corpora pin
+    # the (doc_id, text) read once — the df pass, explode and verify all
+    # share the pinned blocks
+    if docs_ds.count() <= broadcast_threshold:
+        docs_ds = docs_ds.materialize()
+
+    df_tbl = _common_gram_df(docs_ds, n, max_common=max_common)
+    dfref = ray.put(df_tbl) if df_tbl.num_rows else None
+    dftoken = _memo_key(dfref) if dfref is not None else ""
 
     def _prefix_explode(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
             return pd.DataFrame({"gram_key": pd.Series([], dtype="int64"),
-                                 "doc_id": pd.Series([], dtype="int64")})
+                                 "doc_id": pd.Series([], dtype="int64"),
+                                 "glen": pd.Series([], dtype="int64")})
         sets = _word_gram_hash_list(df["text"], n)
         lens = np.fromiter((len(a) for a in sets), np.int64,
                            count=len(sets))
         p = np.where(lens == 0, 0,
                      lens - np.ceil(threshold * lens - eps).astype(np.int64)
                      + 1)
-        keys = (np.concatenate([a[:k] for a, k in zip(sets, p)])
-                if p.sum() else np.empty(0, np.uint64))
+        if dfref is not None and lens.sum():
+            # one probe for the whole batch, then per-doc (df, hash)
+            # lexsort — rarest grams first; np.unique output is already
+            # hash-sorted so equal-df runs stay in hash order
+            allg = np.concatenate(sets).view(np.int64)
+            dfv = _gram_df_probe(allg, dfref, dftoken)
+            offs = np.r_[np.int64(0), np.cumsum(lens)]
+            keys = np.concatenate(
+                [sets[i][np.lexsort((sets[i],
+                                     dfv[offs[i]:offs[i + 1]]))[:p[i]]]
+                 for i in range(len(sets))]) \
+                if p.sum() else np.empty(0, np.uint64)
+        else:
+            keys = (np.concatenate([a[:k] for a, k in zip(sets, p)])
+                    if p.sum() else np.empty(0, np.uint64))
         return pd.DataFrame(
             {"gram_key": keys.view(np.int64),
-             "doc_id": np.repeat(df["doc_id"].to_numpy(), p)})
-
-    # same pin/stream contract as minhash: broadcast-scale corpora pin
-    # the (doc_id, text) read once — explode and verify share the blocks
-    if docs_ds.count() <= broadcast_threshold:
-        docs_ds = docs_ds.materialize()
+             "doc_id": np.repeat(df["doc_id"].to_numpy(), p),
+             # gram count rides along for the in-bucket length filter
+             "glen": np.repeat(lens, p)})
 
     exploded = docs_ds.map_batches(_prefix_explode, batch_format="pandas")
     exploded = _only_colliding_buckets(exploded, "gram_key")
-    cands = _dedup_pairs(_partitioned_pairs(exploded, "gram_key", cap,
-                                            "wordgram"))
+    cands = _dedup_pairs(_partitioned_pairs(exploded, "gram_key", 0,
+                                            "wordgram", lens_col="glen",
+                                            threshold=threshold))
 
     if docs_ds.count() <= broadcast_threshold:
         import pyarrow.compute as pc

@@ -145,6 +145,25 @@ def test_word_ngram_pairs_match_bruteforce(ray_session, threshold):
                                [j for _, _, j in want], rtol=1e-12)
 
 
+def test_word_ngram_pairs_oversized_bucket_stays_exact(ray_session):
+    """A bucket with more members than the minhash star-overflow cap (50)
+    must still emit ALL pairs — the exact join's guarantee; star pairs
+    would lose C(60,2)-59 of them.  The length filter can't prune
+    identical docs (equal gram counts), so this is the worst case."""
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.dedup_docs import (
+        word_ngram_duplicate_pairs)
+
+    texts = ["alpha beta gamma delta epsilon zeta"] * 60
+    docs = pa.table({"doc_id": pa.array(range(60), pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+    got = word_ngram_duplicate_pairs(rd.from_arrow(docs), n=3,
+                                     threshold=0.9).to_pandas()
+    assert len(got) == 60 * 59 // 2
+    assert (got["jaccard"] == 1.0).all()
+
+
 def test_word_ngram_pairs_hash_join_path(ray_session):
     """broadcast_threshold=0 forces the big-corpus two-hash-join verify —
     must produce the same exact set as the broadcast path."""
