@@ -262,34 +262,77 @@ def _bucket_pairs(ids, cap: int, what: str, band_key) -> list:
 
 
 def _bucket_pairs_lenfilt(ids: np.ndarray, lens: np.ndarray,
-                          threshold: float) -> list:
+                          pos: np.ndarray, threshold: float):
     """EXACT candidate pairs within one bucket under the LENGTH FILTER
     (SSJoin): J >= t ⇒ t·|A| ≤ |B| ≤ |A|/t, so after sorting by gram
     count each doc only pairs forward while lens[j] ≤ lens[i]/t.  No
     cap — the exact join's output is inherently quadratic on a bucket
     of same-length near-identical docs, and dropping pairs there would
-    break the any-data oracle-equality guarantee."""
+    break the any-data oracle-equality guarantee.  Emission is fully
+    vectorized (repeat + segment-arange — no per-pair Python loop) and
+    carries each side's prefix POSITION of the bucket gram for the
+    downstream PPJoin positional filter.
+
+    Returns (doc_a, doc_b, pos_a, pos_b, len_a, len_b) arrays with
+    doc_a < doc_b normalized."""
     ids, first = np.unique(ids, return_index=True)
-    lens = lens[first]
+    lens, pos = lens[first], pos[first]
     m = len(ids)
+    empty = (np.empty(0, np.int64),) * 6
     if m < 2:
-        return []
+        return empty
     order = np.argsort(lens, kind="stable")
-    ids, lens = ids[order], lens[order]
-    out = []
-    for i in range(m - 1):
-        j_end = np.searchsorted(lens, lens[i] / threshold, side="right") \
-            if threshold > 0 else m
-        for j in range(i + 1, j_end):
-            a, b = ids[i], ids[j]
-            out.append((a, b) if a < b else (b, a))
-    return out
+    ids, lens, pos = ids[order], lens[order], pos[order]
+    j_end = (np.searchsorted(lens, lens / threshold, side="right")
+             if threshold > 0 else np.full(m, m))
+    counts = np.maximum(j_end - np.arange(1, m + 1), 0)
+    total = int(counts.sum())
+    if total == 0:
+        return empty
+    # b-side indices: for row i the segment i+1 .. j_end[i]
+    seg_off = np.r_[np.int64(0), np.cumsum(counts[:-1])]
+    br = (np.arange(total, dtype=np.int64)
+          - np.repeat(seg_off, counts) + np.repeat(
+              np.arange(1, m + 1, dtype=np.int64), counts))
+    a_id, b_id = np.repeat(ids, counts), ids[br]
+    a_pos, b_pos = np.repeat(pos, counts), pos[br]
+    a_len, b_len = np.repeat(lens, counts), lens[br]
+    # occurrence-level positional prefilter (sound): an occurrence
+    # failing 1 + min(remaining) >= o_min cannot be the pair's FIRST
+    # common gram — for a true pair, g*'s occurrence always passes (at
+    # g*, 1 + min(rem) >= o >= o_min is a theorem), so it survives to
+    # the pair-level min reduction; false pairs may lose all their
+    # occurrences, which is exactly the pruning we want.  This shrinks
+    # the occurrence stream BEFORE the shuffle/collect.
+    o_min = np.ceil(threshold * (a_len + b_len) / (1.0 + threshold)
+                    - 1e-9).astype(np.int64)
+    keep = 1 + np.minimum(a_len - a_pos - 1, b_len - b_pos - 1) >= o_min
+    if not keep.all():
+        a_id, b_id = a_id[keep], b_id[keep]
+        a_pos, b_pos = a_pos[keep], b_pos[keep]
+        a_len, b_len = a_len[keep], b_len[keep]
+    swap = a_id > b_id
+    doc_a = np.where(swap, b_id, a_id)
+    doc_b = np.where(swap, a_id, b_id)
+    pos_a = np.where(swap, b_pos, a_pos)
+    pos_b = np.where(swap, a_pos, b_pos)
+    len_a = np.where(swap, b_len, a_len)
+    len_b = np.where(swap, a_len, b_len)
+    return (doc_a.astype(np.int64), doc_b.astype(np.int64),
+            pos_a.astype(np.int64), pos_b.astype(np.int64),
+            len_a.astype(np.int64), len_b.astype(np.int64))
+
+
+_POSPAIR_COLS = ("doc_a", "doc_b", "pos_a", "pos_b", "len_a", "len_b")
+_POSPAIR_SCHEMA = pa.schema([(c, pa.int64()) for c in _POSPAIR_COLS])
 
 
 def _partitioned_pairs(exploded_ds, key_col: str, cap: int, what: str,
                        lens_col: str | None = None,
+                       pos_col: str | None = None,
                        threshold: float | None = None):
-    """(key, doc_id) exploded rows → candidate-pair Dataset (doc_a, doc_b).
+    """(key, doc_id) exploded rows → candidate-pair Dataset (doc_a, doc_b;
+    plus per-side prefix positions and gram counts in wordgram mode).
 
     Hash-partitions the (already collision-only) rows by ``key_col`` into
     ~2×CPU remote tasks, each grouping ITS shard with one pandas groupby —
@@ -307,7 +350,9 @@ def _partitioned_pairs(exploded_ds, key_col: str, cap: int, what: str,
     ncpu = int(ray.available_resources().get("CPU", 8)) \
         if ray.is_initialized() else 8
     nparts = max(8, min(2 * ncpu, 64))
-    _pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    _pair_schema = (_POSPAIR_SCHEMA if lens_col is not None else
+                    pa.schema([("doc_a", pa.int64()),
+                               ("doc_b", pa.int64())]))
 
     @ray.remote
     def _pairs_part(p: int) -> pa.Table:
@@ -327,16 +372,24 @@ def _partitioned_pairs(exploded_ds, key_col: str, cap: int, what: str,
         if not subs:
             return _pair_schema.empty_table()
         df = pa.concat_tables(subs).to_pandas()
-        out = []
         if lens_col is not None:
-            # exact mode (wordgram): uncapped length-filtered pairs
-            for bk, g in df.groupby(key_col, sort=False):
-                out += _bucket_pairs_lenfilt(g["doc_id"].to_numpy(),
-                                             g[lens_col].to_numpy(),
-                                             threshold)
-        else:
-            for bk, g in df.groupby(key_col, sort=False):
-                out += _bucket_pairs(g["doc_id"].tolist(), cap, what, bk)
+            # exact mode (wordgram): uncapped length-filtered pairs with
+            # positional payload — vectorized per bucket, concatenated once
+            chunks = [_bucket_pairs_lenfilt(g["doc_id"].to_numpy(),
+                                            g[lens_col].to_numpy(),
+                                            g[pos_col].to_numpy(),
+                                            threshold)
+                      for _, g in df.groupby(key_col, sort=False)]
+            chunks = [c for c in chunks if len(c[0])]
+            if not chunks:
+                return _pair_schema.empty_table()
+            cols = [np.concatenate([c[i] for c in chunks])
+                    for i in range(6)]
+            return pa.table(dict(zip(_POSPAIR_COLS, cols)),
+                            schema=_POSPAIR_SCHEMA)
+        out = []
+        for bk, g in df.groupby(key_col, sort=False):
+            out += _bucket_pairs(g["doc_id"].tolist(), cap, what, bk)
         if not out:
             return _pair_schema.empty_table()
         a, b = zip(*out)
@@ -374,6 +427,61 @@ def _dedup_pairs(cands, collect_threshold: int = 5_000_000):
     # 7.7 s of a 13.7 s run at sf0.1 before this) — but keep ≥8 pairs
     # per block: 64 four-pair verify tasks paid more scheduling than
     # verify compute
+    ncpu = int(ray.available_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    nblk = max(1, min(2 * ncpu, -(-len(df) // 8)))
+    return rd.from_pandas(np.array_split(df, nblk))
+
+
+def _dedup_pairs_posfilt(cands, threshold: float,
+                         collect_threshold: int = 5_000_000):
+    """Positional-payload candidate pairs → distinct (doc_a, doc_b) pairs
+    surviving the PPJoin POSITIONAL FILTER (Xiao et al., WWW'08).
+
+    For a pair with unique-gram counts (la, lb), J >= t requires overlap
+    o_min = ceil(t*(la+lb)/(1+t)).  At the pair's FIRST common gram g*
+    in the global prefix order, every other common gram sits strictly
+    after g* in BOTH docs, so o <= 1 + min(la-pa-1, lb-pb-1) with
+    (pa, pb) = g*'s per-doc positions.  g* simultaneously minimises both
+    positions over the pair's bucket occurrences, so reducing
+    min(pos_a), min(pos_b) across occurrences recovers (pa, pb) exactly
+    — the filter runs AFTER this cross-bucket reduction (per-occurrence
+    "1 +" bounds are unsound for non-first common grams).  o_min uses a
+    downward eps so float rounding can only weaken pruning, never drop
+    a true pair."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    def _posfilter(df: pd.DataFrame) -> pd.DataFrame:
+        la = df["len_a"].to_numpy(np.int64)
+        lb = df["len_b"].to_numpy(np.int64)
+        pa_ = df["pos_a"].to_numpy(np.int64)
+        pb_ = df["pos_b"].to_numpy(np.int64)
+        o_min = np.ceil(threshold * (la + lb) / (1.0 + threshold)
+                        - 1e-9).astype(np.int64)
+        ub = 1 + np.minimum(la - pa_ - 1, lb - pb_ - 1)
+        return df.loc[ub >= o_min, ["doc_a", "doc_b"]]
+
+    cands = cands.materialize()
+    if cands.count() > collect_threshold:
+        agg = cands.groupby(["doc_a", "doc_b"]).aggregate(
+            Min("pos_a", alias_name="pos_a"),
+            Min("pos_b", alias_name="pos_b"),
+            Min("len_a", alias_name="len_a"),
+            Min("len_b", alias_name="len_b"))
+        return agg.map_batches(_posfilter, batch_format="pandas")
+    tbls = [t for t in ray.get(cands.to_arrow_refs())
+            if isinstance(t, pa.Table) and "pos_a" in t.schema.names
+            and t.num_rows]
+    if not tbls:
+        return rd.from_arrow(pa.schema([("doc_a", pa.int64()),
+                                        ("doc_b", pa.int64())])
+                             .empty_table())
+    df = pa.concat_tables(tbls).to_pandas()
+    df = (df.groupby(["doc_a", "doc_b"], sort=False, as_index=False)
+          .min())
+    df = _posfilter(df).reset_index(drop=True)
     ncpu = int(ray.available_resources().get("CPU", 8)) \
         if ray.is_initialized() else 8
     nblk = max(1, min(2 * ncpu, -(-len(df) // 8)))
@@ -542,41 +650,108 @@ def _word_gram_hash_list(texts, n: int = 3) -> list:
     return out
 
 
-def _common_gram_df(docs_ds, n: int, max_common: int = 4_000_000):
+def _psize_fn(t) -> int:
+    """Row count of a partial block (0 for zero-row pass-through blocks
+    that surface with a foreign schema)."""
+    return t.num_rows if isinstance(t, pa.Table) and \
+        "g" in t.schema.names else 0
+
+
+_psize = None  # lazily-bound ray.remote wrapper (module import is ray-free)
+
+
+def _get_psize():
+    global _psize
+    if _psize is None:
+        import ray
+        _psize = ray.remote(num_cpus=0)(_psize_fn)
+    return _psize
+
+
+def _common_gram_df(docs_ds, n: int, max_common: int = 4_000_000,
+                    driver_finish_rows: int = 5_000_000):
     """Corpus-wide (gram, df) arrow table for grams in >= 2 documents.
 
     Feeds the df-ordered prefix filter: per-batch partials (each doc
     contributes each unique gram once → sort + run-length count), then
-    ~2×CPU hash-partitioned shard tasks combine them — NEVER a Ray
-    groupby at ~all-distinct gram keys (~100µs/group, CLAUDE.md).  The
-    df>=2 output is bounded by true cross-doc repetition, and the
-    ``max_common`` cap keeps the broadcast bounded at web scale: grams
-    dropped from the map just revert to df=1 ordering, which costs
-    pruning, never recall."""
+    a bounded driver merge (one np.sort + reduceat) when the partial
+    total is under ``driver_finish_rows``, else ~2×CPU hash-partitioned
+    shard tasks — NEVER a Ray groupby at ~all-distinct gram keys
+    (~100µs/group, CLAUDE.md).  On an already-materialized corpus the
+    partials run as plain Ray tasks over the pinned arrow blocks — a
+    Dataset execution costs a fixed ~0.5 s of executor startup that
+    dominates small inputs (measured: the map_batches partial pass alone
+    was 1.2 s for 0.15 s of compute at sf0.1).  The df>=2 output is
+    bounded by true cross-doc repetition, and the ``max_common`` cap
+    keeps the broadcast bounded at web scale: grams dropped from the map
+    just revert to df=1 ordering, which costs pruning, never recall."""
     import ray
-    import ray.data as rd
+    from ray.data.dataset import MaterializedDataset
 
     from ..stages.bloom import _M1, _mix
 
-    def _df_part(df: pd.DataFrame) -> pd.DataFrame:
-        sets = _word_gram_hash_list(df["text"], n)
+    _part_schema = pa.schema([("g", pa.int64()), ("c", pa.int64())])
+
+    def _df_part_np(sets) -> pa.Table:
         sets = [a for a in sets if len(a)]
         if not sets:
-            return pd.DataFrame({"g": pd.Series([], dtype="int64"),
-                                 "c": pd.Series([], dtype="int64")})
+            return _part_schema.empty_table()
         allg = np.sort(np.concatenate(sets))
         bounds = np.flatnonzero(np.r_[True, allg[1:] != allg[:-1]])
         cnt = np.diff(np.r_[bounds, allg.size])
-        return pd.DataFrame({"g": allg[bounds].view(np.int64),
-                             "c": cnt.astype(np.int64)})
+        return pa.table({"g": pa.array(allg[bounds].view(np.int64)),
+                         "c": pa.array(cnt.astype(np.int64))})
 
-    parts = docs_ds.map_batches(_df_part,
-                                batch_format="pandas").materialize()
-    prefs = parts.to_arrow_refs()
+    if isinstance(docs_ds, MaterializedDataset):
+        @ray.remote
+        def _part_task(block: pa.Table) -> pa.Table:
+            if not isinstance(block, pa.Table) or \
+                    "text" not in block.schema.names or block.num_rows == 0:
+                return _part_schema.empty_table()
+            return _df_part_np(
+                _word_gram_hash_list(block["text"].to_pandas(), n))
+
+        prefs = [_part_task.remote(r) for r in docs_ds.to_arrow_refs()]
+    else:
+        def _df_part(df: pd.DataFrame) -> pd.DataFrame:
+            return _df_part_np(_word_gram_hash_list(df["text"], n)) \
+                .to_pandas()
+
+        parts = docs_ds.map_batches(_df_part,
+                                    batch_format="pandas").materialize()
+        prefs = parts.to_arrow_refs()
+
     ncpu = int(ray.available_resources().get("CPU", 8)) \
         if ray.is_initialized() else 8
-    nparts = max(8, min(2 * ncpu, 64))
     _df_schema = pa.schema([("g", pa.int64()), ("df", pa.int32())])
+
+    sizes = ray.get([_get_psize().remote(r) for r in prefs])
+    nrows = int(sum(sizes))
+    if nrows == 0:
+        return _df_schema.empty_table()
+    if nrows <= driver_finish_rows:
+        tbls = [t for t in ray.get(prefs)
+                if isinstance(t, pa.Table) and "g" in t.schema.names
+                and t.num_rows]
+        tbl = pa.concat_tables(tbls)
+        g = tbl["g"].to_numpy(zero_copy_only=False)
+        c = tbl["c"].to_numpy(zero_copy_only=False)
+        order = np.argsort(g, kind="stable")
+        gs, cs = g[order], c[order]
+        bounds = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+        dfc = np.add.reduceat(cs, bounds)
+        keep = dfc >= 2
+        tbl = pa.table({"g": pa.array(gs[bounds][keep], pa.int64()),
+                        "df": pa.array(np.minimum(dfc[keep], 2**31 - 1)
+                                       .astype(np.int32), pa.int32())})
+        if tbl.num_rows > max_common:
+            dfv = tbl["df"].to_numpy(zero_copy_only=False)
+            top = np.sort(np.argpartition(dfv, -max_common)[-max_common:])
+            tbl = tbl.take(pa.array(top))
+        return tbl
+
+    nparts = int(min(max(min(8, ncpu), -(-nrows // 200_000)),
+                     2 * ncpu, 64))
 
     @ray.remote
     def _df_shard(p: int) -> pa.Table:
@@ -670,12 +845,14 @@ def word_ngram_duplicate_pairs(docs_ds, n: int = 3, threshold: float = 0.5,
     frequent fall back to df=1 ordering — less pruning, never a recall
     loss.
 
-    The indexed (gram_key, doc_id, glen) stream is payload-free and
-    sized ~(1-t)·grams, then flows through the same collision prefilter,
-    hash-partitioned pair tasks, pair dedup and broadcast-or-hash-join
+    The indexed (gram_key, doc_id, glen, gpos) stream is payload-free
+    and sized ~(1-t)·grams, then flows through the same collision
+    prefilter, hash-partitioned pair tasks and broadcast-or-hash-join
     exact verify as minhash — except bucket pairing is UNCAPPED (star
     overflow would lose exact pairs) and instead pruned by the SSJoin
-    length filter t·|A| ≤ |B| via the glen column."""
+    length filter t·|A| ≤ |B| (glen) at emission plus the PPJoin
+    positional filter (gpos) after the cross-bucket min reduction
+    (see _dedup_pairs_posfilt for the soundness argument)."""
     import ray
 
     from ..stages.join import _memo_key, attach_lookup
@@ -696,7 +873,8 @@ def word_ngram_duplicate_pairs(docs_ds, n: int = 3, threshold: float = 0.5,
         if not len(df):
             return pd.DataFrame({"gram_key": pd.Series([], dtype="int64"),
                                  "doc_id": pd.Series([], dtype="int64"),
-                                 "glen": pd.Series([], dtype="int64")})
+                                 "glen": pd.Series([], dtype="int64"),
+                                 "gpos": pd.Series([], dtype="int64")})
         sets = _word_gram_hash_list(df["text"], n)
         lens = np.fromiter((len(a) for a in sets), np.int64,
                            count=len(sets))
@@ -718,17 +896,24 @@ def word_ngram_duplicate_pairs(docs_ds, n: int = 3, threshold: float = 0.5,
         else:
             keys = (np.concatenate([a[:k] for a, k in zip(sets, p)])
                     if p.sum() else np.empty(0, np.uint64))
+        total = int(p.sum())
+        # per-doc position in the doc's global-order gram list (prefix =
+        # its first p entries), for the PPJoin positional filter
+        gpos = (np.arange(total, dtype=np.int64)
+                - np.repeat(np.r_[np.int64(0), np.cumsum(p[:-1])], p))
         return pd.DataFrame(
             {"gram_key": keys.view(np.int64),
              "doc_id": np.repeat(df["doc_id"].to_numpy(), p),
              # gram count rides along for the in-bucket length filter
-             "glen": np.repeat(lens, p)})
+             "glen": np.repeat(lens, p),
+             "gpos": gpos})
 
     exploded = docs_ds.map_batches(_prefix_explode, batch_format="pandas")
     exploded = _only_colliding_buckets(exploded, "gram_key")
-    cands = _dedup_pairs(_partitioned_pairs(exploded, "gram_key", 0,
-                                            "wordgram", lens_col="glen",
-                                            threshold=threshold))
+    cands = _dedup_pairs_posfilt(
+        _partitioned_pairs(exploded, "gram_key", 0, "wordgram",
+                           lens_col="glen", pos_col="gpos",
+                           threshold=threshold), threshold)
 
     if docs_ds.count() <= broadcast_threshold:
         import pyarrow.compute as pc
