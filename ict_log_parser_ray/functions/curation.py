@@ -1,0 +1,278 @@
+"""Corpus-curation transforms: PII/term redaction, boilerplate-unit
+removal, and fixed-size chunk explode.
+
+Three ops every large-scale training-data pipeline runs over its text
+corpus before anything else touches it:
+
+- ``redact_documents`` — regex scrubbing (emails, phones, IPs, or any
+  configured term set) with per-pattern match counts.  Vectorized RE2
+  (`pyarrow.compute`) per batch; counts are over the ORIGINAL text so
+  each pattern's count is independent of replacement order.
+- ``remove_common_units`` — the C4/CCNet "remove boilerplate lines that
+  repeat across many documents" shape, generalised over the unit
+  separator (newline for real corpora; the driver query uses words
+  because the synthetic fixture is single-line).  Distributed unit
+  document-frequency map (per-batch partials → bounded driver finish /
+  sharded tasks — never a Ray groupby at ~all-distinct unit keys), then
+  a broadcast common-set filter with order-preserving reassembly in
+  vectorized polars list kernels.
+- ``chunk_documents`` — explode each doc into fixed-width character
+  chunks on a stride (context-window packing's first step).  One
+  repeat/arange explode plus a polars expression-offset ``str.slice``;
+  no per-chunk Python loop.
+
+All three stream: no stage materializes the corpus beyond the broadcast
+common-unit set (bounded by ``max_units``, loudly logged if hit).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+logger = logging.getLogger(__name__)
+
+# default scrub set — RE2 syntax (pyarrow and DuckDB share RE2, so the
+# same strings work verbatim in the SQL oracle twin)
+PII_PATTERNS: tuple = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("phone", r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+)
+
+
+def _pl():
+    if "polars" not in sys.modules:
+        os.environ.setdefault("POLARS_MAX_THREADS", "1")
+    import polars as pl
+    return pl
+
+
+def redact_documents(docs_ds, patterns=PII_PATTERNS):
+    """documents → (doc_id, n_<name>..., text_redacted) Dataset.
+
+    ``patterns`` is a sequence of (name, re2_pattern, replacement).
+    Replacements apply sequentially; counts are computed on the original
+    text (each pattern counted independently), matching the SQL twin
+    ``len(regexp_extract_all(text, pat))``.  Stateless zero-copy Arrow
+    map — RE2 kernels, no Python row loop."""
+    import pyarrow.compute as pc
+
+    pats = list(patterns)
+
+    def _redact(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        txt = pc.fill_null(txt, "")
+        cols: dict = {"doc_id": t["doc_id"]}
+        out = txt
+        for name, pat, rep in pats:
+            cols[f"n_{name}"] = pc.cast(
+                pc.count_substring_regex(txt, pat), pa.int64())
+            out = pc.replace_substring_regex(out, pat, rep)
+        cols["text_redacted"] = out
+        return pa.table(cols)
+
+    return docs_ds.map_batches(_redact, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
+def _unit_df_map(docs_ds, sep: str, min_df: int = 1,
+                 driver_finish_rows: int = 5_000_000):
+    """Corpus-wide (unit, doc-frequency ≥ ``min_df``) pandas frame over
+    STRING units.
+
+    Per-batch partials (each doc contributes each of its unique units
+    once), then a bounded driver merge under ``driver_finish_rows`` or
+    ~2×CPU hash-sharded tasks beyond — the `_common_gram_df` shape, kept
+    on strings (no hash) so the downstream common-set filter is exact
+    with no collision caveat.  The ``min_df`` cut runs inside the shard
+    tasks, so only qualifying (boilerplate-frequency) units ever reach
+    the driver."""
+    import ray
+    from ray.data.dataset import MaterializedDataset
+
+    def _part_pdf(texts) -> pd.DataFrame:
+        s = pd.Series(texts).fillna("").astype(str).str.split(sep)
+        if not len(s):
+            return pd.DataFrame({"u": pd.Series([], dtype=object),
+                                 "c": pd.Series([], dtype="int64")})
+        # per-doc unique units, then one batch-level value count
+        uniq = [pd.unique(np.asarray(w, dtype=object)) for w in s]
+        allu = pd.Series(np.concatenate(uniq)) if uniq else \
+            pd.Series([], dtype=object)
+        vc = allu.value_counts(sort=False)
+        return pd.DataFrame({"u": vc.index.to_numpy(object),
+                             "c": vc.to_numpy(np.int64)})
+
+    if isinstance(docs_ds, MaterializedDataset):
+        @ray.remote
+        def _part_task(block: pa.Table) -> pa.Table:
+            if not isinstance(block, pa.Table) or \
+                    "text" not in block.schema.names or block.num_rows == 0:
+                return pa.schema([("u", pa.string()),
+                                  ("c", pa.int64())]).empty_table()
+            return pa.Table.from_pandas(
+                _part_pdf(block["text"].to_pandas()), preserve_index=False)
+
+        prefs = [_part_task.remote(r) for r in docs_ds.to_arrow_refs()]
+    else:
+        parts = docs_ds.map_batches(
+            lambda df: _part_pdf(df["text"]),
+            batch_format="pandas").materialize()
+        prefs = parts.to_arrow_refs()
+
+    @ray.remote(num_cpus=0)
+    def _size(t) -> int:
+        return t.num_rows if isinstance(t, pa.Table) and \
+            "u" in t.schema.names else 0
+
+    total = int(sum(ray.get([_size.remote(r) for r in prefs])))
+    if total == 0:
+        return pd.DataFrame({"u": pd.Series([], dtype=object),
+                             "df": pd.Series([], dtype="int64")})
+    if total <= driver_finish_rows:
+        tbls = [t for t in ray.get(prefs)
+                if isinstance(t, pa.Table) and "u" in t.schema.names
+                and t.num_rows]
+        df = pa.concat_tables(tbls).to_pandas()
+        out = df.groupby("u", sort=False, as_index=False)["c"].sum()
+        return out.rename(columns={"c": "df"})
+    # sharded finish: hash-partition partial rows by unit into ~2×CPU
+    # tasks, sum within each — mirrors _common_gram_df's fallback; the
+    # partials stay in the object store (only each task's shard moves)
+    ncpu = int(ray.available_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    nparts = int(min(max(8, -(-total // 200_000)), 2 * ncpu, 64))
+
+    @ray.remote
+    def _shard(p: int) -> pa.Table:
+        from pandas.util import hash_pandas_object
+        subs = []
+        for t in ray.get(prefs):
+            if not isinstance(t, pa.Table) or \
+                    "u" not in t.schema.names or t.num_rows == 0:
+                continue
+            u = t["u"].to_pandas()
+            tag = (hash_pandas_object(u, index=False).to_numpy()
+                   % np.uint64(nparts)).astype(np.int64)
+            sub = t.filter(pa.array(tag == p))
+            if sub.num_rows:
+                subs.append(sub)
+        if not subs:
+            return pa.schema([("u", pa.string()),
+                              ("c", pa.int64())]).empty_table()
+        df = pa.concat_tables(subs).to_pandas()
+        out = df.groupby("u", sort=False, as_index=False)["c"].sum()
+        out = out.loc[out["c"] >= min_df]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = [t for t in ray.get([_shard.remote(p) for p in range(nparts)])
+             if t.num_rows]
+    if not parts:
+        return pd.DataFrame({"u": pd.Series([], dtype=object),
+                             "df": pd.Series([], dtype="int64")})
+    df = pa.concat_tables(parts).to_pandas()
+    return df.rename(columns={"c": "df"})
+
+
+def remove_common_units(docs_ds, sep: str = "\n",
+                        min_doc_frac: float = 0.5,
+                        min_docs: int | None = None,
+                        max_units: int = 2_000_000,
+                        pin_threshold: int = 2_000_000):
+    """documents → (doc_id, text_clean, n_removed) Dataset: drop every
+    unit (line/word/…) that appears in ≥ ``min_docs`` distinct documents
+    (default ``ceil(min_doc_frac × ndocs)``), reassembling the survivors
+    in their original order.
+
+    The common-unit set is broadcast once (`ray.put`); the filter +
+    rejoin runs as vectorized polars list kernels inside a stateless
+    zero-copy map — no per-doc Python loop.  If the common set exceeds
+    ``max_units`` the least-frequent overflow is kept (NOT removed) and
+    logged loudly: semantics degrade to "remove the max_units most
+    boilerplate units", never to silent corruption."""
+    import ray
+
+    ndocs = docs_ds.count()
+    if ndocs == 0:
+        return docs_ds
+    # pin small corpora so the df pass and the clean pass share blocks;
+    # past the threshold both passes stream the source independently
+    # (the minhash/wordgram pin/stream contract)
+    if ndocs <= pin_threshold:
+        docs_ds = docs_ds.materialize()
+    if min_docs is None:
+        min_docs = int(np.ceil(min_doc_frac * ndocs))
+    dfm = _unit_df_map(docs_ds, sep, min_df=min_docs)
+    common = dfm.loc[dfm["df"] >= min_docs]
+    if len(common) > max_units:
+        logger.warning(
+            "common-unit set %d > max_units %d — keeping only the "
+            "most frequent %d (overflow units stay in the corpus)",
+            len(common), max_units, max_units)
+        common = common.nlargest(max_units, "df")
+    cref = ray.put(common["u"].to_numpy(object).tolist())
+
+    def _clean(df: pd.DataFrame) -> pd.DataFrame:
+        pl = _pl()
+        cset = ray.get(cref)
+        d = pl.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "ws": pd.Series(df["text"]).fillna("").astype(str)
+            .str.split(sep).to_list()})
+        d = d.with_columns(kept=pl.col("ws").list.eval(
+            pl.element().filter(~pl.element().is_in(cset))))
+        d = d.with_columns(
+            text_clean=pl.col("kept").list.join(sep),
+            n_removed=(pl.col("ws").list.len()
+                       - pl.col("kept").list.len()).cast(pl.Int64))
+        return d.select(["doc_id", "text_clean", "n_removed"]).to_pandas()
+
+    return docs_ds.map_batches(_clean, batch_format="pandas")
+
+
+def chunk_documents(docs_ds, size: int = 100, stride: int = 80):
+    """documents → (doc_id, chunk_idx, chunk) Dataset: fixed-width
+    character chunks of ``size`` every ``stride`` characters
+    (overlap = size - stride).  A doc yields ceil(max(len, 1)/stride)
+    chunks, so empty docs emit one empty chunk — mirroring the SQL twin
+    ``substr(text, chunk_idx*stride+1, size)`` over
+    ``range(0, ceil(greatest(length(text),1)/stride))``.
+
+    Positions are Unicode code points on both sides (polars str.slice
+    and DuckDB substr agree); the explode is repeat/arange + one polars
+    expression-offset slice — no per-chunk Python loop."""
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+
+    def _chunks(df: pd.DataFrame) -> pd.DataFrame:
+        pl = _pl()
+        if not len(df):
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "chunk_idx": pd.Series([], dtype="int64"),
+                "chunk": pd.Series([], dtype=object)})
+        txt = pd.Series(df["text"]).fillna("").astype(str)
+        L = txt.str.len().to_numpy(np.int64)
+        n = -(-np.maximum(L, 1) // stride)
+        total = int(n.sum())
+        idx = (np.arange(total, dtype=np.int64)
+               - np.repeat(np.r_[np.int64(0), np.cumsum(n[:-1])], n))
+        d = pl.DataFrame({
+            "doc_id": np.repeat(df["doc_id"].to_numpy(), n),
+            "text": txt.to_numpy(object).repeat(n),
+            "chunk_idx": idx})
+        d = d.with_columns(chunk=pl.col("text").str.slice(
+            pl.col("chunk_idx") * stride, size)).drop("text")
+        return d.to_pandas()
+
+    return docs_ds.map_batches(_chunks, batch_format="pandas")

@@ -2419,6 +2419,57 @@ def d_wordgram_pairs(sf_dir):
     return df
 
 
+_REDACT_PATTERNS = (
+    # the synthetic corpus is word-soup (no emails/digits), so the driver
+    # query scrubs fixture-present TERMS; the library default is the real
+    # PII set (curation.PII_PATTERNS), exercised in tests/test_curation.py
+    ("tool", r"\bspark\b", "<TOOL>"),
+    ("entity", r"\bcustomer\b", "<ENTITY>"),
+)
+
+
+def d_redact(sf_dir):
+    """Regex scrubbing with per-pattern counts over documents —
+    value-checked (pyarrow and DuckDB share RE2, so the same pattern
+    strings run verbatim on both sides)."""
+    from ..functions.curation import redact_documents
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    df = redact_documents(ds, patterns=_REDACT_PATTERNS).to_pandas()
+    df = _i64(df, ["doc_id", "n_tool", "n_entity"])
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def d_boilerplate(sf_dir):
+    """C4-style boilerplate-unit removal over documents — value-checked.
+
+    Units are WORDS here (the fixture is single-line; real corpora use
+    sep='\\n' for line-level dedup): any word present in >= 50% of
+    documents is dropped, survivors reassembled in order.  On this
+    fixture that removes the 30-word shared vocabulary and keeps the
+    planted near-dup marker words — degenerate-looking but fully
+    deterministic, and it exercises the df map, broadcast set and
+    order-preserving reassembly end to end."""
+    from ..functions.curation import remove_common_units
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    df = remove_common_units(ds, sep=" ", min_doc_frac=0.5).to_pandas()
+    df = _i64(df, ["doc_id", "n_removed"])
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def d_chunks(sf_dir):
+    """Fixed-width overlapping chunk explode (size=100, stride=80) —
+    value-checked against substr arithmetic."""
+    from ..functions.curation import chunk_documents
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    df = chunk_documents(ds, size=100, stride=80).to_pandas()
+    df = _i64(df, ["doc_id", "chunk_idx"])
+    return (df.sort_values(["doc_id", "chunk_idx"])
+            .reset_index(drop=True))
+
+
 def d_simhash(sf_dir):
     """SimHash fingerprints over documents (rows-only)."""
     from ..functions.dedup_docs import simhash_documents
@@ -2645,6 +2696,11 @@ def build_queries() -> dict:
         "q_region_brand_revenue": q_region_brand_revenue,
         "d_lang_eval": d_lang_eval,
         "e_mode_hour": e_mode_hour,
+        # round-3 curation wave (oracle-backed; below the 50-cap this
+        # round — rotate into the window next round)
+        "d_redact": d_redact,
+        "d_boilerplate": d_boilerplate,
+        "d_chunks": d_chunks,
         # rows-only (non-SQL-expressible)
         "emb_kmeans": emb_kmeans,
         "d_top_tokens_approx": d_top_tokens_approx,
@@ -2660,7 +2716,7 @@ def build_queries() -> dict:
         "media_frames": media_frames,
     }
     first50 = list(q)[:50]
-    assert len(q) == 86 and all(n in build_oracles() for n in first50), \
+    assert len(q) == 89 and all(n in build_oracles() for n in first50), \
         "driver checks only the first 50 keys — keep them oracle-backed"
     return q
 
@@ -3018,6 +3074,45 @@ SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
        round(jac, 4) AS jaccard
 FROM j WHERE jac >= 0.5
 ORDER BY doc_a, doc_b
+""",
+        "d_redact": r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\bspark\b')) AS BIGINT)
+           AS n_tool,
+       CAST(len(regexp_extract_all(text, '\bcustomer\b')) AS BIGINT)
+           AS n_entity,
+       regexp_replace(regexp_replace(text, '\bspark\b', '<TOOL>', 'g'),
+                      '\bcustomer\b', '<ENTITY>', 'g') AS text_redacted
+FROM documents ORDER BY doc_id
+""",
+        "d_boilerplate": r"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+w AS (SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w
+      FROM d),
+common AS (
+  SELECT w FROM w GROUP BY w
+  HAVING count(DISTINCT doc_id) >=
+         CAST(ceil(0.5 * (SELECT count(*) FROM documents)) AS BIGINT)),
+kept AS (SELECT doc_id, i, w FROM w
+         WHERE w NOT IN (SELECT w FROM common)),
+agg AS (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS t,
+               count(*) AS kn
+        FROM kept GROUP BY doc_id)
+SELECT d0.doc_id, coalesce(agg.t, '') AS text_clean,
+       CAST(len(string_split(d0.text, ' ')) - coalesce(agg.kn, 0)
+            AS BIGINT) AS n_removed
+FROM documents d0 LEFT JOIN agg USING (doc_id) ORDER BY doc_id
+""",
+        "d_chunks": r"""
+WITH c AS (
+  SELECT doc_id,
+         unnest(range(0, CAST(ceil(greatest(length(text), 1) / 80.0)
+                              AS BIGINT))) AS chunk_idx,
+         text
+  FROM documents)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       substr(text, CAST(chunk_idx * 80 + 1 AS BIGINT), 100) AS chunk
+FROM c ORDER BY doc_id, chunk_idx
 """,
         "d_dup_clusters": r"""
 WITH RECURSIVE

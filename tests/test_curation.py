@@ -1,0 +1,148 @@
+"""Curation ops (functions/curation.py) vs pure-Python references."""
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from ict_log_parser_ray.functions.curation import (
+    PII_PATTERNS, chunk_documents, redact_documents, remove_common_units)
+
+
+def _docs(texts):
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+
+
+# ---------------------------------------------------------------- redact
+
+PII_TEXTS = [
+    "contact bob@example.com or alice.smith+x@mail.co.uk today",
+    "call +1 (555) 123-4567 or 555 987 6543 now",
+    "server at 10.0.0.1 and 192.168.100.255 responded",
+    "ssn 123-45-6789 leaked; also email a@b.io and ip 8.8.8.8",
+    "clean text with no sensitive content at all",
+    None,
+    "",
+]
+
+
+def test_redact_matches_python_re(ray_session):
+    got = (redact_documents(_docs(PII_TEXTS)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    for i, t in enumerate(PII_TEXTS):
+        t = t or ""
+        out = t
+        for name, pat, rep in PII_PATTERNS:
+            assert got.loc[i, f"n_{name}"] == len(re.findall(pat, t)), \
+                (i, name)
+            out = re.sub(pat, rep, out)
+        assert got.loc[i, "text_redacted"] == out, i
+
+
+def test_redact_counts_are_independent_of_order(ray_session):
+    # counts are over the ORIGINAL text: a phone inside an email's
+    # domain-ish digits must not change after email replacement
+    texts = ["mail me: x@y.com then dial 555-123-9876 ok"]
+    got = redact_documents(_docs(texts)).to_pandas()
+    assert got.loc[0, "n_email"] == 1
+    assert got.loc[0, "n_phone"] == 1
+    assert "<EMAIL>" in got.loc[0, "text_redacted"]
+    assert "<PHONE>" in got.loc[0, "text_redacted"]
+
+
+# ------------------------------------------------------- common units
+
+def _boiler_ref(texts, sep, min_docs):
+    split = [(t or "").split(sep) for t in texts]
+    df = {}
+    for ws in split:
+        for u in set(ws):
+            df[u] = df.get(u, 0) + 1
+    common = {u for u, c in df.items() if c >= min_docs}
+    out = []
+    for ws in split:
+        kept = [w for w in ws if w not in common]
+        out.append((sep.join(kept), len(ws) - len(kept)))
+    return out
+
+
+@pytest.mark.parametrize("sep", ["\n", " "])
+def test_remove_common_units_matches_reference(ray_session, sep):
+    rng = np.random.default_rng(7)
+    texts = []
+    for i in range(40):
+        units = ["shared-header"] if i % 2 == 0 else []
+        units += ["only-%d-%d" % (i, j) for j in range(rng.integers(1, 4))]
+        if i % 3 == 0:
+            units.append("footer-common")
+        texts.append(sep.join(units))
+    texts += ["shared-header", "", None]   # fully-boilerplate / empty / null
+    got = (remove_common_units(_docs(texts), sep=sep, min_docs=5)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want = _boiler_ref(texts, sep, 5)
+    for i, (clean, nrm) in enumerate(want):
+        assert got.loc[i, "text_clean"] == clean, i
+        assert got.loc[i, "n_removed"] == nrm, i
+
+
+def test_unit_df_map_sharded_path_matches_driver_finish(ray_session):
+    """driver_finish_rows=0 forces the hash-sharded distributed finish —
+    must produce the same (unit, df >= min_df) map as the driver merge."""
+    from ict_log_parser_ray.functions.curation import _unit_df_map
+
+    texts = [u for i in range(10)
+             for u in ("a b c", "a b", "a x%d" % i)] + ["", None]
+    docs = _docs(texts).materialize()
+    drv = _unit_df_map(docs, " ", min_df=2).sort_values("u")
+    shd = _unit_df_map(docs, " ", min_df=2,
+                       driver_finish_rows=0).sort_values("u")
+    drv = drv.loc[drv["df"] >= 2].reset_index(drop=True)
+    shd = shd.reset_index(drop=True)
+    pd.testing.assert_frame_equal(drv, shd)
+
+
+def test_remove_common_units_frac_threshold(ray_session):
+    texts = ["a x%d" % i for i in range(10)]   # 'a' in all 10 docs
+    got = (remove_common_units(_docs(texts), sep=" ", min_doc_frac=0.5)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert (got["text_clean"] == ["x%d" % i for i in range(10)]).all()
+    assert (got["n_removed"] == 1).all()
+
+
+# ------------------------------------------------------------- chunks
+
+def _chunk_ref(texts, size, stride):
+    out = []
+    for i, t in enumerate(texts):
+        t = t or ""
+        n = -(-max(len(t), 1) // stride)
+        for k in range(n):
+            out.append((i, k, t[k * stride:k * stride + size]))
+    return out
+
+
+@pytest.mark.parametrize("size,stride", [(100, 80), (10, 10), (8, 5)])
+def test_chunk_documents_matches_reference(ray_session, size, stride):
+    rng = np.random.default_rng(11)
+    texts = ["".join(rng.choice(list("abcdef "), rng.integers(0, 300)))
+             for _ in range(30)] + ["", None, "short"]
+    got = (chunk_documents(_docs(texts), size=size, stride=stride)
+           .to_pandas().sort_values(["doc_id", "chunk_idx"])
+           .reset_index(drop=True))
+    want = _chunk_ref(texts, size, stride)
+    assert len(got) == len(want)
+    for row, (d, k, c) in zip(got.itertuples(index=False), want):
+        assert (row.doc_id, row.chunk_idx, row.chunk) == (d, k, c)
+
+
+def test_chunk_documents_rejects_bad_params(ray_session):
+    with pytest.raises(ValueError):
+        chunk_documents(_docs(["x"]), size=0, stride=5)
+    with pytest.raises(ValueError):
+        chunk_documents(_docs(["x"]), size=5, stride=0)

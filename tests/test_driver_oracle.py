@@ -69,7 +69,7 @@ ORACLE_NAMES = [
     "e_user_chain", "q_region_brand_revenue", "d_lang_eval", "e_mode_hour",
     "d_weighted_sample", "e_reservoir_sample", "d_percentile_filter",
     "d_contamination", "q_customer_order_counts", "d_lang_mix",
-    "d_wordgram_pairs",
+    "d_wordgram_pairs", "d_redact", "d_boilerplate", "d_chunks",
 ]
 
 
