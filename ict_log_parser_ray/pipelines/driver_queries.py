@@ -2470,6 +2470,24 @@ def d_chunks(sf_dir):
             .reset_index(drop=True))
 
 
+def d_pack(sf_dir):
+    """Greedy sequence packing (docs → fixed-budget training sequences)
+    — value-checked against a recursive-CTE twin.
+
+    nparts=8 is a SEMANTIC parameter (sequences never span the
+    doc_id%8 shards), so the result is cluster-size-independent; the
+    engine's binary-lifting kernel must match the oracle's row-by-row
+    greedy recursion exactly.  Only (doc_id, n_chars) is read — the
+    text column never leaves storage."""
+    from ..functions.curation import pack_sequences
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    df = pack_sequences(ds, budget=2000, nparts=8,
+                        len_col="n_chars").to_pandas()
+    df = _i64(df, ["doc_id", "part", "seq"])
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def d_simhash(sf_dir):
     """SimHash fingerprints over documents (rows-only)."""
     from ..functions.dedup_docs import simhash_documents
@@ -2701,6 +2719,7 @@ def build_queries() -> dict:
         "d_redact": d_redact,
         "d_boilerplate": d_boilerplate,
         "d_chunks": d_chunks,
+        "d_pack": d_pack,
         # rows-only (non-SQL-expressible)
         "emb_kmeans": emb_kmeans,
         "d_top_tokens_approx": d_top_tokens_approx,
@@ -2716,7 +2735,7 @@ def build_queries() -> dict:
         "media_frames": media_frames,
     }
     first50 = list(q)[:50]
-    assert len(q) == 89 and all(n in build_oracles() for n in first50), \
+    assert len(q) == 90 and all(n in build_oracles() for n in first50), \
         "driver checks only the first 50 keys — keep them oracle-backed"
     return q
 
@@ -3113,6 +3132,25 @@ WITH c AS (
 SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
        substr(text, CAST(chunk_idx * 80 + 1 AS BIGINT), 100) AS chunk
 FROM c ORDER BY doc_id, chunk_idx
+""",
+        "d_pack": r"""
+WITH RECURSIVE
+o AS (
+  SELECT doc_id, doc_id % 8 AS part, n_chars AS len,
+         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
+             AS rn
+  FROM documents),
+r AS (
+  SELECT part, rn, doc_id, len, len AS fill, CAST(0 AS BIGINT) AS seq
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.part, o.rn, o.doc_id, o.len,
+         CASE WHEN r.fill + o.len > 2000 THEN o.len
+              ELSE r.fill + o.len END,
+         CASE WHEN r.fill + o.len > 2000 THEN r.seq + 1 ELSE r.seq END
+  FROM o JOIN r ON o.part = r.part AND o.rn = r.rn + 1)
+SELECT doc_id, CAST(part AS BIGINT) AS part, seq
+FROM r ORDER BY doc_id
 """,
         "d_dup_clusters": r"""
 WITH RECURSIVE

@@ -141,6 +141,51 @@ def test_chunk_documents_matches_reference(ray_session, size, stride):
         assert (row.doc_id, row.chunk_idx, row.chunk) == (d, k, c)
 
 
+def _pack_ref(lens, budget):
+    seq, fill, cur = [], 0, -1
+    for i, ln in enumerate(lens):
+        if i == 0 or fill + ln > budget:
+            cur += 1
+            fill = ln
+        else:
+            fill += ln
+        seq.append(cur)
+    return seq
+
+
+@pytest.mark.parametrize("budget", [1, 7, 50, 10_000])
+def test_greedy_pack_indices_matches_loop_reference(ray_session, budget):
+    from ict_log_parser_ray.functions.curation import greedy_pack_indices
+
+    rng = np.random.default_rng(3)
+    for n in [0, 1, 2, 17, 1000]:
+        lens = rng.integers(0, 30, n)
+        got = greedy_pack_indices(lens, budget)
+        assert got.tolist() == _pack_ref(lens.tolist(), budget), (n, budget)
+    # over-budget items own their sequence; zero-length rides along
+    lens = [5, 100, 0, 3, 100, 100, 1]
+    assert (greedy_pack_indices(np.array(lens), 10).tolist()
+            == _pack_ref(lens, 10))
+
+
+def test_pack_sequences_matches_per_part_reference(ray_session):
+    from ict_log_parser_ray.functions.curation import pack_sequences
+
+    rng = np.random.default_rng(5)
+    n = 500
+    lens = rng.integers(0, 400, n).astype("int64")
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "n_chars": pa.array(lens, pa.int64())}))
+    got = (pack_sequences(docs, budget=700, nparts=4, len_col="n_chars")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert (got["part"] == got["doc_id"] % 4).all()
+    for p in range(4):
+        sub = got.loc[got["part"] == p].sort_values("doc_id")
+        want = _pack_ref(lens[sub["doc_id"].to_numpy()].tolist(), 700)
+        assert sub["seq"].tolist() == want, p
+
+
 def test_chunk_documents_rejects_bad_params(ray_session):
     with pytest.raises(ValueError):
         chunk_documents(_docs(["x"]), size=0, stride=5)
