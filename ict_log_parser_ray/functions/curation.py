@@ -240,6 +240,61 @@ def remove_common_units(docs_ds, sep: str = "\n",
     return docs_ds.map_batches(_clean, batch_format="pandas")
 
 
+def repetition_stats(docs_ds, sep: str = " "):
+    """documents → per-doc repetition metrics (doc_id, n_words,
+    n_distinct, n_2grams, top2_count, keep) — the Gopher-style
+    repetition quality filters (Rae et al. 2021 §A1.1: duplicate-word
+    fraction, most-common-2-gram fraction).
+
+    All outputs are INTEGERS (counts + an integer-arithmetic keep flag:
+    dup_word_frac <= 0.3 as (nw-nd)*10 <= 3*nw, top-2-gram frac <= 0.2
+    as top2*5 <= n_2grams) — never a rounded float ratio, because
+    round-half tie-breaking differs between numpy (banker's) and SQL
+    (half away from zero) and a nw=32 doc genuinely hits the tie
+    (see the tfidf integer-score lesson).  Docs with < 2 words have
+    n_2grams = 0 and pass the 2-gram rule vacuously.
+
+    Purely per-batch (a doc's words never leave its block): one
+    split + two pandas C groupbys, no shuffle."""
+
+    def _rep(df: pd.DataFrame) -> pd.DataFrame:
+        s = pd.Series(df["text"]).fillna("").astype(str).str.split(sep)
+        m = len(s)
+        lens = (s.str.len().to_numpy(np.int64) if m
+                else np.empty(0, np.int64))
+        out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy()})
+        if m == 0 or lens.sum() == 0:
+            for c in ("n_words", "n_distinct", "n_2grams",
+                      "top2_count", "keep"):
+                out[c] = np.zeros(m, np.int64)
+            return out
+        doc = np.repeat(np.arange(m, dtype=np.int64), lens)
+        words = np.concatenate([np.asarray(w, dtype=object) for w in s])
+        pdf = pd.DataFrame({"d": doc, "w": words})
+        nd = (pdf.groupby("d", sort=False)["w"].nunique()
+              .reindex(range(m), fill_value=0).to_numpy(np.int64))
+        same = doc[1:] == doc[:-1]
+        n2g = np.maximum(lens - 1, 0)
+        top2 = np.zeros(m, np.int64)
+        if same.any():
+            big = pd.DataFrame({"d": doc[:-1][same],
+                                "a": words[:-1][same],
+                                "b": words[1:][same]})
+            mx = (big.groupby(["d", "a", "b"], sort=False).size()
+                  .groupby(level=0).max())
+            top2[mx.index.to_numpy(np.int64)] = mx.to_numpy(np.int64)
+        keep = (((lens - nd) * 10 <= 3 * lens)
+                & (top2 * 5 <= n2g)).astype(np.int64)
+        out["n_words"] = lens
+        out["n_distinct"] = nd
+        out["n_2grams"] = n2g
+        out["top2_count"] = top2
+        out["keep"] = keep
+        return out
+
+    return docs_ds.map_batches(_rep, batch_format="pandas")
+
+
 def greedy_pack_indices(lens: np.ndarray, budget: int) -> np.ndarray:
     """Exact greedy first-fit-in-order sequence index per item —
     VECTORIZED (binary lifting), no per-item Python loop.

@@ -2488,6 +2488,19 @@ def d_pack(sf_dir):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def d_repetition(sf_dir):
+    """Gopher-style repetition quality metrics per document —
+    value-checked (all-integer outputs; see repetition_stats for why
+    no float ratio crosses the engine boundary)."""
+    from ..functions.curation import repetition_stats
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    df = repetition_stats(ds).to_pandas()
+    df = _i64(df, ["doc_id", "n_words", "n_distinct", "n_2grams",
+                   "top2_count", "keep"])
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def d_simhash(sf_dir):
     """SimHash fingerprints over documents (rows-only)."""
     from ..functions.dedup_docs import simhash_documents
@@ -2720,6 +2733,7 @@ def build_queries() -> dict:
         "d_boilerplate": d_boilerplate,
         "d_chunks": d_chunks,
         "d_pack": d_pack,
+        "d_repetition": d_repetition,
         # rows-only (non-SQL-expressible)
         "emb_kmeans": emb_kmeans,
         "d_top_tokens_approx": d_top_tokens_approx,
@@ -2735,7 +2749,7 @@ def build_queries() -> dict:
         "media_frames": media_frames,
     }
     first50 = list(q)[:50]
-    assert len(q) == 90 and all(n in build_oracles() for n in first50), \
+    assert len(q) == 91 and all(n in build_oracles() for n in first50), \
         "driver checks only the first 50 keys — keep them oracle-backed"
     return q
 
@@ -3132,6 +3146,26 @@ WITH c AS (
 SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
        substr(text, CAST(chunk_idx * 80 + 1 AS BIGINT), 100) AS chunk
 FROM c ORDER BY doc_id, chunk_idx
+""",
+        "d_repetition": r"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+w AS (SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w
+      FROM d),
+base AS (SELECT doc_id, count(*) AS nw, count(DISTINCT w) AS nd
+         FROM w GROUP BY doc_id),
+bi AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+       FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+bc AS (SELECT doc_id, w1, w2, count(*) AS c FROM bi GROUP BY 1, 2, 3),
+t2 AS (SELECT doc_id, max(c) AS top2 FROM bc GROUP BY doc_id)
+SELECT base.doc_id,
+       CAST(nw AS BIGINT) AS n_words,
+       CAST(nd AS BIGINT) AS n_distinct,
+       CAST(greatest(nw - 1, 0) AS BIGINT) AS n_2grams,
+       CAST(coalesce(top2, 0) AS BIGINT) AS top2_count,
+       CAST(CASE WHEN (nw - nd) * 10 <= 3 * nw
+                  AND coalesce(top2, 0) * 5 <= greatest(nw - 1, 0)
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM base LEFT JOIN t2 USING (doc_id) ORDER BY doc_id
 """,
         "d_pack": r"""
 WITH RECURSIVE

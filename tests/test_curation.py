@@ -186,6 +186,40 @@ def test_pack_sequences_matches_per_part_reference(ray_session):
         assert sub["seq"].tolist() == want, p
 
 
+def _rep_ref(texts):
+    out = []
+    for t in texts:
+        ws = (t or "").split(" ")
+        nw, nd = len(ws), len(set(ws))
+        bigrams = list(zip(ws, ws[1:]))
+        n2g = max(nw - 1, 0)
+        top2 = max([bigrams.count(b) for b in set(bigrams)], default=0)
+        keep = int((nw - nd) * 10 <= 3 * nw and top2 * 5 <= n2g)
+        out.append((nw, nd, n2g, top2, keep))
+    return out
+
+
+def test_repetition_stats_matches_reference(ray_session):
+    from ict_log_parser_ray.functions.curation import repetition_stats
+
+    texts = [
+        "a b c d e f g h",                 # clean → keep
+        "spam spam spam spam spam",        # dup words + dominant 2gram
+        "x y x y x y x y x y",             # all-distinct-fail? nd=2
+        "one two three two one four five six seven eight nine ten",
+        "solo",                            # single word
+        "", None,                          # empty / null
+        " ".join("w%d" % (i % 32) for i in range(32)),  # nw=32 tie shape
+    ]
+    got = (repetition_stats(_docs(texts)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    for i, (nw, nd, n2g, top2, keep) in enumerate(_rep_ref(texts)):
+        row = got.iloc[i]
+        assert (row["n_words"], row["n_distinct"], row["n_2grams"],
+                row["top2_count"], row["keep"]) == (nw, nd, n2g, top2,
+                                                    keep), i
+
+
 def test_chunk_documents_rejects_bad_params(ray_session):
     with pytest.raises(ValueError):
         chunk_documents(_docs(["x"]), size=0, stride=5)
