@@ -2740,20 +2740,25 @@ def build_queries() -> dict:
         "q_customer_order_counts": q_customer_order_counts,
         "d_lang_mix": d_lang_mix,
         "d_wordgram_pairs": d_wordgram_pairs,
-        # slots 45-50: a diverse already-green set (one per operator
-        # family) keeps the flagship + join + rollup + tfidf paths under
-        # continuous external check (e_hourly/e_user_first_last/
-        # e_daily_active/e_funnel rotated below the cap — green in r02,
-        # still value-checked in-repo)
+        # slots 44-50: the round-3 curation wave takes its first external
+        # green rows; the previous occupants (q1_lineitem,
+        # q_priority_revenue, q_anti_bloom_big, q_cube_revenue,
+        # e_value_corr) were already driver-green in CORRECTNESS_r02 and
+        # rotate below the cap, still value-checked in-repo
+        "d_redact": d_redact,
+        "d_boilerplate": d_boilerplate,
+        "d_chunks": d_chunks,
+        "d_pack": d_pack,
+        "d_repetition": d_repetition,
+        # --------------------- past the driver's 50-cap -------------------
+        # (all still value-checked in-repo by tests/test_driver_oracle.py;
+        # d_tfidf_top_terms + the slot-44-50 r02-green set rotated below
+        # the cap for the never-externally-checked round-3 queries)
         "q1_lineitem": q1_lineitem,
         "q_priority_revenue": q_priority_revenue,
         "q_anti_bloom_big": q_anti_bloom_big,
         "q_cube_revenue": q_cube_revenue,
         "e_value_corr": e_value_corr,
-        # --------------------- past the driver's 50-cap -------------------
-        # (all still value-checked in-repo by tests/test_driver_oracle.py;
-        # d_tfidf_top_terms rotated below the cap for d_wordgram_pairs —
-        # green in r02, still value-checked in-repo)
         "d_tfidf_top_terms": d_tfidf_top_terms,
         "e_hourly": e_hourly,
         "e_user_first_last": e_user_first_last,
@@ -2778,13 +2783,8 @@ def build_queries() -> dict:
         "q_region_brand_revenue": q_region_brand_revenue,
         "d_lang_eval": d_lang_eval,
         "e_mode_hour": e_mode_hour,
-        # round-3 curation wave (oracle-backed; below the 50-cap this
-        # round — rotate into the window next round)
-        "d_redact": d_redact,
-        "d_boilerplate": d_boilerplate,
-        "d_chunks": d_chunks,
-        "d_pack": d_pack,
-        "d_repetition": d_repetition,
+        # round-3 curation-wave remainder (oracle-backed; below the
+        # 50-cap — rotate into the window next round)
         "d_dedup_best": d_dedup_best,
         # rows-only (non-SQL-expressible)
         "emb_kmeans": emb_kmeans,
