@@ -121,12 +121,13 @@ def run_queries(sf_dir: str) -> dict:
     # the round-2 additions showcase the LSH dedup path (5× faster this
     # round) and the multi-level aggregate; the round-3 tail adds the
     # decontamination scan, the language-mix sampler (new
-    # training-data-curation families) and the exact prefix-filter
+    # training-data-curation families), the exact prefix-filter
     # word-n-gram Jaccard join (the dedup family's non-probabilistic
-    # member)
+    # member), and the curation wave's scrubber + sequence packer
     names = ["e_hourly", "e_pareto", "q1_lineitem", "d_token_counts",
              "emb_knn", "d_simhash", "d_minhash_pairs", "q_cube_revenue",
-             "d_contamination", "d_lang_mix", "d_wordgram_pairs"]
+             "d_contamination", "d_lang_mix", "d_wordgram_pairs",
+             "d_redact", "d_pack"]
     out = {}
     qmap = dq.build_queries()
     for n in names:
