@@ -41,6 +41,31 @@ def shaped_tables(refs_or_ds, required_col: str) -> list[pa.Table]:
             if isinstance(t, pa.Table) and required_col in t.schema.names]
 
 
+def split_arrow_ds(df, min_rows_per_block: int = 8):
+    """Driver-collected DataFrame → multi-block ARROW Dataset.
+
+    Two measured traps motivate this helper (see CLAUDE.md):
+    - a single ``from_pandas`` block SERIALIZES all downstream per-block
+      work into one task (the minhash-verify lesson), so split into up
+      to 2×CPU blocks but keep ≥ ``min_rows_per_block`` rows per block
+      (tiny blocks pay more task scheduling than compute);
+    - PANDAS blocks feeding Ray's native ``Dataset.join`` break when two
+      joins chain lazily (HashShuffleAggregator.finalize raises
+      ArrowInvalid "No match or multiple matches for key field" — Ray
+      2.49.2, reproduced minimally), so emit ARROW blocks.
+    """
+    import ray
+    import ray.data as rd
+    import numpy as np
+
+    ncpu = int(ray.available_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    nblk = max(1, min(2 * ncpu, -(-len(df) // min_rows_per_block)))
+    return rd.from_arrow(
+        [pa.Table.from_pandas(part, preserve_index=False)
+         for part in np.array_split(df, nblk)])
+
+
 def concat_shaped(refs_or_ds, required_col: str,
                   empty_schema: "pa.Schema | None" = None) -> pa.Table:
     """Concat of the shaped blocks; on a fully-empty input returns

@@ -422,15 +422,10 @@ def _dedup_pairs(cands, collect_threshold: int = 5_000_000):
                        ("doc_b", tbl.schema.field("doc_b").type
                         if tbl.num_columns else pa.int64())])
             .empty_table())
-    # split into multiple blocks — a single from_pandas block would
-    # SERIALIZE the downstream Jaccard verify into one task (measured
-    # 7.7 s of a 13.7 s run at sf0.1 before this) — but keep ≥8 pairs
-    # per block: 64 four-pair verify tasks paid more scheduling than
-    # verify compute
-    ncpu = int(ray.available_resources().get("CPU", 8)) \
-        if ray.is_initialized() else 8
-    nblk = max(1, min(2 * ncpu, -(-len(df) // 8)))
-    return rd.from_pandas(np.array_split(df, nblk))
+    # multi-block ARROW split — single-block serializes the verify,
+    # pandas blocks break chained lazy Dataset.join (see split_arrow_ds)
+    from ..blocks import split_arrow_ds
+    return split_arrow_ds(df)
 
 
 def _dedup_pairs_posfilt(cands, threshold: float,
@@ -482,10 +477,8 @@ def _dedup_pairs_posfilt(cands, threshold: float,
     df = (df.groupby(["doc_a", "doc_b"], sort=False, as_index=False)
           .min())
     df = _posfilter(df).reset_index(drop=True)
-    ncpu = int(ray.available_resources().get("CPU", 8)) \
-        if ray.is_initialized() else 8
-    nblk = max(1, min(2 * ncpu, -(-len(df) // 8)))
-    return rd.from_pandas(np.array_split(df, nblk))
+    from ..blocks import split_arrow_ds
+    return split_arrow_ds(df)
 
 
 def minhash_duplicate_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
@@ -1131,8 +1124,8 @@ def simhash_candidate_pairs(docs_ds, max_hamming: int = 3,
         if not len(df):
             return rd.from_arrow(_sh_schema.empty_table())
         # ≥8 rows per block (the minhash verify scheduling lesson)
-        nblk = max(1, min(2 * ncpu, -(-len(df) // 8)))
-        return rd.from_pandas(np.array_split(df, nblk))
+        from ..blocks import split_arrow_ds
+        return split_arrow_ds(df)
     from ray.data.aggregate import Min
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(
         Min("hamming", alias_name="hamming"))

@@ -2323,17 +2323,14 @@ def _minhash_pairs_df(sf_dir):
 
 
 def _pairs_ds(df):
-    """Pair DataFrame → multi-block Dataset (a single from_pandas block
-    would serialize downstream per-block work — the measured minhash
-    verify trap; ≥8 rows per block — 64 four-row blocks paid more task
-    scheduling than compute, the dedup_docs verify lesson)."""
-    import ray
+    """Pair DataFrame → multi-block ARROW Dataset (single-block would
+    serialize downstream per-block work; pandas blocks break chained
+    lazy Dataset.join — see blocks.split_arrow_ds)."""
     import ray.data as rd
 
-    ncpu = int(ray.available_resources().get("CPU", 8)) \
-        if ray.is_initialized() else 8
-    nblk = max(1, min(2 * ncpu, -(-len(df) // 8)))
-    return rd.from_pandas(np.array_split(df, nblk)) if len(df) else \
+    from ..blocks import split_arrow_ds
+
+    return split_arrow_ds(df) if len(df) else \
         rd.from_arrow(pa.schema([("doc_a", pa.int64()),
                                  ("doc_b", pa.int64()),
                                  ("jaccard", pa.float64())]).empty_table())

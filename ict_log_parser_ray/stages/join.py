@@ -183,5 +183,29 @@ def attach_lookup(left_ds, right_ds, on: str, broadcast_threshold: int = 2_000_0
     ncpu = int(ray.available_resources().get("CPU", 8)) \
         if ray.is_initialized() else 8
     nparts = max(2, min(num_partitions, 2 * ncpu))
-    return left_ds.join(right, "left_outer", num_partitions=nparts,
-                        on=(on,))
+    joined = left_ds.join(right, "left_outer", num_partitions=nparts,
+                          on=(on,))
+    # Ray's join emits a ZERO-COLUMN block for any partition that received
+    # no shard on either side (JoinAggregator.finalize builds from an
+    # empty ArrowBlockBuilder).  Feeding such a block into a SECOND join
+    # crashes its finalize (acero: "No match or multiple matches for key
+    # field ... on left side") — and since nparts tracks *available* CPUs,
+    # whether an unhit partition exists varies run to run (flaky under a
+    # busy session).  The join is a full barrier anyway (aggregators hold
+    # every partition until finalize), so materializing costs no extra
+    # memory high-water: drop the colless empties and re-wrap.
+    import ray.data as rd
+
+    refs = joined.materialize().to_arrow_refs()
+
+    @ray.remote
+    def _has_cols(t: pa.Table) -> bool:
+        return isinstance(t, pa.Table) and t.num_columns > 0
+
+    keep = [r for r, ok in
+            zip(refs, ray.get([_has_cols.remote(r) for r in refs])) if ok]
+    if keep:
+        return rd.from_arrow_refs(keep)
+    if empty_schema is not None:
+        return rd.from_arrow(empty_schema.empty_table())
+    return joined

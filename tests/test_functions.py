@@ -500,6 +500,38 @@ def test_lookup_indices_matches_index_in_and_survives_collisions(monkeypatch):
     assert got2.equals(expected)
 
 
+def test_chained_hash_join_attach_no_empty_partition_crash(ray_session):
+    """Two CHAINED attach_lookup hash joins (broadcast_threshold=0) over a
+    key set far smaller than num_partitions: Ray's JoinAggregator emits a
+    ZERO-COLUMN block for any partition no shard hashed to, and feeding
+    that into the second join crashed its finalize (acero "No match or
+    multiple matches for key field").  attach_lookup now materializes and
+    drops colless empties — this pins the chained shape directly (the
+    wordgram/minhash big-corpus verify path)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ict_log_parser_ray.stages.join import attach_lookup
+
+    pairs = pa.table({"doc_a": pa.array([0, 0, 1], pa.int64()),
+                      "doc_b": pa.array([1, 2, 2], pa.int64())})
+    a_side = rd.from_arrow(pa.table({"doc_a": pa.array([0, 1], pa.int64()),
+                                     "text_a": pa.array(["x", "y"])}))
+    b_side = rd.from_arrow(pa.table({"doc_b": pa.array([1, 2], pa.int64()),
+                                     "text_b": pa.array(["y", "z"])}))
+    out = attach_lookup(
+        attach_lookup(rd.from_arrow(pairs), a_side, on="doc_a",
+                      broadcast_threshold=0, num_partitions=64),
+        b_side, on="doc_b", broadcast_threshold=0,
+        num_partitions=64).to_pandas().sort_values(
+            ["doc_a", "doc_b"]).reset_index(drop=True)
+    expect = pd.DataFrame({"doc_a": [0, 0, 1], "doc_b": [1, 2, 2],
+                           "text_a": ["x", "x", "y"],
+                           "text_b": ["y", "z", "z"]})
+    pd.testing.assert_frame_equal(
+        out[["doc_a", "doc_b", "text_a", "text_b"]], expect)
+
+
 def test_histogram_quantiles_matches_duckdb_semantics(ray_session):
     import duckdb
     import numpy as np
