@@ -15,6 +15,21 @@ from __future__ import annotations
 import pyarrow as pa
 
 
+def ncpus(default: int = 8) -> int:
+    """Total cluster CPUs — ``cluster_resources()``, NOT
+    ``available_resources()``: the available figure fluctuates with
+    in-flight work, so task/partition counts derived from it changed
+    from run to run (measured: the chained-join unhit-partition
+    flakiness came and went with transient load).  Work SHAPES must be
+    deterministic per session — size from total capacity and let Ray
+    queue the excess."""
+    import ray
+
+    if not ray.is_initialized():
+        return default
+    return int(ray.cluster_resources().get("CPU", default)) or default
+
+
 def arrow_refs(ds) -> list:
     """``to_arrow_refs()`` without the lazy-Dataset DOUBLE EXECUTION:
     calling ``to_arrow_refs()`` on a lazy Dataset executes the plan and
@@ -58,8 +73,7 @@ def split_arrow_ds(df, min_rows_per_block: int = 8):
     import ray.data as rd
     import numpy as np
 
-    ncpu = int(ray.available_resources().get("CPU", 8)) \
-        if ray.is_initialized() else 8
+    ncpu = ncpus()
     nblk = max(1, min(2 * ncpu, -(-len(df) // min_rows_per_block)))
     return rd.from_arrow(
         [pa.Table.from_pandas(part, preserve_index=False)

@@ -26,6 +26,7 @@ common-unit set (bounded by ``max_units``, loudly logged if hit).
 """
 
 from __future__ import annotations
+from ..blocks import ncpus as _ncpus
 
 import logging
 import os
@@ -149,8 +150,7 @@ def _unit_df_map(docs_ds, sep: str, min_df: int = 1,
     # sharded finish: hash-partition partial rows by unit into ~2×CPU
     # tasks, sum within each — mirrors _common_gram_df's fallback; the
     # partials stay in the object store (only each task's shard moves)
-    ncpu = int(ray.available_resources().get("CPU", 8)) \
-        if ray.is_initialized() else 8
+    ncpu = _ncpus()
     nparts = int(min(max(8, -(-total // 200_000)), 2 * ncpu, 64))
 
     @ray.remote

@@ -29,6 +29,7 @@ witness set and says so in the log.
 """
 
 from __future__ import annotations
+from ..blocks import ncpus as _ncpus
 
 import logging
 
@@ -347,8 +348,7 @@ def _partitioned_pairs(exploded_ds, key_col: str, cap: int, what: str,
 
     exploded_ds = exploded_ds.materialize()
     erefs = exploded_ds.to_arrow_refs()
-    ncpu = int(ray.available_resources().get("CPU", 8)) \
-        if ray.is_initialized() else 8
+    ncpu = _ncpus()
     nparts = max(8, min(2 * ncpu, 64))
     _pair_schema = (_POSPAIR_SCHEMA if lens_col is not None else
                     pa.schema([("doc_a", pa.int64()),
@@ -714,8 +714,7 @@ def _common_gram_df(docs_ds, n: int, max_common: int = 4_000_000,
                                     batch_format="pandas").materialize()
         prefs = parts.to_arrow_refs()
 
-    ncpu = int(ray.available_resources().get("CPU", 8)) \
-        if ray.is_initialized() else 8
+    ncpu = _ncpus()
     _df_schema = pa.schema([("g", pa.int64()), ("df", pa.int32())])
 
     sizes = ray.get([_get_psize().remote(r) for r in prefs])
@@ -1072,8 +1071,7 @@ def simhash_candidate_pairs(docs_ds, max_hamming: int = 3,
         hashed.map_batches(explode, batch_format="pandas"), "band_key")
     exploded = exploded.materialize()
     erefs = exploded.to_arrow_refs()
-    ncpu = int(ray.available_resources().get("CPU", 8)) \
-        if ray.is_initialized() else 8
+    ncpu = _ncpus()
     nparts = max(8, min(2 * ncpu, 64))
     _sh_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
                             ("hamming", pa.int64())])

@@ -16,6 +16,7 @@ and pinned by the e2e oracle test.
 """
 
 from __future__ import annotations
+from ..blocks import ncpus as _ncpus
 
 import math
 
@@ -71,8 +72,7 @@ def grouped_quantiles_partitioned(ds, key: str, val: str,
     so the oracle comparison is exact — no float arithmetic).  Nulls in
     ``val`` are excluded, mirroring SQL aggregate semantics."""
     if nparts is None:
-        ncpu = int(ray.available_resources().get("CPU", 8)) \
-            if ray.is_initialized() else 8
+        ncpu = _ncpus()
         nparts = max(4, min(ncpu, 32))
 
     def tag(b: pa.Table) -> pa.Table:

@@ -29,6 +29,7 @@ multiplier) without the transcendental.  Ties: score desc, token asc.
 """
 
 from __future__ import annotations
+from ..blocks import ncpus as _ncpus
 
 import numpy as np
 import pandas as pd
@@ -176,8 +177,7 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
                for r in refs]
         return rd.from_arrow_refs(out)
     if nparts is None:
-        ncpu = int(ray.available_resources().get("CPU", 8)) \
-            if ray.is_initialized() else 8
+        ncpu = _ncpus()
         nparts = max(8, min(4 * ncpu, 128))
     df_shards = [_df_shard.remote(p, nparts, part_refs)
                  for p in range(nparts)]

@@ -20,6 +20,7 @@ O(nparts × k) regardless of vocabulary size.
 """
 
 from __future__ import annotations
+from ..blocks import ncpus as _ncpus
 
 import numpy as np
 import pandas as pd
@@ -55,8 +56,7 @@ def top_tokens(ds, text_col: str, k: int = 20,
     """Exact global top-``k`` whitespace tokens by count, ties broken by
     token ascending.  Returns the small (k-row) result as pandas."""
     if nparts is None:
-        ncpu = int(ray.available_resources().get("CPU", 8)) \
-            if ray.is_initialized() else 8
+        ncpu = _ncpus()
         nparts = max(4, min(ncpu, 32))
 
     def partial(df: pd.DataFrame) -> pa.Table:

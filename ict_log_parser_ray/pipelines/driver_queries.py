@@ -16,6 +16,7 @@ int64; floats only where the computation is order-independent or rounded).
 """
 
 from __future__ import annotations
+from ..blocks import ncpus as _ncpus
 
 import numpy as np
 import pandas as pd
@@ -50,10 +51,7 @@ def _agg_nparts() -> int:
     proportional with a floor — each partition task's shard must stay
     memory-bounded at scale, and more partitions than CPUs is fine (they
     queue), so err upward on a big cluster."""
-    import ray as _ray
-
-    ncpu = int(_ray.available_resources().get("CPU", 8)) \
-        if _ray.is_initialized() else 8
+    ncpu = _ncpus()
     return max(16, min(2 * ncpu, 256))
 
 
@@ -1579,8 +1577,7 @@ def q_priority_revenue(sf_dir):
                     columns=["l_orderkey", "l_extendedprice", "l_discount"])
     orders = read_table(sf_dir, "orders",
                         columns=["o_orderkey", "o_orderpriority"])
-    ncpu = int(ray.available_resources().get("CPU", 8)) \
-        if ray.is_initialized() else 8
+    ncpu = _ncpus()
     # each shuffle partition is an aggregator actor: measured at sf0.1 /
     # 32 CPUs, 16 partitions = 7.0 s vs 64 partitions = 25.6 s (the actor
     # spawn + per-partition fixed cost dominates at single-node scale).

@@ -10,6 +10,7 @@ routing and every aggregate.
 """
 
 from __future__ import annotations
+from ..blocks import ncpus as _ncpus
 
 import os
 
@@ -125,9 +126,7 @@ def build(transcripts_path, tool_meta: pa.Table | None = None,
     # tasks, and 128 pinned blocks made every downstream stage pay 4×
     # the task scheduling — interleaved A/B at sf0.1/32 CPUs: 1.7-2.0 s
     # vs 2.2-2.4 s full-pipeline wall.
-    import ray as _ray
-    ncpu = int(_ray.available_resources().get("CPU", 8)) \
-        if _ray.is_initialized() else 8
+    ncpu = _ncpus()
     num_blocks = max(32, ncpu)
     raw = read_transcripts(transcripts_path, override_num_blocks=num_blocks)
     if dedup and not materialize_intermediates:

@@ -38,6 +38,7 @@ the distributed fallbacks, or the manifest-sharded run.
 """
 
 from __future__ import annotations
+from ..blocks import ncpus as _ncpus
 
 import io
 import os
@@ -330,8 +331,7 @@ def run_streaming(transcripts_path, tool_meta: pa.Table | None, out_dir: str,
         return _time.time()
 
     _t = _time.time()
-    ncpu = int(ray.available_resources().get("CPU", 8)) \
-        if ray.is_initialized() else 8
+    ncpu = _ncpus()
     if num_blocks is None:
         num_blocks = max(64, ncpu * 4)
     # each reduce task scans every narrow block and filters its partition,

@@ -22,6 +22,7 @@ pos_i = (h1 + i·h2) mod nbits — pure numpy, no per-row Python.
 """
 
 from __future__ import annotations
+from ..blocks import ncpus as _ncpus
 
 import numpy as np
 import pyarrow as pa
@@ -251,8 +252,7 @@ def bloom_anti_join_partitioned(left_ds, right_ds, left_on: str,
     from .join import lookup_indices
 
     if nparts is None:
-        ncpu = int(ray.available_resources().get("CPU", 8)) \
-            if ray.is_initialized() else 8
+        ncpu = _ncpus()
         nparts = max(4, min(ncpu, 32))
 
     right_mat = right_ds.select_columns([right_on]).materialize()
@@ -345,8 +345,7 @@ def bloom_semi_join_partitioned(left_ds, right_ds, left_on: str,
     memory is bounded by shard size, not key count.  Exact output; rows
     with null join keys drop (semi-join semantics)."""
     if nparts is None:
-        ncpu = int(ray.available_resources().get("CPU", 8)) \
-            if ray.is_initialized() else 8
+        ncpu = _ncpus()
         nparts = max(4, min(ncpu, 32))
 
     right_mat = right_ds.select_columns([right_on]).materialize()

@@ -17,6 +17,7 @@ Left-outer semantics in both paths: unmatched left keys get nulls.
 """
 
 from __future__ import annotations
+from ..blocks import ncpus as _ncpus
 
 import os
 
@@ -180,8 +181,7 @@ def attach_lookup(left_ds, right_ds, on: str, broadcast_threshold: int = 2_000_0
     # task wait forever.  Cap at 2×CPU so one join reserves ≤ 1/4 of the
     # cluster; at real scale num_partitions should grow with DATA and the
     # cap (2×CPUs across the cluster) is far above any requested value.
-    ncpu = int(ray.available_resources().get("CPU", 8)) \
-        if ray.is_initialized() else 8
+    ncpu = _ncpus()
     nparts = max(2, min(num_partitions, 2 * ncpu))
     joined = left_ds.join(right, "left_outer", num_partitions=nparts,
                           on=(on,))

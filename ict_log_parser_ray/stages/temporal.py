@@ -29,6 +29,7 @@ range join, windowed aggregate"): implemented as compositions of
 """
 
 from __future__ import annotations
+from ..blocks import ncpus as _ncpus
 
 import numpy as np
 import pandas as pd
@@ -165,8 +166,7 @@ def asof_join_partitioned(left_ds, right_ds, by: str, on: str,
     partition-task shape as the streaming flagship's rank finish; at
     cluster scale the scan-and-filter becomes a real hash shuffle."""
     if nparts is None:
-        ncpu = int(ray.available_resources().get("CPU", 8)) \
-            if ray.is_initialized() else 8
+        ncpu = _ncpus()
         nparts = max(4, min(ncpu, 32))
 
     def tagger(cols):
@@ -380,8 +380,7 @@ def interval_join_partitioned(left_ds, right_ds, on: str, start: str,
     materialization).  Same half-open [start, end) semantics; overlap
     allowed; each matched pair emitted exactly once."""
     if nparts is None:
-        ncpu = int(ray.available_resources().get("CPU", 8)) \
-            if ray.is_initialized() else 8
+        ncpu = _ncpus()
         nparts = max(4, min(ncpu, 32))
     W = np.int64(bucket_us)
     MULT = np.uint64(0x9E3779B97F4A7C15)  # decorrelate adjacent buckets
@@ -489,8 +488,7 @@ def sessionize_partitioned(ds, key: str, ts: str, idc: str,
     (``from_arrow_refs``) — session counts can rival event counts, so the
     result must not funnel through the driver."""
     if nparts is None:
-        ncpu = int(ray.available_resources().get("CPU", 8)) \
-            if ray.is_initialized() else 8
+        ncpu = _ncpus()
         nparts = max(4, min(ncpu, 32))
 
     def tag(b: pa.Table) -> pa.Table:
@@ -546,8 +544,7 @@ def running_sum_partitioned(ds, key: str, ts: str, idc: str, val: str,
     run_sum is rounded to 6 — cumulative float sums are association-
     sensitive across engines (DuckDB's window sum uses a segment tree)."""
     if nparts is None:
-        ncpu = int(ray.available_resources().get("CPU", 8)) \
-            if ray.is_initialized() else 8
+        ncpu = _ncpus()
         nparts = max(4, min(ncpu, 32))
 
     def tag(b: pa.Table) -> pa.Table:
