@@ -263,7 +263,8 @@ def _bucket_pairs(ids, cap: int, what: str, band_key) -> list:
 
 
 def _bucket_pairs_lenfilt(ids: np.ndarray, lens: np.ndarray,
-                          pos: np.ndarray, threshold: float):
+                          pos: np.ndarray, threshold: float,
+                          cross_sign_only: bool = False):
     """EXACT candidate pairs within one bucket under the LENGTH FILTER
     (SSJoin): J >= t ⇒ t·|A| ≤ |B| ≤ |A|/t, so after sorting by gram
     count each doc only pairs forward while lens[j] ≤ lens[i]/t.  No
@@ -308,6 +309,11 @@ def _bucket_pairs_lenfilt(ids: np.ndarray, lens: np.ndarray,
     o_min = np.ceil(threshold * (a_len + b_len) / (1.0 + threshold)
                     - 1e-9).astype(np.int64)
     keep = 1 + np.minimum(a_len - a_pos - 1, b_len - b_pos - 1) >= o_min
+    if cross_sign_only:
+        # bipartite mode (word_ngram_cross_pairs): LEFT docs ride in
+        # negative id space, so same-side candidates (corpus×corpus,
+        # batch×batch) are pruned HERE — before the candidate shuffle
+        keep &= (a_id < 0) != (b_id < 0)
     if not keep.all():
         a_id, b_id = a_id[keep], b_id[keep]
         a_pos, b_pos = a_pos[keep], b_pos[keep]
@@ -331,7 +337,8 @@ _POSPAIR_SCHEMA = pa.schema([(c, pa.int64()) for c in _POSPAIR_COLS])
 def _partitioned_pairs(exploded_ds, key_col: str, cap: int, what: str,
                        lens_col: str | None = None,
                        pos_col: str | None = None,
-                       threshold: float | None = None):
+                       threshold: float | None = None,
+                       cross_sign_only: bool = False):
     """(key, doc_id) exploded rows → candidate-pair Dataset (doc_a, doc_b;
     plus per-side prefix positions and gram counts in wordgram mode).
 
@@ -378,7 +385,8 @@ def _partitioned_pairs(exploded_ds, key_col: str, cap: int, what: str,
             chunks = [_bucket_pairs_lenfilt(g["doc_id"].to_numpy(),
                                             g[lens_col].to_numpy(),
                                             g[pos_col].to_numpy(),
-                                            threshold)
+                                            threshold,
+                                            cross_sign_only=cross_sign_only)
                       for _, g in df.groupby(key_col, sort=False)]
             chunks = [c for c in chunks if len(c[0])]
             if not chunks:
@@ -810,7 +818,8 @@ def _gram_df_probe(grams_i64: np.ndarray, dfref, token: str) -> np.ndarray:
 
 def word_ngram_duplicate_pairs(docs_ds, n: int = 3, threshold: float = 0.5,
                                broadcast_threshold: int = 2_000_000,
-                               max_common: int = 4_000_000):
+                               max_common: int = 4_000_000,
+                               cross_sign_only: bool = False):
     """documents → EXACT word-n-gram Jaccard near-dup pairs Dataset
     (doc_a, doc_b, jaccard) — the dedup family's n-gram Jaccard member.
 
@@ -905,7 +914,8 @@ def word_ngram_duplicate_pairs(docs_ds, n: int = 3, threshold: float = 0.5,
     cands = _dedup_pairs_posfilt(
         _partitioned_pairs(exploded, "gram_key", 0, "wordgram",
                            lens_col="glen", pos_col="gpos",
-                           threshold=threshold), threshold)
+                           threshold=threshold,
+                           cross_sign_only=cross_sign_only), threshold)
 
     if docs_ds.count() <= broadcast_threshold:
         import pyarrow.compute as pc
@@ -974,6 +984,75 @@ def word_ngram_duplicate_pairs(docs_ds, n: int = 3, threshold: float = 0.5,
         return _pair_frame(out)
 
     return withab.map_batches(verify, batch_format="pandas")
+
+
+_CROSS_PAIR_SCHEMA = pa.schema([("left_doc", pa.int64()),
+                                ("right_doc", pa.int64()),
+                                ("jaccard", pa.float64())])
+
+
+def word_ngram_cross_pairs(left_ds, right_ds, n: int = 3,
+                           threshold: float = 0.5,
+                           broadcast_threshold: int = 2_000_000,
+                           max_common: int = 4_000_000):
+    """Bipartite (R×S) EXACT word-n-gram Jaccard join → Dataset
+    (left_doc, right_doc, jaccard) for cross pairs with J >= threshold.
+
+    The incremental-dedup / fuzzy-decontamination shape: "dedup an
+    incoming crawl batch against the existing corpus" / "catch
+    paraphrased eval contamination" — the self-join
+    ``word_ngram_duplicate_pairs`` answers "what duplicates exist", this
+    answers "which NEW docs duplicate the corpus" without ever
+    generating corpus×corpus candidates.  Same prefix-filter recall-1.0
+    guarantee (the argument is per-pair, independent of which side each
+    doc came from), so the output value-checks against a cross-join SQL
+    oracle at any threshold.
+
+    Mechanics: LEFT doc ids are sign-encoded into negative space
+    (id → -id-1, injective, disjoint from the right side's nonnegative
+    ids), the sides unioned, and the shared bucket machinery emits only
+    sign-differing pairs (``cross_sign_only`` — a vectorized mask at
+    bucket emission, BEFORE the candidate shuffle).  The existing
+    ``doc_a < doc_b`` normalization then automatically orients
+    doc_a=left (negative sorts first), so decode is local arithmetic —
+    no orientation join.  Both sides' doc_id must be >= 0."""
+    import pyarrow.compute as pc
+
+    neg1 = pa.scalar(-1, pa.int64())
+
+    def enc_left(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.int64())
+        if t.num_rows and pc.min(ids).as_py() < 0:
+            raise ValueError("word_ngram_cross_pairs requires doc_id >= 0")
+        return pa.table({"doc_id": pc.subtract(neg1, ids),
+                         "text": t["text"]})
+
+    def chk_right(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.int64())
+        if t.num_rows and pc.min(ids).as_py() < 0:
+            raise ValueError("word_ngram_cross_pairs requires doc_id >= 0")
+        return pa.table({"doc_id": ids, "text": t["text"]})
+
+    union = (left_ds.select_columns(["doc_id", "text"])
+             .map_batches(enc_left, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .union(right_ds.select_columns(["doc_id", "text"])
+                    .map_batches(chk_right, batch_format="pyarrow",
+                                 zero_copy_batch=True)))
+    pairs = word_ngram_duplicate_pairs(
+        union, n=n, threshold=threshold,
+        broadcast_threshold=broadcast_threshold, max_common=max_common,
+        cross_sign_only=True)
+
+    def decode(t: pa.Table) -> pa.Table:
+        if "doc_a" not in t.schema.names or t.num_rows == 0:
+            return _CROSS_PAIR_SCHEMA.empty_table()
+        return pa.table({"left_doc": pc.subtract(neg1, t["doc_a"]),
+                         "right_doc": t["doc_b"],
+                         "jaccard": t["jaccard"]})
+
+    return pairs.map_batches(decode, batch_format="pyarrow",
+                             zero_copy_batch=True)
 
 
 class SimHasher:

@@ -2464,6 +2464,52 @@ def d_wordgram_pairs(sf_dir):
     return df
 
 
+def d_cross_dedup(sf_dir):
+    """Incremental-corpus near-dup join (bipartite R×S) — value-checked.
+
+    The training-data shape "dedup an incoming crawl batch against the
+    existing corpus": the new batch is documents with ``doc_id % 7 ==
+    0``, the corpus the rest; output = (new_doc, corpus_doc, jaccard)
+    word-3-gram Jaccard >= 0.5 CROSS pairs only.  Unlike filtering the
+    self-join, ``word_ngram_cross_pairs`` never generates corpus×corpus
+    candidates (sign-encoded sides, masked at bucket emission before
+    the shuffle).  Recall is exactly 1.0 (prefix filter), so the oracle
+    is the literal all-cross-pairs SQL join."""
+    import numpy as _np
+
+    from ..blocks import concat_shaped
+    from ..functions.dedup_docs import word_ngram_cross_pairs
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "text"]).materialize()
+
+    def _side(want_new: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False) \
+                .astype(_np.int64)
+            m = (ids % 7 == 0) if want_new else (ids % 7 != 0)
+            return t.filter(pa.array(m))
+        return f
+
+    new_ds = docs.map_batches(_side(True), batch_format="pyarrow",
+                              zero_copy_batch=True)
+    corpus_ds = docs.map_batches(_side(False), batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    pairs = word_ngram_cross_pairs(new_ds, corpus_ds, n=3, threshold=0.5)
+    tbl = concat_shaped(pairs, "left_doc",
+                        empty_schema=pa.schema(
+                            [("left_doc", pa.int64()),
+                             ("right_doc", pa.int64()),
+                             ("jaccard", pa.float64())]))
+    df = tbl.to_pandas().rename(columns={"left_doc": "new_doc",
+                                         "right_doc": "corpus_doc"})
+    if len(df):
+        df["jaccard"] = df["jaccard"].round(4)
+        df = _i64(df, ["new_doc", "corpus_doc"])
+        df = df.sort_values(["new_doc", "corpus_doc"]).reset_index(drop=True)
+    return df
+
+
 _REDACT_PATTERNS = (
     # the synthetic corpus is word-soup (no emails/digits), so the driver
     # query scrubs fixture-present TERMS; the library default is the real
@@ -2780,6 +2826,7 @@ def build_queries() -> dict:
         # round-3 curation-wave remainder (oracle-backed; below the
         # 50-cap — rotate into the window next round)
         "d_dedup_best": d_dedup_best,
+        "d_cross_dedup": d_cross_dedup,
         # rows-only (non-SQL-expressible)
         "emb_kmeans": emb_kmeans,
         "d_top_tokens_approx": d_top_tokens_approx,
@@ -2795,7 +2842,7 @@ def build_queries() -> dict:
         "media_frames": media_frames,
     }
     first50 = list(q)[:50]
-    assert len(q) == 92 and all(n in build_oracles() for n in first50), \
+    assert len(q) == 93 and all(n in build_oracles() for n in first50), \
         "driver checks only the first 50 keys — keep them oracle-backed"
     return q
 
@@ -3153,6 +3200,37 @@ SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
        round(jac, 4) AS jaccard
 FROM j WHERE jac >= 0.5
 ORDER BY doc_a, doc_b
+""",
+        "d_cross_dedup": r"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(COALESCE(text, '')), '\S+') AS w
+  FROM documents
+),
+idx AS (SELECT CAST(i AS INT) AS i FROM generate_series(1, 4096) g(i)),
+gr AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(w, i, least(i + 2, len(w))), ' ') AS s
+  FROM d JOIN idx ON idx.i <= greatest(1, len(d.w) - 2)
+  WHERE len(w) > 0
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM gr GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS new_doc, b.doc_id AS corpus_doc, count(*) AS isz
+  FROM gr a JOIN gr b ON a.s = b.s
+  WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT new_doc, corpus_doc, isz * 1.0 / (ca.n + cb.n - isz) AS jac
+  FROM inter
+  JOIN cnt ca ON ca.doc_id = inter.new_doc
+  JOIN cnt cb ON cb.doc_id = inter.corpus_doc
+)
+SELECT CAST(new_doc AS BIGINT) AS new_doc,
+       CAST(corpus_doc AS BIGINT) AS corpus_doc,
+       round(jac, 4) AS jaccard
+FROM j WHERE jac >= 0.5
+ORDER BY new_doc, corpus_doc
 """,
         "d_redact": r"""
 SELECT doc_id,

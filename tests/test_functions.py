@@ -186,6 +186,41 @@ def test_word_ngram_pairs_hash_join_path(ray_session):
     assert (0, 1) in set(map(tuple, big[["doc_a", "doc_b"]].to_numpy()))
 
 
+def test_word_ngram_cross_pairs_matches_filtered_selfjoin(ray_session):
+    """Bipartite cross pairs == the union self-join's pairs filtered to
+    cross-side, correctly ORIENTED (left_doc from the left side) — at a
+    low threshold so within-side pairs exist and must be excluded."""
+    import ray.data as rd
+
+    import pyarrow.compute as pc
+
+    docs = _near_dup_docs()
+    left_ids = {0, 2, 4}            # includes one of the near-dup cluster
+    lm = pa.array([i in left_ids for i in docs["doc_id"].to_pylist()])
+    left = rd.from_arrow(docs.filter(lm))
+    right = rd.from_arrow(docs.filter(pc.invert(lm)))
+
+    from ict_log_parser_ray.functions.dedup_docs import (
+        word_ngram_cross_pairs, word_ngram_duplicate_pairs)
+
+    got = (word_ngram_cross_pairs(left, right, n=3, threshold=0.3)
+           .to_pandas())
+    got_set = {(int(r.left_doc), int(r.right_doc), round(r.jaccard, 9))
+               for r in got.itertuples()}
+
+    full = word_ngram_duplicate_pairs(rd.from_arrow(docs), n=3,
+                                      threshold=0.3).to_pandas()
+    want = set()
+    for r in full.itertuples():
+        a, b = int(r.doc_a), int(r.doc_b)
+        if (a in left_ids) != (b in left_ids):
+            l, rr = (a, b) if a in left_ids else (b, a)
+            want.add((l, rr, round(r.jaccard, 9)))
+    assert got_set == want and len(want) > 0
+    # within-side near-dups exist in the fixture and must be absent
+    assert len(full) > len(want)
+
+
 def test_simhash_candidates(ray_session):
     import ray.data as rd
 
