@@ -244,21 +244,36 @@ def _only_colliding_buckets(exploded_ds, key_col: str,
                                    zero_copy_batch=True)
 
 
-def _bucket_pairs(ids, cap: int, what: str, band_key) -> list:
+def _bucket_pairs(ids, cap: int, what: str, band_key,
+                  cross_sign_only: bool = False) -> list:
     """Candidate pairs within one bucket: all pairs up to ``cap`` members,
     star pairs (sorted-first ↔ rest) beyond — linear output, loudly
     logged.  See the module docstring for the star approximation's
-    semantics (hub edges must verify to keep the component connected)."""
+    semantics (hub edges must verify to keep the component connected).
+
+    ``cross_sign_only`` (bipartite mode): only sign-differing pairs are
+    emitted; the overflow star uses one hub PER SIDE (each hub ↔ the
+    other side's members) so both orientations keep a linear witness."""
     ids = sorted(set(ids))
     if len(ids) < 2:
         return []
     if len(ids) <= cap:
-        return [(ids[i], ids[j]) for i in range(len(ids))
-                for j in range(i + 1, len(ids))]
+        pairs = [(ids[i], ids[j]) for i in range(len(ids))
+                 for j in range(i + 1, len(ids))]
+        if cross_sign_only:
+            pairs = [(a, b) for a, b in pairs if (a < 0) != (b < 0)]
+        return pairs
     logger.warning("%s bucket %s overflow: %d members > cap %d — emitting "
                    "star pairs (%d) instead of all pairs (%d)", what,
                    band_key, len(ids), cap, len(ids) - 1,
                    len(ids) * (len(ids) - 1) // 2)
+    if cross_sign_only:
+        lefts = [i for i in ids if i < 0]
+        rights = [i for i in ids if i >= 0]
+        if not lefts or not rights:
+            return []
+        return ([(lefts[0], r) for r in rights]
+                + [(l, rights[0]) for l in lefts[1:]])
     return [(ids[0], other) for other in ids[1:]]
 
 
@@ -397,7 +412,8 @@ def _partitioned_pairs(exploded_ds, key_col: str, cap: int, what: str,
                             schema=_POSPAIR_SCHEMA)
         out = []
         for bk, g in df.groupby(key_col, sort=False):
-            out += _bucket_pairs(g["doc_id"].tolist(), cap, what, bk)
+            out += _bucket_pairs(g["doc_id"].tolist(), cap, what, bk,
+                                 cross_sign_only=cross_sign_only)
         if not out:
             return _pair_schema.empty_table()
         a, b = zip(*out)
@@ -492,7 +508,8 @@ def _dedup_pairs_posfilt(cands, threshold: float,
 def minhash_duplicate_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
                             k: int = 5, threshold: float = 0.7,
                             concurrency=(1, 8), cap: int = 50,
-                            broadcast_threshold: int = 2_000_000):
+                            broadcast_threshold: int = 2_000_000,
+                            cross_sign_only: bool = False):
     """documents → verified near-duplicate pairs Dataset
     (doc_a, doc_b, jaccard).
 
@@ -526,8 +543,9 @@ def minhash_duplicate_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
 
     exploded = docs_ds.map_batches(_explode, batch_format="pandas")
     exploded = _only_colliding_buckets(exploded, "band_key")
-    cands = _dedup_pairs(_partitioned_pairs(exploded, "band_key", cap,
-                                            "minhash"))
+    cands = _dedup_pairs(_partitioned_pairs(
+        exploded, "band_key", cap, "minhash",
+        cross_sign_only=cross_sign_only))
 
     def _verify_rows(doc_a, doc_b, text_a, text_b) -> pd.DataFrame:
         out = {"doc_a": [], "doc_b": [], "jaccard": []}
@@ -1016,6 +1034,40 @@ def word_ngram_cross_pairs(left_ds, right_ds, n: int = 3,
     ``doc_a < doc_b`` normalization then automatically orients
     doc_a=left (negative sorts first), so decode is local arithmetic —
     no orientation join.  Both sides' doc_id must be >= 0."""
+    union = _sign_encode_union(left_ds, right_ds)
+    pairs = word_ngram_duplicate_pairs(
+        union, n=n, threshold=threshold,
+        broadcast_threshold=broadcast_threshold, max_common=max_common,
+        cross_sign_only=True)
+    return _decode_cross_pairs(pairs)
+
+
+def minhash_cross_pairs(left_ds, right_ds, num_perm: int = 64,
+                        bands: int = 16, k: int = 5,
+                        threshold: float = 0.7, cap: int = 50,
+                        broadcast_threshold: int = 2_000_000):
+    """Bipartite MinHash+LSH near-dup join → Dataset (left_doc,
+    right_doc, jaccard) — the cross-corpus dedup family's SCALE path
+    (probabilistic candidates; cf. the exact ``word_ngram_cross_pairs``).
+
+    Same sign-encoding as the exact variant: sides unioned with left ids
+    in negative space, within-side candidates masked at bucket emission
+    (a bucket full of corpus docs emits nothing), and the overflow star
+    uses one hub per side.  Output pairs are char-``k``-shingle Jaccard
+    verified >= threshold, oriented left-first by the doc_a<doc_b
+    normalization."""
+    union = _sign_encode_union(left_ds, right_ds)
+    pairs = minhash_duplicate_pairs(
+        union, num_perm=num_perm, bands=bands, k=k, threshold=threshold,
+        cap=cap, broadcast_threshold=broadcast_threshold,
+        cross_sign_only=True)
+    return _decode_cross_pairs(pairs)
+
+
+def _sign_encode_union(left_ds, right_ds):
+    """Union of two (doc_id, text) Datasets with LEFT ids sign-encoded
+    to negative space (id → -id-1; injective, disjoint from the right's
+    nonnegative ids).  Both sides' doc_id must be >= 0."""
     import pyarrow.compute as pc
 
     neg1 = pa.scalar(-1, pa.int64())
@@ -1023,26 +1075,31 @@ def word_ngram_cross_pairs(left_ds, right_ds, n: int = 3,
     def enc_left(t: pa.Table) -> pa.Table:
         ids = pc.cast(t["doc_id"], pa.int64())
         if t.num_rows and pc.min(ids).as_py() < 0:
-            raise ValueError("word_ngram_cross_pairs requires doc_id >= 0")
+            raise ValueError("cross-pair joins require doc_id >= 0")
         return pa.table({"doc_id": pc.subtract(neg1, ids),
                          "text": t["text"]})
 
     def chk_right(t: pa.Table) -> pa.Table:
         ids = pc.cast(t["doc_id"], pa.int64())
         if t.num_rows and pc.min(ids).as_py() < 0:
-            raise ValueError("word_ngram_cross_pairs requires doc_id >= 0")
+            raise ValueError("cross-pair joins require doc_id >= 0")
         return pa.table({"doc_id": ids, "text": t["text"]})
 
-    union = (left_ds.select_columns(["doc_id", "text"])
-             .map_batches(enc_left, batch_format="pyarrow",
-                          zero_copy_batch=True)
-             .union(right_ds.select_columns(["doc_id", "text"])
-                    .map_batches(chk_right, batch_format="pyarrow",
-                                 zero_copy_batch=True)))
-    pairs = word_ngram_duplicate_pairs(
-        union, n=n, threshold=threshold,
-        broadcast_threshold=broadcast_threshold, max_common=max_common,
-        cross_sign_only=True)
+    return (left_ds.select_columns(["doc_id", "text"])
+            .map_batches(enc_left, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .union(right_ds.select_columns(["doc_id", "text"])
+                   .map_batches(chk_right, batch_format="pyarrow",
+                                zero_copy_batch=True)))
+
+
+def _decode_cross_pairs(pairs):
+    """(doc_a<0, doc_b>=0) sign-encoded pairs → (left_doc, right_doc,
+    jaccard); decode is local arithmetic (doc_a is always the left doc:
+    signs differ and negatives sort first)."""
+    import pyarrow.compute as pc
+
+    neg1 = pa.scalar(-1, pa.int64())
 
     def decode(t: pa.Table) -> pa.Table:
         if "doc_a" not in t.schema.names or t.num_rows == 0:

@@ -221,6 +221,58 @@ def test_word_ngram_cross_pairs_matches_filtered_selfjoin(ray_session):
     assert len(full) > len(want)
 
 
+def test_minhash_cross_pairs_matches_filtered_selfjoin(ray_session):
+    """MinHash bipartite variant == the self-join filtered to cross-side
+    and oriented — signatures are text-only, so candidate buckets have
+    identical membership and the cross output is a deterministic subset."""
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.dedup_docs import (
+        minhash_cross_pairs, minhash_duplicate_pairs)
+
+    docs = _near_dup_docs()
+    left_ids = {0, 2, 4}
+    lm = pa.array([i in left_ids for i in docs["doc_id"].to_pylist()])
+    import pyarrow.compute as pc
+    left = rd.from_arrow(docs.filter(lm))
+    right = rd.from_arrow(docs.filter(pc.invert(lm)))
+
+    got = minhash_cross_pairs(left, right, threshold=0.3).to_pandas()
+    got_set = {(int(r.left_doc), int(r.right_doc), round(r.jaccard, 9))
+               for r in got.itertuples()}
+
+    full = minhash_duplicate_pairs(rd.from_arrow(docs),
+                                   threshold=0.3).to_pandas()
+    want = set()
+    for r in full.itertuples():
+        a, b = int(r.doc_a), int(r.doc_b)
+        if (a in left_ids) != (b in left_ids):
+            l, rr = (a, b) if a in left_ids else (b, a)
+            want.add((l, rr, round(r.jaccard, 9)))
+    assert got_set == want and len(want) > 0
+    assert len(full) > len(want)
+
+
+def test_cross_star_overflow_keeps_both_orientations():
+    """Bipartite star overflow must witness BOTH sides (one hub per
+    side), and same-side-only buckets must emit nothing."""
+    from ict_log_parser_ray.functions.dedup_docs import _bucket_pairs
+
+    ids = [-1, -2, -3, 5, 6, 7]
+    pairs = _bucket_pairs(ids, cap=3, what="t", band_key=0,
+                          cross_sign_only=True)
+    assert all((a < 0) != (b < 0) for a, b in pairs)
+    lefts_hit = {a for a, b in pairs if a < 0} | \
+        {b for a, b in pairs if b < 0}
+    rights_hit = {b for a, b in pairs if b >= 0} | \
+        {a for a, b in pairs if a >= 0}
+    assert lefts_hit == {-1, -2, -3} and rights_hit == {5, 6, 7}
+    assert _bucket_pairs([-1, -2, -3], cap=1, what="t", band_key=0,
+                         cross_sign_only=True) == []
+    assert _bucket_pairs([4, 5, 6], cap=1, what="t", band_key=0,
+                         cross_sign_only=True) == []
+
+
 def test_simhash_candidates(ray_session):
     import ray.data as rd
 
