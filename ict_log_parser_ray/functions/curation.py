@@ -240,7 +240,7 @@ def remove_common_units(docs_ds, sep: str = "\n",
     return docs_ds.map_batches(_clean, batch_format="pandas")
 
 
-def repetition_stats(docs_ds, sep: str = " "):
+def repetition_stats(docs_ds, sep: str = " ", keep_cols: tuple = ()):
     """documents → per-doc repetition metrics (doc_id, n_words,
     n_distinct, n_2grams, top2_count, keep) — the Gopher-style
     repetition quality filters (Rae et al. 2021 §A1.1: duplicate-word
@@ -255,7 +255,10 @@ def repetition_stats(docs_ds, sep: str = " "):
     n_2grams = 0 and pass the 2-gram rule vacuously.
 
     Purely per-batch (a doc's words never leave its block): one
-    split + two pandas C groupbys, no shuffle."""
+    split + two pandas C groupbys, no shuffle.
+
+    ``keep_cols``: input columns copied through to the output (e.g. the
+    text itself, so a downstream filter needs no join back)."""
 
     def _rep(df: pd.DataFrame) -> pd.DataFrame:
         s = pd.Series(df["text"]).fillna("").astype(str).str.split(sep)
@@ -267,6 +270,8 @@ def repetition_stats(docs_ds, sep: str = " "):
             for c in ("n_words", "n_distinct", "n_2grams",
                       "top2_count", "keep"):
                 out[c] = np.zeros(m, np.int64)
+            for c in keep_cols:
+                out[c] = df[c].to_numpy()
             return out
         doc = np.repeat(np.arange(m, dtype=np.int64), lens)
         words = np.concatenate([np.asarray(w, dtype=object) for w in s])
@@ -290,6 +295,8 @@ def repetition_stats(docs_ds, sep: str = " "):
         out["n_2grams"] = n2g
         out["top2_count"] = top2
         out["keep"] = keep
+        for c in keep_cols:
+            out[c] = df[c].to_numpy()
         return out
 
     return docs_ds.map_batches(_rep, batch_format="pandas")

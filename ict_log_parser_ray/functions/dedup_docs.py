@@ -1295,13 +1295,23 @@ def exact_duplicate_groups(docs_ds, collect_threshold: int = 100_000_000):
     hashed = docs_ds.map_batches(text_hash, batch_format="pyarrow",
                                  zero_copy_batch=True).materialize()
 
+    from ..blocks import concat_shaped
     from ..stages.dedup import dup_values
-    hv = pa.concat_tables(ray.get(hashed.to_arrow_refs()))["th"].to_numpy()
+    # concat_shaped: a FILTERED upstream (e.g. the curation pipeline's
+    # repetition cut) can hand this zero-row pass-through blocks that
+    # still carry the (doc_id, text) schema — they'd break a plain concat
+    hv = concat_shaped(hashed, "th",
+                       empty_schema=pa.schema([("th", pa.int64())])
+                       )["th"].to_numpy()
     dups = dup_values(hv)
     import ray.data as rd
     if len(dups) == 0:
         # empty result carries the real doc_id type, not a hardcoded one
-        id_type = docs_ds.schema().base_schema.field("doc_id").type
+        # (pandas-block inputs surface a PandasBlockSchema — no .field;
+        # fall back to int64 there)
+        sch = getattr(docs_ds.schema(), "base_schema", None)
+        id_type = sch.field("doc_id").type \
+            if isinstance(sch, pa.Schema) else pa.int64()
         empty = pa.schema([("text", pa.string()), ("n", pa.int64()),
                            ("keep_doc_id", id_type)])
         return rd.from_arrow(empty.empty_table())

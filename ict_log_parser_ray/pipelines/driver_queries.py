@@ -2464,6 +2464,77 @@ def d_wordgram_pairs(sf_dir):
     return df
 
 
+def d_curation_pipeline(sf_dir):
+    """END-TO-END composed curation flow — value-checked as one unit:
+    redact → Gopher repetition filter → exact dedup keep-first →
+    curated corpus (doc_id, text_curated).
+
+    The point is COMPOSITION: each stage is the same library operator
+    the standalone queries use (redact_documents, repetition_stats with
+    text passthrough — no join back, exact_duplicate_groups), chained
+    as one streaming Dataset lineage; the only driver-held state is the
+    dup-group table (bounded by duplicate count) broadcast as a
+    drop-set probe.  The SQL twin composes the d_redact and
+    d_repetition oracle CTEs with a ROW_NUMBER dedup — one oracle for
+    the whole flow, so a drift anywhere in the chain is caught."""
+    import ray
+
+    from ..blocks import concat_shaped
+    from ..functions.curation import redact_documents, repetition_stats
+    from ..functions.dedup_docs import exact_duplicate_groups
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    red = redact_documents(docs, patterns=_REDACT_PATTERNS)
+
+    def _as_text(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "text": t["text_redacted"]})
+
+    rep = repetition_stats(
+        red.map_batches(_as_text, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        keep_cols=("text",))
+
+    def _kept(df):
+        df = df[df["keep"] == 1]
+        return df[["doc_id", "text"]]
+
+    kept = rep.map_batches(_kept, batch_format="pandas").materialize()
+
+    groups = concat_shaped(
+        exact_duplicate_groups(kept), "text",
+        empty_schema=pa.schema([("text", pa.string()),
+                                ("n", pa.int64()),
+                                ("keep_doc_id", pa.int64())]))
+    gtext = groups["text"].combine_chunks() if groups.num_rows else None
+    gkeep = (groups["keep_doc_id"].to_numpy(zero_copy_only=False)
+             .astype(np.int64) if groups.num_rows else None)
+    gref = ray.put((gtext, gkeep))
+
+    def _drop_dups(t: pa.Table) -> pa.Table:
+        gt, gk = ray.get(gref)
+        out = pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                        "text_curated": t["text"]})
+        if gt is None or t.num_rows == 0:
+            return out
+        idx = pc.index_in(t["text"], value_set=gt)
+        hit = idx.is_valid().to_numpy(zero_copy_only=False)
+        iv = (pc.fill_null(idx, 0).to_numpy(zero_copy_only=False)
+              .astype(np.int64))
+        ids = out["doc_id"].to_numpy(zero_copy_only=False)
+        drop = hit & (ids != gk[iv])
+        return out.filter(pa.array(~drop))
+
+    final = concat_shaped(
+        kept.map_batches(_drop_dups, batch_format="pyarrow",
+                         zero_copy_batch=True), "text_curated",
+        empty_schema=pa.schema([("doc_id", pa.int64()),
+                                ("text_curated", pa.string())]))
+    df = final.to_pandas()
+    df = _i64(df, ["doc_id"]).sort_values("doc_id").reset_index(drop=True)
+    return df
+
+
 def d_cross_dedup(sf_dir):
     """Incremental-corpus near-dup join (bipartite R×S) — value-checked.
 
@@ -2827,6 +2898,7 @@ def build_queries() -> dict:
         # 50-cap — rotate into the window next round)
         "d_dedup_best": d_dedup_best,
         "d_cross_dedup": d_cross_dedup,
+        "d_curation_pipeline": d_curation_pipeline,
         # rows-only (non-SQL-expressible)
         "emb_kmeans": emb_kmeans,
         "d_top_tokens_approx": d_top_tokens_approx,
@@ -2842,7 +2914,7 @@ def build_queries() -> dict:
         "media_frames": media_frames,
     }
     first50 = list(q)[:50]
-    assert len(q) == 93 and all(n in build_oracles() for n in first50), \
+    assert len(q) == 94 and all(n in build_oracles() for n in first50), \
         "driver checks only the first 50 keys — keep them oracle-backed"
     return q
 
@@ -3231,6 +3303,37 @@ SELECT CAST(new_doc AS BIGINT) AS new_doc,
        round(jac, 4) AS jaccard
 FROM j WHERE jac >= 0.5
 ORDER BY new_doc, corpus_doc
+""",
+        "d_curation_pipeline": r"""
+WITH red AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(COALESCE(text, ''),
+                                       '\bspark\b', '<TOOL>', 'g'),
+                        '\bcustomer\b', '<ENTITY>', 'g') AS t
+  FROM documents
+),
+d AS (SELECT doc_id, t, string_split(t, ' ') AS ws FROM red),
+w AS (SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w
+      FROM d),
+base AS (SELECT doc_id, count(*) AS nw, count(DISTINCT w) AS nd
+         FROM w GROUP BY doc_id),
+bi AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+       FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+bc AS (SELECT doc_id, w1, w2, count(*) AS c FROM bi GROUP BY 1, 2, 3),
+t2 AS (SELECT doc_id, max(c) AS top2 FROM bc GROUP BY doc_id),
+kept AS (
+  SELECT d.doc_id, d.t
+  FROM d JOIN base USING (doc_id) LEFT JOIN t2 USING (doc_id)
+  WHERE (nw - nd) * 10 <= 3 * nw
+    AND coalesce(top2, 0) * 5 <= greatest(nw - 1, 0)
+),
+ded AS (
+  SELECT doc_id, t,
+         row_number() OVER (PARTITION BY t ORDER BY doc_id) AS rn
+  FROM kept
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, t AS text_curated
+FROM ded WHERE rn = 1 ORDER BY doc_id
 """,
         "d_redact": r"""
 SELECT doc_id,

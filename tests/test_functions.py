@@ -253,6 +253,23 @@ def test_minhash_cross_pairs_matches_filtered_selfjoin(ray_session):
     assert len(full) > len(want)
 
 
+def test_cross_pairs_empty_side(ray_session):
+    """An empty new-batch (or corpus) side must yield zero pairs, not
+    crash — the incremental-dedup steady state is often 'nothing new'."""
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.dedup_docs import (
+        word_ngram_cross_pairs)
+
+    docs = _near_dup_docs()
+    empty = rd.from_arrow(docs.schema.empty_table())
+    full = rd.from_arrow(docs)
+    assert word_ngram_cross_pairs(empty, full,
+                                  threshold=0.3).count() == 0
+    assert word_ngram_cross_pairs(full, empty,
+                                  threshold=0.3).count() == 0
+
+
 def test_cross_star_overflow_keeps_both_orientations():
     """Bipartite star overflow must witness BOTH sides (one hub per
     side), and same-side-only buckets must emit nothing."""
