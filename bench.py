@@ -127,7 +127,7 @@ def run_queries(sf_dir: str) -> dict:
     names = ["e_hourly", "e_pareto", "q1_lineitem", "d_token_counts",
              "emb_knn", "d_simhash", "d_minhash_pairs", "q_cube_revenue",
              "d_contamination", "d_lang_mix", "d_wordgram_pairs",
-             "d_redact", "d_pack"]
+             "d_redact", "d_pack", "d_cross_dedup", "d_curation_pipeline"]
     out = {}
     qmap = dq.build_queries()
     for n in names:

@@ -311,3 +311,36 @@ def test_weighted_sampling_partial_cut_fuzz(ray_session):
         assert got["doc_id"].tolist() == ids[order].tolist()
 
     run()
+
+
+def test_cross_mask_is_exact_sign_filter_property():
+    """Bipartite bucket emission == the self-join emission filtered to
+    sign-differing pairs — for ANY ids/lens/pos and threshold.  Pure
+    numpy kernel, no Ray: pins that the cross mask can never add or
+    lose a candidate relative to the shared machinery."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ict_log_parser_ray.functions.dedup_docs import (
+        _bucket_pairs_lenfilt)
+
+    @settings(max_examples=60, deadline=None)
+    @given(seed=st.integers(0, 10_000),
+           thr=st.sampled_from([0.2, 0.5, 0.8, 1.0]))
+    def run(seed, thr):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(2, 40))
+        ids = rng.choice(np.arange(-20, 20), size=n, replace=False)
+        lens = rng.integers(1, 30, size=n)
+        pos = np.minimum(rng.integers(0, 30, size=n), lens - 1)
+        full = _bucket_pairs_lenfilt(ids.copy(), lens.copy(), pos.copy(),
+                                     thr)
+        cross = _bucket_pairs_lenfilt(ids.copy(), lens.copy(), pos.copy(),
+                                      thr, cross_sign_only=True)
+        fullset = set(zip(full[0].tolist(), full[1].tolist()))
+        crosset = set(zip(cross[0].tolist(), cross[1].tolist()))
+        want = {(a, b) for a, b in fullset if (a < 0) != (b < 0)}
+        assert crosset == want
+
+    run()
