@@ -2464,6 +2464,63 @@ def d_wordgram_pairs(sf_dir):
     return df
 
 
+def d_cross_dedup_lsh(sf_dir):
+    """Cross-corpus near-dup join via MinHash+LSH — value-checked.
+
+    The scale path of d_cross_dedup (probabilistic candidates instead of
+    the exact prefix filter): new batch = doc_id % 7 == 0 vs the rest,
+    char-5-shingle Jaccard >= 0.6.  The engine verifies candidates with
+    EXACT shingle Jaccard, so the output equals the exact cross-pairs
+    threshold set whenever LSH recall is 1.0 — the same argument as
+    d_minhash_pairs (fixture near-dups sit at J >= 0.92, where a
+    16-band/4-row signature misses with probability ~4e-8; data and
+    seeded hash family deterministic).  Oracle: the d_minhash_pairs
+    shingle CTE restricted to cross-side pairs.
+
+    Similarity is reported as INTEGER floor(jac·10⁴) (jaccard_e4), not
+    round(jac, 4): a fixture pair landed exactly on a .xxxx5 rounding
+    tie (J = 157/160 = 0.98125), where numpy rounds half-to-even and
+    DuckDB half-away — floor of the identical IEEE double is tie-free
+    on both engines (the tfidf integer-score lesson)."""
+    import numpy as _np
+
+    from ..blocks import concat_shaped
+    from ..functions.dedup_docs import minhash_cross_pairs
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "text"]).materialize()
+
+    def _side(want_new: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False) \
+                .astype(_np.int64)
+            m = (ids % 7 == 0) if want_new else (ids % 7 != 0)
+            return t.filter(pa.array(m))
+        return f
+
+    new_ds = docs.map_batches(_side(True), batch_format="pyarrow",
+                              zero_copy_batch=True)
+    corpus_ds = docs.map_batches(_side(False), batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    pairs = minhash_cross_pairs(new_ds, corpus_ds, threshold=0.6)
+    tbl = concat_shaped(pairs, "left_doc",
+                        empty_schema=pa.schema(
+                            [("left_doc", pa.int64()),
+                             ("right_doc", pa.int64()),
+                             ("jaccard", pa.float64())]))
+    df = tbl.to_pandas().rename(columns={"left_doc": "new_doc",
+                                         "right_doc": "corpus_doc"})
+    if len(df):
+        df["jaccard_e4"] = np.floor(df["jaccard"] * 10000.0)
+        df = df.drop(columns=["jaccard"])
+        df = _i64(df, ["new_doc", "corpus_doc", "jaccard_e4"])
+        df = df.sort_values(["new_doc", "corpus_doc"]).reset_index(drop=True)
+    else:
+        df = df.rename(columns={"jaccard": "jaccard_e4"})
+        df["jaccard_e4"] = df["jaccard_e4"].astype("int64")
+    return df
+
+
 def d_curation_pipeline(sf_dir):
     """END-TO-END composed curation flow — value-checked as one unit:
     redact → Gopher repetition filter → exact dedup keep-first →
@@ -2898,6 +2955,7 @@ def build_queries() -> dict:
         # 50-cap — rotate into the window next round)
         "d_dedup_best": d_dedup_best,
         "d_cross_dedup": d_cross_dedup,
+        "d_cross_dedup_lsh": d_cross_dedup_lsh,
         "d_curation_pipeline": d_curation_pipeline,
         # rows-only (non-SQL-expressible)
         "emb_kmeans": emb_kmeans,
@@ -2914,7 +2972,7 @@ def build_queries() -> dict:
         "media_frames": media_frames,
     }
     first50 = list(q)[:50]
-    assert len(q) == 94 and all(n in build_oracles() for n in first50), \
+    assert len(q) == 95 and all(n in build_oracles() for n in first50), \
         "driver checks only the first 50 keys — keep them oracle-backed"
     return q
 
@@ -3236,6 +3294,39 @@ SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
        round(jac, 4) AS jaccard
 FROM j WHERE jac >= 0.6
 ORDER BY doc_a, doc_b
+""",
+        # LSH cross-corpus variant: the same shingle CTE restricted to
+        # cross-side pairs (new = doc_id % 7 == 0); equality holds by the
+        # d_minhash_pairs recall argument (exact verify + recall 1.0 at
+        # the fixture's J >= 0.92 planted near-dups).
+        "d_cross_dedup_lsh": r"""
+WITH d AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+  FROM documents
+),
+idx AS (SELECT CAST(i AS INT) AS i FROM generate_series(1, 4096) g(i)),
+sh AS (
+  SELECT DISTINCT doc_id, substr(t, i, 5) AS s
+  FROM d JOIN idx ON idx.i <= greatest(1, length(d.t) - 4)
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS new_doc, b.doc_id AS corpus_doc, count(*) AS isz
+  FROM sh a JOIN sh b ON a.s = b.s
+  WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT new_doc, corpus_doc, isz * 1.0 / (ca.n + cb.n - isz) AS jac
+  FROM inter
+  JOIN cnt ca ON ca.doc_id = inter.new_doc
+  JOIN cnt cb ON cb.doc_id = inter.corpus_doc
+)
+SELECT CAST(new_doc AS BIGINT) AS new_doc,
+       CAST(corpus_doc AS BIGINT) AS corpus_doc,
+       CAST(floor(jac * 10000) AS BIGINT) AS jaccard_e4
+FROM j WHERE jac >= 0.6
+ORDER BY new_doc, corpus_doc
 """,
         # Exact all-pairs word-TRIGRAM Jaccard at threshold 0.5 — the
         # engine's prefix-filter candidate generation has recall exactly
