@@ -509,7 +509,8 @@ def minhash_duplicate_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
                             k: int = 5, threshold: float = 0.7,
                             concurrency=(1, 8), cap: int = 50,
                             broadcast_threshold: int = 2_000_000,
-                            cross_sign_only: bool = False):
+                            cross_sign_only: bool = False,
+                            collect_threshold: int = 5_000_000):
     """documents → verified near-duplicate pairs Dataset
     (doc_a, doc_b, jaccard).
 
@@ -545,7 +546,8 @@ def minhash_duplicate_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
     exploded = _only_colliding_buckets(exploded, "band_key")
     cands = _dedup_pairs(_partitioned_pairs(
         exploded, "band_key", cap, "minhash",
-        cross_sign_only=cross_sign_only))
+        cross_sign_only=cross_sign_only),
+        collect_threshold=collect_threshold)
 
     def _verify_rows(doc_a, doc_b, text_a, text_b) -> pd.DataFrame:
         out = {"doc_a": [], "doc_b": [], "jaccard": []}
@@ -837,7 +839,8 @@ def _gram_df_probe(grams_i64: np.ndarray, dfref, token: str) -> np.ndarray:
 def word_ngram_duplicate_pairs(docs_ds, n: int = 3, threshold: float = 0.5,
                                broadcast_threshold: int = 2_000_000,
                                max_common: int = 4_000_000,
-                               cross_sign_only: bool = False):
+                               cross_sign_only: bool = False,
+                               collect_threshold: int = 5_000_000):
     """documents → EXACT word-n-gram Jaccard near-dup pairs Dataset
     (doc_a, doc_b, jaccard) — the dedup family's n-gram Jaccard member.
 
@@ -933,7 +936,8 @@ def word_ngram_duplicate_pairs(docs_ds, n: int = 3, threshold: float = 0.5,
         _partitioned_pairs(exploded, "gram_key", 0, "wordgram",
                            lens_col="glen", pos_col="gpos",
                            threshold=threshold,
-                           cross_sign_only=cross_sign_only), threshold)
+                           cross_sign_only=cross_sign_only), threshold,
+        collect_threshold=collect_threshold)
 
     if docs_ds.count() <= broadcast_threshold:
         import pyarrow.compute as pc

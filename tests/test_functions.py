@@ -253,6 +253,32 @@ def test_minhash_cross_pairs_matches_filtered_selfjoin(ray_session):
     assert len(full) > len(want)
 
 
+def test_pair_dedup_distributed_branch_matches_driver_branch(ray_session):
+    """collect_threshold=0 forces the >5M-pair DISTRIBUTED pair-dedup
+    paths (minhash: groupby+Count; wordgram: groupby+Min×4 then the
+    positional filter) — the branch production runs at scale but the
+    fixture never reaches.  Must equal the driver-collect branch."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.dedup_docs import (
+        minhash_duplicate_pairs, word_ngram_duplicate_pairs)
+
+    for fn, kw in ((word_ngram_duplicate_pairs, {"n": 3}),
+                   (minhash_duplicate_pairs, {})):
+        small = (fn(rd.from_arrow(_near_dup_docs()), threshold=0.3, **kw)
+                 .to_pandas().sort_values(["doc_a", "doc_b"])
+                 .reset_index(drop=True))
+        dist = (fn(rd.from_arrow(_near_dup_docs()), threshold=0.3,
+                   collect_threshold=0, **kw)
+                .to_pandas().sort_values(["doc_a", "doc_b"])
+                .reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            dist[["doc_a", "doc_b", "jaccard"]],
+            small[["doc_a", "doc_b", "jaccard"]])
+        assert len(small) > 0
+
+
 def test_cross_pairs_empty_side(ray_session):
     """An empty new-batch (or corpus) side must yield zero pairs, not
     crash — the incremental-dedup steady state is often 'nothing new'."""

@@ -124,3 +124,25 @@ def test_attempts_report_tables_null_start_ts(ray_session):
     assert ys["all"] == (1, 1)
     # the good conv lands in its hour; the NaT conv must not crash the path
     assert len(small["hourly"]) >= 1
+
+
+def test_mb_results_bucketed_path_matches_collect_path(pipeline):
+    """collect_threshold=0 forces the >5M-row BUCKETED mb_results path
+    (hash(panel_serial) buckets, same vectorized body per bucket) — the
+    branch production runs at scale but the fixture never reaches.
+    Row-set equality vs the collect path."""
+    import pandas as pd
+
+    from ict_log_parser_ray.pipelines.reports import mb_results
+
+    cols = ["panel_serial", "att_rank", "start_ts", "panel_result",
+            "boards"]
+    fast = (mb_results(pipeline["attempts"]).to_pandas()[cols]
+            .sort_values(["panel_serial", "att_rank"])
+            .reset_index(drop=True))
+    dist = (mb_results(pipeline["attempts"], collect_threshold=0)
+            .to_pandas()[cols]
+            .sort_values(["panel_serial", "att_rank"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(dist, fast, check_dtype=False)
+    assert len(fast) > 0
