@@ -549,6 +549,23 @@ def minhash_duplicate_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
         cross_sign_only=cross_sign_only),
         collect_threshold=collect_threshold)
 
+    small = docs_ds.count() <= broadcast_threshold
+    return _minhash_attach_verify(cands,
+                                  docs_ds.select_columns(["doc_id",
+                                                          "text"]),
+                                  small, k, threshold,
+                                  broadcast_threshold)
+
+
+def _minhash_attach_verify(cands, texts, small: bool, k: int,
+                           threshold: float, broadcast_threshold: int):
+    """Candidate pairs + (doc_id, text) source → exact-shingle-Jaccard
+    verified (doc_a, doc_b, jaccard).  Shared by the self-join, the
+    bipartite wrappers and the persisted-index probe path."""
+    import ray
+
+    from ..stages.join import attach_lookup
+
     def _verify_rows(doc_a, doc_b, text_a, text_b) -> pd.DataFrame:
         out = {"doc_a": [], "doc_b": [], "jaccard": []}
         for da, db, ta, tb in zip(doc_a, doc_b, text_a, text_b):
@@ -559,8 +576,7 @@ def minhash_duplicate_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
                 out["jaccard"].append(jac)
         return pd.DataFrame(out)
 
-    texts = docs_ds.select_columns(["doc_id", "text"])
-    if docs_ds.count() <= broadcast_threshold:
+    if small:
         # small corpus: ONE broadcast (doc_id → text) table probed twice
         # inside a single fused attach+verify stage — the previous two
         # attach_lookup passes each re-scanned and re-broadcast the same
@@ -622,6 +638,150 @@ def minhash_duplicate_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
                             df["text_a"], df["text_b"])
 
     return withb.map_batches(verify, batch_format="pandas")
+
+
+_MINHASH_INDEX_VERSION = 1
+
+
+def write_minhash_index(docs_ds, index_dir: str, num_perm: int = 64,
+                        bands: int = 16, k: int = 5, seed: int = 42,
+                        nbuckets: int = 64) -> None:
+    """Persist the corpus side of the incremental near-dup join:
+    the payload-free ``(band_key, doc_id)`` explosion hive-partitioned
+    by ``bucket = hash(band_key) % nbuckets``.
+
+    The incremental-crawl steady state computes corpus signatures ONCE;
+    each new batch then explodes only ITS OWN signatures and reads only
+    the bucket partitions its band keys touch (mirrors
+    ``similarity.write_ivf_index`` — the IVF family's persisted layout,
+    including build-fresh semantics and the _SUCCESS-marker-last
+    contract).  Signature params ride in ``_params.json``; the probe
+    path refuses nothing — it simply recreates the hasher from the
+    stored params so band keys are bit-identical."""
+    import json
+    import os
+    import shutil
+
+    import ray.data as rd  # noqa: F401  (documented dependency)
+
+    from ..stages.bloom import _M1, _mix
+
+    def _explode(df: pd.DataFrame) -> pd.DataFrame:
+        out = MinHasher(num_perm=num_perm, bands=bands, k=k, seed=seed)(df)
+        bk = out["band_key"].to_numpy(np.int64)
+        out["bucket"] = (_mix(bk.astype(np.uint64), _M1)
+                         % np.uint64(nbuckets)).astype(np.int32)
+        return out
+
+    shutil.rmtree(index_dir, ignore_errors=True)
+    (docs_ds.map_batches(_explode, batch_format="pandas")
+     .write_parquet(index_dir, partition_cols=["bucket"]))
+    with open(os.path.join(index_dir, "_params.json"), "w") as f:
+        json.dump({"version": _MINHASH_INDEX_VERSION, "num_perm": num_perm,
+                   "bands": bands, "k": k, "seed": seed,
+                   "nbuckets": nbuckets}, f)
+    with open(os.path.join(index_dir, "_SUCCESS"), "w") as f:
+        f.write("ok")
+
+
+def minhash_index_complete(index_dir: str) -> bool:
+    import os
+
+    return os.path.isfile(os.path.join(index_dir, "_SUCCESS"))
+
+
+def touched_bucket_dirs(index_dir: str, band_keys: np.ndarray,
+                        nbuckets: int) -> list:
+    """The bucket partition directories a new batch must read — and
+    nothing else (tested like the IVF probed-partition contract)."""
+    import os
+
+    from ..stages.bloom import _M1, _mix
+
+    buckets = np.unique(_mix(band_keys.astype(np.uint64), _M1)
+                        % np.uint64(nbuckets)).astype(np.int64)
+    dirs = [os.path.join(index_dir, f"bucket={b}") for b in buckets]
+    return [d for d in dirs if os.path.isdir(d)]
+
+
+def minhash_cross_pairs_indexed(new_ds, index_dir: str, corpus_texts_ds,
+                                threshold: float = 0.7, cap: int = 50,
+                                broadcast_threshold: int = 2_000_000,
+                                collect_threshold: int = 5_000_000):
+    """Incremental near-dup probe against a persisted band index →
+    Dataset (left_doc=new, right_doc=corpus, jaccard).
+
+    The new batch's signatures are computed fresh (its ids sign-encoded
+    negative); the corpus contributes ONLY the pre-exploded
+    ``(band_key, doc_id)`` rows of the buckets the new batch touches —
+    no corpus signature recompute, no scan of unhit buckets.
+    ``corpus_texts_ds`` supplies (doc_id, text) for the exact-Jaccard
+    verify of the surviving candidates (text is fetched per candidate
+    pair, never shuffled with the bands)."""
+    import glob
+    import json
+    import os
+
+    import ray
+
+    from ..stages.bloom import _M1, _mix  # noqa: F401
+    from .similarity import sized_read_parquet
+
+    if not minhash_index_complete(index_dir):
+        raise FileNotFoundError(f"minhash index at {index_dir} incomplete "
+                                "(no _SUCCESS) — rebuild")
+    with open(os.path.join(index_dir, "_params.json")) as f:
+        p = json.load(f)
+
+    neg1 = pa.scalar(-1, pa.int64())
+
+    def _enc(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = pc.cast(t["doc_id"], pa.int64())
+        if t.num_rows and pc.min(ids).as_py() < 0:
+            raise ValueError("cross-pair joins require doc_id >= 0")
+        return pa.table({"doc_id": pc.subtract(neg1, ids),
+                         "text": t["text"]})
+
+    new_enc = new_ds.select_columns(["doc_id", "text"]).map_batches(
+        _enc, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _explode(df: pd.DataFrame) -> pd.DataFrame:
+        return MinHasher(num_perm=p["num_perm"], bands=p["bands"],
+                         k=p["k"], seed=p["seed"])(df)
+
+    new_rows = (new_enc.map_batches(_explode, batch_format="pandas")
+                .materialize())
+
+    from ..blocks import concat_shaped
+    bk = concat_shaped(new_rows, "band_key",
+                       empty_schema=pa.schema([("band_key", pa.int64()),
+                                               ("doc_id", pa.int64())])
+                       )["band_key"].to_numpy()
+    dirs = touched_bucket_dirs(index_dir, bk, p["nbuckets"])
+    files = [f for d in dirs
+             for f in sorted(glob.glob(os.path.join(d, "*.parquet")))]
+    import ray.data as rd
+    idx_rows = sized_read_parquet(files, columns=["band_key", "doc_id"]) \
+        if files else rd.from_arrow(pa.schema(
+            [("band_key", pa.int64()), ("doc_id", pa.int64())])
+            .empty_table())
+
+    exploded = _only_colliding_buckets(new_rows.union(idx_rows),
+                                       "band_key")
+    cands = _dedup_pairs(_partitioned_pairs(
+        exploded, "band_key", cap, "minhash-indexed",
+        cross_sign_only=True), collect_threshold=collect_threshold)
+
+    texts = _sign_encode_union(new_ds, corpus_texts_ds)
+    small = (new_ds.count() + corpus_texts_ds.count()
+             <= broadcast_threshold)
+    if small:
+        texts = texts.materialize()
+    pairs = _minhash_attach_verify(cands, texts, small, p["k"], threshold,
+                                   broadcast_threshold)
+    return _decode_cross_pairs(pairs)
 
 
 def _pair_frame(out: dict) -> pd.DataFrame:

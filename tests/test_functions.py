@@ -279,6 +279,48 @@ def test_pair_dedup_distributed_branch_matches_driver_branch(ray_session):
         assert len(small) > 0
 
 
+def test_minhash_index_probe_matches_direct(ray_session, tmp_path):
+    """Persisted band index: probing new docs against the written corpus
+    index must equal the direct (recompute-everything) bipartite join —
+    and must read ONLY the bucket partitions the new batch touches."""
+    import os
+
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.dedup_docs import (
+        MinHasher, minhash_cross_pairs, minhash_cross_pairs_indexed,
+        touched_bucket_dirs, write_minhash_index)
+
+    docs = _near_dup_docs()
+    left_ids = {0, 2, 4}
+    lm = pa.array([i in left_ids for i in docs["doc_id"].to_pylist()])
+    import pyarrow.compute as pc
+    new = rd.from_arrow(docs.filter(lm))
+    corpus = rd.from_arrow(docs.filter(pc.invert(lm)))
+
+    idx = str(tmp_path / "mh_index")
+    write_minhash_index(corpus, idx, nbuckets=64)
+    assert os.path.isfile(os.path.join(idx, "_SUCCESS"))
+
+    got = (minhash_cross_pairs_indexed(new, idx, corpus, threshold=0.3)
+           .to_pandas())
+    want = minhash_cross_pairs(new, corpus, threshold=0.3).to_pandas()
+    key = lambda df: sorted((int(r.left_doc), int(r.right_doc),
+                             round(r.jaccard, 9))
+                            for r in df.itertuples())
+    assert key(got) == key(want) and len(want) > 0
+
+    # pruning contract: one doc touches <= bands buckets, fewer than the
+    # corpus occupies
+    h = MinHasher()
+    import pandas as pd
+    bk = h(pd.DataFrame({"doc_id": [0],
+                         "text": [docs["text"][0].as_py()]}))
+    dirs = touched_bucket_dirs(idx, bk["band_key"].to_numpy(), 64)
+    total = len([d for d in os.listdir(idx) if d.startswith("bucket=")])
+    assert 0 < len(dirs) <= 16 < total
+
+
 def test_cross_pairs_empty_side(ray_session):
     """An empty new-batch (or corpus) side must yield zero pairs, not
     crash — the incremental-dedup steady state is often 'nothing new'."""
