@@ -690,6 +690,43 @@ def minhash_index_complete(index_dir: str) -> bool:
     return os.path.isfile(os.path.join(index_dir, "_SUCCESS"))
 
 
+def append_minhash_index(docs_ds, index_dir: str) -> None:
+    """Append a (deduped) new batch to an existing band index — the
+    incremental-crawl steady state's write half: probe the batch
+    (``minhash_cross_pairs_indexed``), drop its near-dups, then append
+    the keepers so the NEXT batch dedups against them too.
+
+    Uses the stored params so band keys stay bit-identical with the
+    original build.  ``write_parquet`` adds uniquely-named files into
+    the existing bucket dirs; a RETRIED append after a crash may
+    duplicate rows, which is harmless for probing — candidate pairs are
+    deduped on (doc_a, doc_b) — costing only the duplicate rows' IO
+    until the next full rebuild.  Appending ids already present is the
+    caller's bug (probe results would pair a doc with itself's text —
+    filtered by the sign mask only across sides)."""
+    import json
+    import os
+
+    from ..stages.bloom import _M1, _mix
+
+    if not minhash_index_complete(index_dir):
+        raise FileNotFoundError(f"minhash index at {index_dir} incomplete "
+                                "(no _SUCCESS) — build it first")
+    with open(os.path.join(index_dir, "_params.json")) as f:
+        p = json.load(f)
+
+    def _explode(df: pd.DataFrame) -> pd.DataFrame:
+        out = MinHasher(num_perm=p["num_perm"], bands=p["bands"],
+                        k=p["k"], seed=p["seed"])(df)
+        bk = out["band_key"].to_numpy(np.int64)
+        out["bucket"] = (_mix(bk.astype(np.uint64), _M1)
+                         % np.uint64(p["nbuckets"])).astype(np.int32)
+        return out
+
+    (docs_ds.map_batches(_explode, batch_format="pandas")
+     .write_parquet(index_dir, partition_cols=["bucket"]))
+
+
 def touched_bucket_dirs(index_dir: str, band_keys: np.ndarray,
                         nbuckets: int) -> list:
     """The bucket partition directories a new batch must read — and

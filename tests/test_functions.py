@@ -321,6 +321,54 @@ def test_minhash_index_probe_matches_direct(ray_session, tmp_path):
     assert 0 < len(dirs) <= 16 < total
 
 
+def test_minhash_index_incremental_cycle(ray_session, tmp_path):
+    """Full incremental loop: build(corpus) → probe(batch1) →
+    append(batch1) → probe(batch2) must equal the direct bipartite join
+    of batch2 vs corpus ∪ batch1.  Also: probing a missing/incomplete
+    index raises instead of silently returning nothing."""
+    import os
+
+    import pyarrow.compute as pc
+    import pytest
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.dedup_docs import (
+        append_minhash_index, minhash_cross_pairs,
+        minhash_cross_pairs_indexed, write_minhash_index)
+
+    docs = _near_dup_docs()
+    ids = docs["doc_id"].to_pylist()
+    m_corpus = pa.array([i in {1, 3} for i in ids])
+    m_b1 = pa.array([i in {0, 4} for i in ids])        # 0 near-dups 1
+    m_b2 = pa.array([i in {2, 5} for i in ids])        # 2,5 near-dup 0/1
+    corpus = rd.from_arrow(docs.filter(m_corpus))
+    b1 = rd.from_arrow(docs.filter(m_b1))
+    b2 = rd.from_arrow(docs.filter(m_b2))
+
+    idx = str(tmp_path / "mh_inc")
+    with pytest.raises(FileNotFoundError):
+        minhash_cross_pairs_indexed(b1, idx, corpus, threshold=0.3)
+    write_minhash_index(corpus, idx, nbuckets=64)
+
+    p1 = minhash_cross_pairs_indexed(b1, idx, corpus,
+                                     threshold=0.3).to_pandas()
+    w1 = minhash_cross_pairs(b1, corpus, threshold=0.3).to_pandas()
+    key = lambda df: sorted((int(r.left_doc), int(r.right_doc),
+                             round(r.jaccard, 9)) for r in df.itertuples())
+    assert key(p1) == key(w1) and len(w1) > 0
+
+    append_minhash_index(b1, idx)
+    big_corpus = rd.from_arrow(docs.filter(pc.or_(m_corpus, m_b1)))
+    p2 = minhash_cross_pairs_indexed(b2, idx, big_corpus,
+                                     threshold=0.3).to_pandas()
+    w2 = minhash_cross_pairs(b2, big_corpus, threshold=0.3).to_pandas()
+    assert key(p2) == key(w2) and len(w2) > 0
+    # batch2 must see BOTH generations: a corpus-built match and an
+    # appended-batch1 match
+    rights = {int(r) for r in p2["right_doc"]}
+    assert rights & {1, 3} and rights & {0, 4}
+
+
 def test_cross_pairs_empty_side(ray_session):
     """An empty new-batch (or corpus) side must yield zero pairs, not
     crash — the incremental-dedup steady state is often 'nothing new'."""
