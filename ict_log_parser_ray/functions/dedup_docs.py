@@ -791,12 +791,30 @@ def minhash_cross_pairs_indexed(new_ds, index_dir: str, corpus_texts_ds,
     new_rows = (new_enc.map_batches(_explode, batch_format="pandas")
                 .materialize())
 
-    from ..blocks import concat_shaped
-    bk = concat_shaped(new_rows, "band_key",
-                       empty_schema=pa.schema([("band_key", pa.int64()),
-                                               ("doc_id", pa.int64())])
-                       )["band_key"].to_numpy()
-    dirs = touched_bucket_dirs(index_dir, bk, p["nbuckets"])
+    # touched buckets via per-block distinct-bucket tasks: the driver
+    # sees only bucket ids (≤ nbuckets ints per block), never the
+    # O(batch × bands) band-key stream itself
+    nbuckets = p["nbuckets"]
+
+    @ray.remote
+    def _touched(t) -> np.ndarray:
+        if not isinstance(t, pa.Table) or \
+                "band_key" not in t.schema.names or t.num_rows == 0:
+            return np.empty(0, np.int64)
+        bk = t["band_key"]
+        if isinstance(bk, pa.ChunkedArray):
+            bk = bk.combine_chunks()
+        return np.unique(
+            _mix(bk.to_numpy(zero_copy_only=False).astype(np.uint64), _M1)
+            % np.uint64(nbuckets)).astype(np.int64)
+
+    from ..blocks import arrow_refs
+    parts = ray.get([_touched.remote(r) for r in arrow_refs(new_rows)])
+    buckets = (np.unique(np.concatenate(parts)) if parts
+               else np.empty(0, np.int64))
+    dirs = [d for d in
+            (os.path.join(index_dir, f"bucket={b}") for b in buckets)
+            if os.path.isdir(d)]
     files = [f for d in dirs
              for f in sorted(glob.glob(os.path.join(d, "*.parquet")))]
     import ray.data as rd
