@@ -375,6 +375,27 @@ def ivf_index_complete(index_dir: str) -> bool:
     return os.path.isfile(os.path.join(index_dir, "_SUCCESS"))
 
 
+def append_ivf_index(emb_ds, index_dir: str,
+                     vec_col: str = "embedding") -> None:
+    """Append new vectors to an existing IVF index — the incremental
+    write half (cf. ``append_minhash_index``): new rows are assigned
+    with the SAVED centroids (no re-train, so existing partitions stay
+    valid) and written into the partition dirs; ``write_parquet`` adds
+    uniquely-named files, so a retried append duplicates rows — top-k
+    results then repeat an id rather than corrupting, and a periodic
+    rebuild (``write_ivf_index``) is the compaction path.  Appending
+    shifts the true centroids over time; recall degrades gracefully and
+    the rebuild restores it (standard IVF practice)."""
+    import os
+
+    if not ivf_index_complete(index_dir):
+        raise FileNotFoundError(f"IVF index at {index_dir} incomplete "
+                                "(no _SUCCESS) — build it first")
+    model = load_ivf_model(index_dir)
+    assigned = ivf_assign(emb_ds, model, vec_col=vec_col)
+    assigned.write_parquet(index_dir, partition_cols=["cluster"])
+
+
 def load_ivf_model(index_dir: str) -> _KMeans:
     import os
 

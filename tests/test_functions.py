@@ -555,6 +555,39 @@ def test_ivf_index_reads_only_probed_partitions(ray_session, tmp_path):
     assert full["vec_id"].to_pylist() == exact["vec_id"].to_pylist()
 
 
+def test_ivf_index_append_cycle(ray_session, tmp_path):
+    """Incremental IVF: build(base) → append(new) → full-probe == exact
+    brute force over base ∪ new (saved centroids re-used, no re-train).
+    Appending to an incomplete index raises."""
+    import pytest
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.similarity import (
+        append_ivf_index, knn_bruteforce, knn_ivf, write_ivf_index)
+
+    rng = np.random.default_rng(11)
+    emb = rng.normal(size=(300, 16)).astype(np.float32)
+
+    def mk(lo, hi):
+        return rd.from_arrow(pa.table({
+            "vec_id": pa.array(range(lo, hi), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in emb[lo:hi]],
+                                  pa.list_(pa.float32()))}))
+
+    base, new = mk(0, 200), mk(200, 300)
+    idx = str(tmp_path / "ivf_inc")
+    with pytest.raises(FileNotFoundError):
+        append_ivf_index(new, idx)
+    write_ivf_index(base, idx, nlist=8)
+    append_ivf_index(new, idx)
+
+    q = emb[250]                      # an appended vector must be findable
+    full = knn_ivf(None, q, k=5, nprobe=8, index_dir=idx)
+    exact = knn_bruteforce(mk(0, 300), q, k=5)
+    assert full["vec_id"].to_pylist() == exact["vec_id"].to_pylist()
+    assert 250 in full["vec_id"].to_pylist()
+
+
 def test_embedding_near_dup_tiling_no_pair_loss(ray_session):
     """A cluster larger than the tile size must still yield every pair
     (round 1 truncated at a cap and silently dropped pairs)."""
