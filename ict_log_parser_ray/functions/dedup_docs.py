@@ -839,6 +839,48 @@ def minhash_cross_pairs_indexed(new_ds, index_dir: str, corpus_texts_ds,
     return _decode_cross_pairs(pairs)
 
 
+def incremental_dedup_batch(new_ds, index_dir: str, corpus_texts_ds,
+                            threshold: float = 0.7, cap: int = 50,
+                            broadcast_threshold: int = 2_000_000):
+    """One full incremental-crawl dedup cycle: probe the new batch
+    against the persisted band index, DROP new docs that near-duplicate
+    the corpus, APPEND the survivors to the index, and return them.
+
+    Returns ``(kept_ds, dropped_ids)`` — kept_ds is the curated batch
+    (same schema as ``new_ds``), dropped_ids a sorted int64 numpy array
+    of the new doc ids that matched the corpus.  Within-batch
+    duplicates are NOT handled here — run ``exact_duplicate_groups`` /
+    the self-join on the batch first (documented contract; a batch is
+    tiny relative to the corpus, so that step is cheap).  The append
+    happens only after the kept set is computed, so a crash mid-cycle
+    can be retried from the top: re-probing is read-only and a retried
+    append is result-idempotent (see ``append_minhash_index``)."""
+    import ray
+
+    pairs = minhash_cross_pairs_indexed(
+        new_ds, index_dir, corpus_texts_ds, threshold=threshold, cap=cap,
+        broadcast_threshold=broadcast_threshold)
+    from ..blocks import concat_shaped
+    ptbl = concat_shaped(pairs, "left_doc",
+                         empty_schema=_CROSS_PAIR_SCHEMA)
+    dropped = np.unique(ptbl["left_doc"].to_numpy(zero_copy_only=False)
+                        .astype(np.int64))
+    dref = ray.put(pa.array(dropped, pa.int64()))
+
+    def _keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0:
+            return t
+        ids = pc.cast(t["doc_id"], pa.int64())
+        return t.filter(pc.invert(pc.is_in(ids, value_set=ray.get(dref))))
+
+    kept = new_ds.map_batches(_keep, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    append_minhash_index(kept, index_dir)
+    return kept, dropped
+
+
 def _pair_frame(out: dict) -> pd.DataFrame:
     """Typed (doc_a, doc_b, jaccard) frame — an empty dict-of-lists frame
     defaults every column to float64, which flips the output block schema

@@ -369,6 +369,41 @@ def test_minhash_index_incremental_cycle(ray_session, tmp_path):
     assert rights & {1, 3} and rights & {0, 4}
 
 
+def test_incremental_dedup_batch_cycle(ray_session, tmp_path):
+    """The one-call cycle: batch1's corpus-dup is dropped and survivors
+    appended, so batch2's dup-of-a-batch1-survivor is then dropped too;
+    clean docs always pass."""
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.dedup_docs import (
+        incremental_dedup_batch, write_minhash_index)
+
+    docs = _near_dup_docs()
+    ids = docs["doc_id"].to_pylist()
+
+    def sub(keep):
+        return rd.from_arrow(docs.filter(
+            pa.array([i in keep for i in ids])))
+
+    corpus = sub({1})                 # base corpus: one doc
+    b1 = sub({0, 3})                  # 0 dups corpus-1; 3 is clean
+    b2 = sub({2, 4})                  # 2 near-dups 0/1; 4 is clean
+
+    idx = str(tmp_path / "mh_cycle")
+    write_minhash_index(corpus, idx, nbuckets=64)
+
+    kept1, dropped1 = incremental_dedup_batch(b1, idx, corpus,
+                                              threshold=0.3)
+    assert list(dropped1) == [0]
+    assert sorted(r["doc_id"] for r in kept1.take_all()) == [3]
+
+    corpus2 = sub({1, 3})             # corpus ∪ kept1
+    kept2, dropped2 = incremental_dedup_batch(b2, idx, corpus2,
+                                              threshold=0.3)
+    assert list(dropped2) == [2]
+    assert sorted(r["doc_id"] for r in kept2.take_all()) == [4]
+
+
 def test_cross_pairs_empty_side(ray_session):
     """An empty new-batch (or corpus) side must yield zero pairs, not
     crash — the incremental-dedup steady state is often 'nothing new'."""
