@@ -2879,14 +2879,17 @@ def build_queries() -> dict:
         # round 2 (VERDICT r2 item 1).  Everything below stays covered by
         # tests/test_driver_oracle.py regardless of position.
         # ------------------------------------------------------------------
-        # round-2's never-driver-checked oracle-backed set (slots 19-38)
-        "d_char_stats": d_char_stats,
-        "d_exact_dups": d_exact_dups,
+        # round-2's never-driver-checked oracle-backed set (d_char_stats /
+        # d_exact_dups / emb_knn were ALREADY green in CORRECTNESS_r01, so
+        # they rotate below the cap in favor of the three late-round-3
+        # queries that have never had an external row: d_curation_pipeline,
+        # d_cross_dedup, d_dedup_best.  d_minhash_pairs stays — its r01 row
+        # was `no_oracle` (rows-only back then), so it has never been
+        # VALUE-checked externally.
         "d_quality": d_quality,
         "d_minhash_pairs": d_minhash_pairs,
         "d_dup_clusters": d_dup_clusters,
         "d_dedup_keep": d_dedup_keep,
-        "emb_knn": emb_knn,
         "emb_knn_ivf_full": emb_knn_ivf_full,
         "emb_near_dups_exact": emb_near_dups_exact,
         "media_digest": media_digest_q,
@@ -2918,11 +2921,19 @@ def build_queries() -> dict:
         "d_chunks": d_chunks,
         "d_pack": d_pack,
         "d_repetition": d_repetition,
+        # late-round-3 never-externally-checked set (swapped in for the
+        # r01-green d_char_stats / d_exact_dups / emb_knn)
+        "d_curation_pipeline": d_curation_pipeline,
+        "d_cross_dedup": d_cross_dedup,
+        "d_dedup_best": d_dedup_best,
         # --------------------- past the driver's 50-cap -------------------
         # (all still value-checked in-repo by tests/test_driver_oracle.py;
         # d_tfidf_top_terms + the slot-44-50 r02-green set rotated below
         # the cap for the never-externally-checked round-3 queries)
         "q1_lineitem": q1_lineitem,
+        "d_char_stats": d_char_stats,
+        "d_exact_dups": d_exact_dups,
+        "emb_knn": emb_knn,
         "q_priority_revenue": q_priority_revenue,
         "q_anti_bloom_big": q_anti_bloom_big,
         "q_cube_revenue": q_cube_revenue,
@@ -2951,12 +2962,10 @@ def build_queries() -> dict:
         "q_region_brand_revenue": q_region_brand_revenue,
         "d_lang_eval": d_lang_eval,
         "e_mode_hour": e_mode_hour,
-        # round-3 curation-wave remainder (oracle-backed; below the
-        # 50-cap — rotate into the window next round)
-        "d_dedup_best": d_dedup_best,
-        "d_cross_dedup": d_cross_dedup,
+        # LSH scale path of d_cross_dedup: its exact twin holds the window
+        # slot; the minhash machinery is value-checked in-window via
+        # d_minhash_pairs and in-repo via test_driver_oracle
         "d_cross_dedup_lsh": d_cross_dedup_lsh,
-        "d_curation_pipeline": d_curation_pipeline,
         # rows-only (non-SQL-expressible)
         "emb_kmeans": emb_kmeans,
         "d_top_tokens_approx": d_top_tokens_approx,
