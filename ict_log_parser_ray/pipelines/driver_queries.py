@@ -1256,6 +1256,20 @@ def e_sessions(sf_dir):
                                   gap_us=1_800_000_000)
 
 
+def e_gaps(sf_dir):
+    """Per-user inter-arrival gap statistics (lead/lag delta family):
+    count, sum and max of consecutive event gaps ordered by (ts,
+    event_id).  Sum and count are mergeable from min/max/count partials;
+    MAX gap is not — it forces the per-key ordered co-location that
+    ``interarrival_partitioned`` provides (see its docstring)."""
+    from ..stages.temporal import interarrival_partitioned
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts"])
+    return interarrival_partitioned(ds, key="user_id", ts="ts",
+                                    idc="event_id")
+
+
 def e_hash_sample(sf_dir):
     """Deterministic hash-based 10% sample over events: a stateless per-row
     predicate ((id·2654435761) mod 2³² < 0.1·2³²) that any engine can
@@ -2962,6 +2976,7 @@ def build_queries() -> dict:
         "q_region_brand_revenue": q_region_brand_revenue,
         "d_lang_eval": d_lang_eval,
         "e_mode_hour": e_mode_hour,
+        "e_gaps": e_gaps,
         # LSH scale path of d_cross_dedup: its exact twin holds the window
         # slot; the minhash machinery is value-checked in-window via
         # d_minhash_pairs and in-repo via test_driver_oracle
@@ -2981,7 +2996,7 @@ def build_queries() -> dict:
         "media_frames": media_frames,
     }
     first50 = list(q)[:50]
-    assert len(q) == 95 and all(n in build_oracles() for n in first50), \
+    assert len(q) == 96 and all(n in build_oracles() for n in first50), \
         "driver checks only the first 50 keys — keep them oracle-backed"
     return q
 
@@ -3780,6 +3795,19 @@ WITH o AS (
 SELECT user_id, min(us) AS session_start, max(us) AS session_end,
        count(*) AS n_events
 FROM s GROUP BY user_id, sid
+""",
+        "e_gaps": """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       count(*) AS n_gaps,
+       CAST(sum(gap) AS BIGINT) AS sum_gap_us,
+       CAST(max(gap) AS BIGINT) AS max_gap_us
+FROM g WHERE gap IS NOT NULL GROUP BY 1
 """,
     })
     return sql

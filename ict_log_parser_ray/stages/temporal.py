@@ -510,6 +510,81 @@ def sessionize_partitioned(ds, key: str, ts: str, idc: str,
         for p in range(nparts)])
 
 
+_GAP_SCHEMA_COLS = ("n_gaps", "sum_gap_us", "max_gap_us")
+
+
+@ray.remote
+def _gap_part(p: int, refs, key: str, ts: str, idc: str) -> pa.Table:
+    """Inter-arrival stats for one hash partition: lexsort (key, ts, id),
+    consecutive same-key deltas, segment count/sum/max per key — all
+    numpy, no per-row Python."""
+    empty = pa.table({key: pa.array([], pa.int64()),
+                      "n_gaps": pa.array([], pa.int64()),
+                      "sum_gap_us": pa.array([], pa.int64()),
+                      "max_gap_us": pa.array([], pa.int64())})
+    tbls = _tagged(refs, p)
+    t = pa.concat_tables(tbls).combine_chunks() if tbls else None
+    if t is None or t.num_rows == 0:
+        return empty
+    k = _col_np(t, key)
+    tsv = _col_np(t, ts)
+    ids = _col_np(t, idc)
+    order = np.lexsort((ids, tsv, k))
+    k, tsv = k[order], tsv[order]
+    same = k[1:] == k[:-1]
+    if not same.any():
+        return empty
+    gaps = (tsv[1:] - tsv[:-1])[same]
+    gk = k[1:][same]
+    b = np.flatnonzero(np.r_[True, gk[1:] != gk[:-1]])
+    return pa.table({
+        key: pa.array(gk[b], pa.int64()),
+        "n_gaps": pa.array(np.diff(np.r_[b, gk.size]).astype(np.int64)),
+        "sum_gap_us": pa.array(np.add.reduceat(gaps, b), pa.int64()),
+        "max_gap_us": pa.array(np.maximum.reduceat(gaps, b), pa.int64()),
+    })
+
+
+def interarrival_partitioned(ds, key: str, ts: str, idc: str,
+                             nparts: int | None = None):
+    """Per-key inter-arrival (lead/lag delta) statistics ordered by
+    (ts, id): for each key with ≥2 events, the count, sum and max of
+    consecutive time gaps.  Keys with one event emit nothing (they have
+    no gap), matching SQL ``LAG ... WHERE gap IS NOT NULL``.
+
+    Why the partitioned-sort shape: count and SUM of consecutive gaps
+    are trivially mergeable (sum == last_ts − first_ts per key, count ==
+    n − 1), but **max gap is not** — it needs every key's events ordered
+    in one place, so this reuses the sessionize/running-sum machinery: a
+    narrow (part, key, ts, id) tagging pass, then nparts partition tasks
+    (lexsort + masked diff + segment reduceat).  Same int64-key
+    restriction as its siblings; gaps are int64 epoch-microseconds so
+    the SQL oracle comparison is hash-exact.  Returns a Dataset over the
+    partition outputs (one row per key — can rival the key count, never
+    driver-funneled)."""
+    if nparts is None:
+        ncpu = _ncpus()
+        nparts = max(4, min(ncpu, 32))
+
+    def tag(b: pa.Table) -> pa.Table:
+        kv = _col_np(b, key)
+        part = (kv.astype(np.uint64) % np.uint64(nparts)).astype(np.int64)
+        return pa.table({
+            "part": pa.array(part),
+            key: pa.array(kv, pa.int64()),
+            ts: pa.array(_col_np(b, ts), pa.int64()),
+            idc: pa.array(_col_np(b, idc), pa.int64()),
+        })
+
+    narrow = ds.map_batches(tag, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    refs = narrow.to_arrow_refs()
+    import ray.data as rd
+    return rd.from_arrow_refs([
+        _gap_part.remote(p, refs, key, ts, idc)
+        for p in range(nparts)])
+
+
 @ray.remote
 def _running_part(p: int, refs, key: str, ts: str, idc: str, val: str):
     tbls = _tagged(refs, p)

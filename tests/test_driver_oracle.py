@@ -71,7 +71,7 @@ ORACLE_NAMES = [
     "d_contamination", "q_customer_order_counts", "d_lang_mix",
     "d_wordgram_pairs", "d_redact", "d_boilerplate", "d_chunks",
     "d_pack", "d_repetition", "d_dedup_best", "d_cross_dedup",
-    "d_cross_dedup_lsh", "d_curation_pipeline",
+    "d_cross_dedup_lsh", "d_curation_pipeline", "e_gaps",
 ]
 
 

@@ -290,6 +290,35 @@ def test_sessionize_matches_pandas(ray_session):
     assert out["n_events"].sum() == n
 
 
+def test_interarrival_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from ict_log_parser_ray.stages.temporal import interarrival_partitioned
+
+    rng = np.random.default_rng(33)
+    n = 3000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 80, n).astype(np.int64),
+        "ts": rng.integers(0, 50_000, n).astype(np.int64),
+    })
+    # one singleton user (no gaps → must emit nothing)
+    df.loc[0, "user_id"] = 999
+    out = interarrival_partitioned(rd.from_pandas(df), key="user_id",
+                                   ts="ts", idc="event_id",
+                                   nparts=7).to_pandas()
+    ref_rows = []
+    for uid, g in df.sort_values(["ts", "event_id"]).groupby("user_id"):
+        gaps = np.diff(g["ts"].to_numpy())
+        if len(gaps):
+            ref_rows.append((uid, len(gaps), int(gaps.sum()),
+                             int(gaps.max())))
+    got = sorted(map(tuple, out[["user_id", "n_gaps", "sum_gap_us",
+                                 "max_gap_us"]].itertuples(index=False)))
+    assert got == sorted(ref_rows)
+    assert 999 not in set(out["user_id"])
+
+
 def test_sessionize_boundary_exact_gap(ray_session):
     import ray.data as rd
 
