@@ -431,3 +431,76 @@ def chunk_documents(docs_ds, size: int = 100, stride: int = 80):
         return d.to_pandas()
 
     return docs_ds.map_batches(_chunks, batch_format="pandas")
+
+
+_OVERLAP_SCHEMA = pa.schema([("doc_id", pa.int64()),
+                             ("n_grams", pa.int64()),
+                             ("n_overlap", pa.int64())])
+
+
+def ngram_overlap(corpus_ds, bench_ds, n: int = 3):
+    """Fuzzy benchmark-decontamination score: for each corpus document,
+    how many of its DISTINCT word-``n``-grams appear anywhere in the
+    benchmark set (``d_contamination``'s exact-substring scan misses
+    paraphrased/partial leaks; distinct-n-gram overlap is the standard
+    fuzzy variant — e.g. the GPT-3/PaLM 13-gram decontamination rule).
+    Returns ``(doc_id, n_grams, n_overlap)`` for docs with overlap > 0,
+    all exact int64 so the SQL-twin comparison is hash-exact.
+
+    Scale shape: the benchmark side is tiny by construction (an eval
+    suite is KBs-MBs); its distinct-gram union is reduced from per-batch
+    partials and broadcast ONCE via ``ray.put``.  The corpus then
+    streams through one vectorized membership probe per batch against a
+    per-worker memoized khash index (``stages.join.isin_mask_memo`` —
+    ``pc.is_in`` would rebuild its hash table every call, the measured
+    4× trap), followed by a segment-sum of the mask per doc.  No
+    shuffle, no join, corpus never materialized.  Grams are the same
+    64-bit word-hash rolling combine the exact word-n-gram dedup family
+    uses (``_word_gram_hash_list``), whose string-level SQL equivalence
+    is value-checked by d_wordgram_pairs/d_cross_dedup.  A benchmark
+    side too big to broadcast would switch to token-hash-sharded
+    membership (the tfidf DF shape) — documented, not needed for
+    real eval suites."""
+    import ray
+
+    from ..blocks import concat_shaped
+    from ..stages.join import isin_mask_memo
+    from .dedup_docs import _word_gram_hash_list
+
+    _g_schema = pa.schema([("g", pa.uint64())])
+
+    def _bench_part(df: pd.DataFrame) -> pd.DataFrame:
+        sets = [a for a in _word_gram_hash_list(df["text"], n) if len(a)]
+        u = (np.unique(np.concatenate(sets)) if sets
+             else np.empty(0, np.uint64))
+        return pd.DataFrame({"g": u})
+
+    bench_tbl = concat_shaped(
+        bench_ds.map_batches(_bench_part, batch_format="pandas")
+        .materialize(), "g", empty_schema=_g_schema)
+    bench = np.unique(bench_tbl["g"].to_numpy(zero_copy_only=False)
+                      .astype(np.uint64))
+    gref = ray.put(pa.array(bench, pa.uint64()))
+
+    def _probe(df: pd.DataFrame) -> pd.DataFrame:
+        sets = _word_gram_hash_list(df["text"], n)
+        lens = np.fromiter((len(a) for a in sets), np.int64, len(sets))
+        if lens.sum() == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "n_grams": pd.Series([], dtype="int64"),
+                                 "n_overlap": pd.Series([], dtype="int64")})
+        allg = np.concatenate([a for a in sets if len(a)])
+        hit = isin_mask_memo(pa.array(allg, pa.uint64()), gref) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        nz = np.flatnonzero(lens)
+        offs = np.r_[np.int64(0), np.cumsum(lens[nz])[:-1]]
+        ov = np.add.reduceat(hit, offs)
+        out = pd.DataFrame({
+            "doc_id": np.asarray(df["doc_id"])[nz].astype(np.int64),
+            "n_grams": lens[nz],
+            "n_overlap": ov.astype(np.int64)})
+        return out[out["n_overlap"] > 0]
+
+    got = corpus_ds.map_batches(_probe, batch_format="pandas") \
+        .materialize()
+    return concat_shaped(got, "n_overlap", empty_schema=_OVERLAP_SCHEMA)

@@ -1406,6 +1406,32 @@ def d_contamination(sf_dir):
         [("doc_id", pa.int64()), ("n_hits", pa.int64())]))
 
 
+def d_ngram_overlap(sf_dir):
+    """Fuzzy benchmark decontamination (the n-gram variant of
+    d_contamination's exact-substring scan): score every corpus doc by
+    how many of its distinct word-trigrams appear in the benchmark set
+    (docs with ``doc_id % 97 == 0`` stand in for the eval suite).  All
+    counts exact int64; see ``functions.curation.ngram_overlap`` for the
+    broadcast-probe scale shape."""
+    from ..functions.curation import ngram_overlap
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _split(want_bench: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            m = (ids % 97 == 0) if want_bench else (ids % 97 != 0)
+            return b.filter(pa.array(m))
+        return f
+
+    bench = docs.map_batches(_split(True), batch_format="pyarrow",
+                             zero_copy_batch=True)
+    corpus = docs.map_batches(_split(False), batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return ngram_overlap(corpus, bench, n=3)
+
+
 def d_lang_mix(sf_dir):
     """Language-balanced mixture sampling (the data-MIXING step of corpus
     prep): per-language quota ``min(c, max(1, 4·⌊√c⌋))`` — temperature-
@@ -2977,6 +3003,7 @@ def build_queries() -> dict:
         "d_lang_eval": d_lang_eval,
         "e_mode_hour": e_mode_hour,
         "e_gaps": e_gaps,
+        "d_ngram_overlap": d_ngram_overlap,
         # LSH scale path of d_cross_dedup: its exact twin holds the window
         # slot; the minhash machinery is value-checked in-window via
         # d_minhash_pairs and in-repo via test_driver_oracle
@@ -2996,7 +3023,7 @@ def build_queries() -> dict:
         "media_frames": media_frames,
     }
     first50 = list(q)[:50]
-    assert len(q) == 96 and all(n in build_oracles() for n in first50), \
+    assert len(q) == 97 and all(n in build_oracles() for n in first50), \
         "driver checks only the first 50 keys — keep them oracle-backed"
     return q
 
@@ -3071,6 +3098,28 @@ WITH thr AS (
 SELECT d.doc_id, d.lang, d.n_chars
 FROM documents d JOIN thr t ON d.lang = t.lang
 WHERE d.n_chars >= t.thr
+""",
+        "d_ngram_overlap": r"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(COALESCE(text, '')), '\S+') AS w
+  FROM documents
+),
+idx AS (SELECT CAST(i AS INT) AS i FROM generate_series(1, 4096) g(i)),
+gr AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(w, i, least(i + 2, len(w))), ' ') AS s
+  FROM d JOIN idx ON idx.i <= greatest(1, len(d.w) - 2)
+  WHERE len(w) > 0
+),
+bench AS (SELECT DISTINCT s FROM gr WHERE doc_id % 97 = 0),
+cnt AS (SELECT doc_id, count(*) AS n_grams FROM gr
+        WHERE doc_id % 97 <> 0 GROUP BY doc_id),
+ov AS (SELECT gr.doc_id, count(*) AS n_overlap
+       FROM gr JOIN bench USING (s)
+       WHERE gr.doc_id % 97 <> 0 GROUP BY gr.doc_id)
+SELECT CAST(cnt.doc_id AS BIGINT) AS doc_id,
+       cnt.n_grams AS n_grams, ov.n_overlap AS n_overlap
+FROM cnt JOIN ov ON cnt.doc_id = ov.doc_id
 """,
         "d_contamination": """
 WITH probes AS (

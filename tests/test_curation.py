@@ -225,3 +225,60 @@ def test_chunk_documents_rejects_bad_params(ray_session):
         chunk_documents(_docs(["x"]), size=0, stride=5)
     with pytest.raises(ValueError):
         chunk_documents(_docs(["x"]), size=5, stride=0)
+
+
+# ----------------------------------------------------------- ngram overlap
+
+def test_ngram_overlap_matches_reference(ray_session):
+    from ict_log_parser_ray.functions.curation import ngram_overlap
+
+    bench_texts = ["the quick brown fox jumps", "eval suite snippet here"]
+    corpus_texts = [
+        "the quick brown fox jumps over the lazy dog",  # shares grams
+        "totally unrelated words in this one",          # no overlap
+        "quick brown",                                  # <3 words, one gram
+        "eval suite snippet here verbatim leak",        # shares grams
+        "",                                             # empty → nothing
+        None,                                           # null → nothing
+        "the quick brown fox jumps",                    # identical to bench
+    ]
+
+    def grams(t, n=3):
+        w = (t or "").lower().split()
+        if not w:
+            return set()
+        if len(w) < n:
+            return {" ".join(w)}
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+    bench_set = set().union(*[grams(t) for t in bench_texts])
+    ref = {}
+    for i, t in enumerate(corpus_texts):
+        g = grams(t)
+        ov = len(g & bench_set)
+        if ov > 0:
+            ref[i + 100] = (len(g), ov)
+
+    bench = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(bench_texts)), pa.int64()),
+        "text": pa.array(bench_texts, pa.string())}))
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": pa.array([i + 100 for i in range(len(corpus_texts))],
+                           pa.int64()),
+        "text": pa.array(corpus_texts, pa.string())}))
+    out = ngram_overlap(corpus, bench, n=3).to_pandas()
+    got = {int(r.doc_id): (int(r.n_grams), int(r.n_overlap))
+           for r in out.itertuples(index=False)}
+    assert got == ref
+
+
+def test_ngram_overlap_empty_benchmark(ray_session):
+    from ict_log_parser_ray.functions.curation import ngram_overlap
+
+    bench = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string())}))
+    corpus = _docs(["some words here that overlap nothing"])
+    out = ngram_overlap(corpus, bench, n=3)
+    assert out.num_rows == 0
+    assert out.schema.names == ["doc_id", "n_grams", "n_overlap"]
