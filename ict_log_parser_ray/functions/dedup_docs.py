@@ -510,9 +510,12 @@ def minhash_duplicate_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
                             concurrency=(1, 8), cap: int = 50,
                             broadcast_threshold: int = 2_000_000,
                             cross_sign_only: bool = False,
-                            collect_threshold: int = 5_000_000):
+                            collect_threshold: int = 5_000_000,
+                            nrows: int | None = None):
     """documents → verified near-duplicate pairs Dataset
-    (doc_a, doc_b, jaccard).
+    (doc_a, doc_b, jaccard).  ``nrows``: caller-supplied exact row
+    count — skips the ``count()`` gate, which EXECUTES a lazy
+    transformed input (the cross-pair union passes it).
 
     Pipeline: signature+band explode, payload-free (actor pool) →
     groupby(band_key) → within-bucket candidate pairs → pair dedup across
@@ -536,10 +539,13 @@ def minhash_duplicate_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
     # unchanged; count() on the lazy read is footer metadata, free).
     # Past the threshold the corpus must NOT be pinned — the verify
     # takes the two-hash-join path and the source stays streaming.
-    # CONTRACT: pass a pure read or a materialized Dataset; a lazy
-    # TRANSFORMED input pays one extra plan execution for this count()
-    # gate (no public cheap-count API distinguishes the cases).
-    if docs_ds.count() <= broadcast_threshold:
+    # CONTRACT: pass a pure read or a materialized Dataset (count() is
+    # then free), or supply ``nrows``; a lazy TRANSFORMED input without
+    # nrows pays one extra plan execution for this count() gate.
+    if nrows is None:
+        nrows = docs_ds.count()
+    small = nrows <= broadcast_threshold
+    if small:
         docs_ds = docs_ds.materialize()
 
     exploded = docs_ds.map_batches(_explode, batch_format="pandas")
@@ -549,7 +555,6 @@ def minhash_duplicate_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
         cross_sign_only=cross_sign_only),
         collect_threshold=collect_threshold)
 
-    small = docs_ds.count() <= broadcast_threshold
     return _minhash_attach_verify(cands,
                                   docs_ds.select_columns(["doc_id",
                                                           "text"]),
@@ -1097,7 +1102,8 @@ def word_ngram_duplicate_pairs(docs_ds, n: int = 3, threshold: float = 0.5,
                                broadcast_threshold: int = 2_000_000,
                                max_common: int = 4_000_000,
                                cross_sign_only: bool = False,
-                               collect_threshold: int = 5_000_000):
+                               collect_threshold: int = 5_000_000,
+                               nrows: int | None = None):
     """documents → EXACT word-n-gram Jaccard near-dup pairs Dataset
     (doc_a, doc_b, jaccard) — the dedup family's n-gram Jaccard member.
 
@@ -1140,8 +1146,12 @@ def word_ngram_duplicate_pairs(docs_ds, n: int = 3, threshold: float = 0.5,
 
     # same pin/stream contract as minhash: broadcast-scale corpora pin
     # the (doc_id, text) read once — the df pass, explode and verify all
-    # share the pinned blocks
-    if docs_ds.count() <= broadcast_threshold:
+    # share the pinned blocks; ``nrows`` skips the count() gate (which
+    # would EXECUTE a lazy transformed input, e.g. the cross-pair union)
+    if nrows is None:
+        nrows = docs_ds.count()
+    small = nrows <= broadcast_threshold
+    if small:
         docs_ds = docs_ds.materialize()
 
     df_tbl = _common_gram_df(docs_ds, n, max_common=max_common)
@@ -1196,7 +1206,7 @@ def word_ngram_duplicate_pairs(docs_ds, n: int = 3, threshold: float = 0.5,
                            cross_sign_only=cross_sign_only), threshold,
         collect_threshold=collect_threshold)
 
-    if docs_ds.count() <= broadcast_threshold:
+    if small:
         import pyarrow.compute as pc
 
         texts = docs_ds.select_columns(["doc_id", "text"])
@@ -1294,12 +1304,21 @@ def word_ngram_cross_pairs(left_ds, right_ds, n: int = 3,
     bucket emission, BEFORE the candidate shuffle).  The existing
     ``doc_a < doc_b`` normalization then automatically orients
     doc_a=left (negative sorts first), so decode is local arithmetic —
-    no orientation join.  Both sides' doc_id must be >= 0."""
+    no orientation join.  Both sides' doc_id must be >= 0.
+
+    The union row count is the sides' counts summed (free on pure reads
+    / materialized inputs — the family contract) and passed down as
+    ``nrows``, and a small union is materialized HERE — otherwise the
+    pin gate's count() would execute the lazy union once and
+    materialize() a second time (the documented lazy-branch trap)."""
+    nrows = left_ds.count() + right_ds.count()
     union = _sign_encode_union(left_ds, right_ds)
+    if nrows <= broadcast_threshold:
+        union = union.materialize()
     pairs = word_ngram_duplicate_pairs(
         union, n=n, threshold=threshold,
         broadcast_threshold=broadcast_threshold, max_common=max_common,
-        cross_sign_only=True)
+        cross_sign_only=True, nrows=nrows)
     return _decode_cross_pairs(pairs)
 
 
@@ -1316,12 +1335,17 @@ def minhash_cross_pairs(left_ds, right_ds, num_perm: int = 64,
     (a bucket full of corpus docs emits nothing), and the overflow star
     uses one hub per side.  Output pairs are char-``k``-shingle Jaccard
     verified >= threshold, oriented left-first by the doc_a<doc_b
-    normalization."""
+    normalization.  Sides' counts summed → ``nrows`` + small-union
+    materialize here, for the same lazy-union double-execution reason
+    as the exact variant."""
+    nrows = left_ds.count() + right_ds.count()
     union = _sign_encode_union(left_ds, right_ds)
+    if nrows <= broadcast_threshold:
+        union = union.materialize()
     pairs = minhash_duplicate_pairs(
         union, num_perm=num_perm, bands=bands, k=k, threshold=threshold,
         cap=cap, broadcast_threshold=broadcast_threshold,
-        cross_sign_only=True)
+        cross_sign_only=True, nrows=nrows)
     return _decode_cross_pairs(pairs)
 
 

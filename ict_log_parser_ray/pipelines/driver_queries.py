@@ -2539,9 +2539,9 @@ def d_cross_dedup_lsh(sf_dir):
         return f
 
     new_ds = docs.map_batches(_side(True), batch_format="pyarrow",
-                              zero_copy_batch=True)
+                              zero_copy_batch=True).materialize()
     corpus_ds = docs.map_batches(_side(False), batch_format="pyarrow",
-                                 zero_copy_batch=True)
+                                 zero_copy_batch=True).materialize()
     pairs = minhash_cross_pairs(new_ds, corpus_ds, threshold=0.6)
     tbl = concat_shaped(pairs, "left_doc",
                         empty_schema=pa.schema(
@@ -2659,10 +2659,12 @@ def d_cross_dedup(sf_dir):
             return t.filter(pa.array(m))
         return f
 
+    # materialize the filtered sides: cross_pairs sums their counts for
+    # its pin gate, which would otherwise EXECUTE each lazy filter
     new_ds = docs.map_batches(_side(True), batch_format="pyarrow",
-                              zero_copy_batch=True)
+                              zero_copy_batch=True).materialize()
     corpus_ds = docs.map_batches(_side(False), batch_format="pyarrow",
-                                 zero_copy_batch=True)
+                                 zero_copy_batch=True).materialize()
     pairs = word_ngram_cross_pairs(new_ds, corpus_ds, n=3, threshold=0.5)
     tbl = concat_shaped(pairs, "left_doc",
                         empty_schema=pa.schema(
