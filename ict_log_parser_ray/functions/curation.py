@@ -433,6 +433,35 @@ def chunk_documents(docs_ds, size: int = 100, stride: int = 80):
     return docs_ds.map_batches(_chunks, batch_format="pandas")
 
 
+def dedup_units(docs_ds, sep: str = " "):
+    """documents → (doc_id, text_clean, n_removed) Dataset: drop
+    repeated units (lines/sentences/words per ``sep``) WITHIN each
+    document, keeping the first occurrence in order — the intra-doc
+    sibling of ``remove_common_units``'s cross-doc boilerplate removal
+    (real corpora repeat nav bars / footers many times inside one page).
+
+    Purely per-batch — no shuffle, no broadcast, nothing driver-held:
+    one polars split + ``list.unique(maintain_order=True)`` + rejoin,
+    all vectorized.  ``n_removed`` is an exact int64 count so the SQL
+    twin (ROW_NUMBER over (doc_id, unit) + ordered string_agg) is
+    hash-exact."""
+
+    def _clean(df: pd.DataFrame) -> pd.DataFrame:
+        pl = _pl()
+        d = pl.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "ws": pd.Series(df["text"]).fillna("").astype(str)
+            .str.split(sep).to_list()})
+        d = d.with_columns(u=pl.col("ws").list.unique(maintain_order=True))
+        d = d.with_columns(
+            text_clean=pl.col("u").list.join(sep),
+            n_removed=(pl.col("ws").list.len()
+                       - pl.col("u").list.len()).cast(pl.Int64))
+        return d.select(["doc_id", "text_clean", "n_removed"]).to_pandas()
+
+    return docs_ds.map_batches(_clean, batch_format="pandas")
+
+
 _OVERLAP_SCHEMA = pa.schema([("doc_id", pa.int64()),
                              ("n_grams", pa.int64()),
                              ("n_overlap", pa.int64())])

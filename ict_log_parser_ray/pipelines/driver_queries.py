@@ -1406,6 +1406,19 @@ def d_contamination(sf_dir):
         [("doc_id", pa.int64()), ("n_hits", pa.int64())]))
 
 
+def d_unit_dedup(sf_dir):
+    """Intra-document unit dedup: drop repeated words within each doc,
+    first occurrence kept in order (the within-page line-dedup pattern;
+    the fixture is single-line word soup so the unit is the word).
+    Purely per-batch vectorized polars — see
+    ``functions.curation.dedup_units``."""
+    from ..functions.curation import dedup_units
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = dedup_units(docs, sep=" ").to_pandas()
+    return _i64(out, ["doc_id", "n_removed"])
+
+
 def d_ngram_overlap(sf_dir):
     """Fuzzy benchmark decontamination (the n-gram variant of
     d_contamination's exact-substring scan): score every corpus doc by
@@ -3006,6 +3019,7 @@ def build_queries() -> dict:
         "e_mode_hour": e_mode_hour,
         "e_gaps": e_gaps,
         "d_ngram_overlap": d_ngram_overlap,
+        "d_unit_dedup": d_unit_dedup,
         # LSH scale path of d_cross_dedup: its exact twin holds the window
         # slot; the minhash machinery is value-checked in-window via
         # d_minhash_pairs and in-repo via test_driver_oracle
@@ -3025,7 +3039,7 @@ def build_queries() -> dict:
         "media_frames": media_frames,
     }
     first50 = list(q)[:50]
-    assert len(q) == 97 and all(n in build_oracles() for n in first50), \
+    assert len(q) == 98 and all(n in build_oracles() for n in first50), \
         "driver checks only the first 50 keys — keep them oracle-backed"
     return q
 
@@ -3100,6 +3114,23 @@ WITH thr AS (
 SELECT d.doc_id, d.lang, d.n_chars
 FROM documents d JOIN thr t ON d.lang = t.lang
 WHERE d.n_chars >= t.thr
+""",
+        "d_unit_dedup": """
+WITH w AS (
+  SELECT doc_id,
+         unnest(str_split(COALESCE(text, ''), ' ')) AS u,
+         generate_subscripts(str_split(COALESCE(text, ''), ' '), 1) AS i
+  FROM documents
+), r AS (
+  SELECT doc_id, u, i,
+         row_number() OVER (PARTITION BY doc_id, u ORDER BY i) AS rn
+  FROM w
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       COALESCE(string_agg(u, ' ' ORDER BY i) FILTER (WHERE rn = 1),
+                '') AS text_clean,
+       count(*) FILTER (WHERE rn > 1) AS n_removed
+FROM r GROUP BY doc_id
 """,
         "d_ngram_overlap": r"""
 WITH d AS (

@@ -282,3 +282,26 @@ def test_ngram_overlap_empty_benchmark(ray_session):
     out = ngram_overlap(corpus, bench, n=3)
     assert out.num_rows == 0
     assert out.schema.names == ["doc_id", "n_grams", "n_overlap"]
+
+
+# ------------------------------------------------------------ unit dedup
+
+def test_dedup_units_matches_reference(ray_session):
+    from ict_log_parser_ray.functions.curation import dedup_units
+
+    texts = [
+        "a b a c b a",                 # repeats of a and b
+        "home | nav | home | nav | x",
+        "all unique words here",
+        "x x x x",                     # collapses to one
+        "",
+        None,
+        "trailing  double",            # split on ' ' yields an empty unit
+    ]
+    out = dedup_units(_docs(texts), sep=" ").to_pandas() \
+        .set_index("doc_id").sort_index()
+    for i, t in enumerate(texts):
+        ws = (t or "").split(" ")
+        kept = list(dict.fromkeys(ws))
+        assert out.loc[i, "text_clean"] == " ".join(kept), texts[i]
+        assert out.loc[i, "n_removed"] == len(ws) - len(kept)

@@ -72,7 +72,7 @@ ORACLE_NAMES = [
     "d_wordgram_pairs", "d_redact", "d_boilerplate", "d_chunks",
     "d_pack", "d_repetition", "d_dedup_best", "d_cross_dedup",
     "d_cross_dedup_lsh", "d_curation_pipeline", "e_gaps",
-    "d_ngram_overlap",
+    "d_ngram_overlap", "d_unit_dedup",
 ]
 
 
