@@ -123,11 +123,13 @@ def run_queries(sf_dir: str) -> dict:
     # decontamination scan, the language-mix sampler (new
     # training-data-curation families), the exact prefix-filter
     # word-n-gram Jaccard join (the dedup family's non-probabilistic
-    # member), and the curation wave's scrubber + sequence packer
+    # member), the curation wave's scrubber + sequence packer, the
+    # fuzzy n-gram decontamination scorer and the inter-arrival op
     names = ["e_hourly", "e_pareto", "q1_lineitem", "d_token_counts",
              "emb_knn", "d_simhash", "d_minhash_pairs", "q_cube_revenue",
              "d_contamination", "d_lang_mix", "d_wordgram_pairs",
-             "d_redact", "d_pack", "d_cross_dedup", "d_curation_pipeline"]
+             "d_redact", "d_pack", "d_cross_dedup", "d_curation_pipeline",
+             "d_ngram_overlap", "e_gaps"]
     out = {}
     qmap = dq.build_queries()
     for n in names:

@@ -510,9 +510,6 @@ def sessionize_partitioned(ds, key: str, ts: str, idc: str,
         for p in range(nparts)])
 
 
-_GAP_SCHEMA_COLS = ("n_gaps", "sum_gap_us", "max_gap_us")
-
-
 @ray.remote
 def _gap_part(p: int, refs, key: str, ts: str, idc: str) -> pa.Table:
     """Inter-arrival stats for one hash partition: lexsort (key, ts, id),
