@@ -467,7 +467,9 @@ _OVERLAP_SCHEMA = pa.schema([("doc_id", pa.int64()),
                              ("n_overlap", pa.int64())])
 
 
-def ngram_overlap(corpus_ds, bench_ds, n: int = 3):
+def ngram_overlap(corpus_ds, bench_ds, n: int = 3,
+                  max_broadcast_grams: int = 5_000_000,
+                  nparts: int | None = None):
     """Fuzzy benchmark-decontamination score: for each corpus document,
     how many of its DISTINCT word-``n``-grams appear anywhere in the
     benchmark set (``d_contamination``'s exact-substring scan misses
@@ -476,7 +478,7 @@ def ngram_overlap(corpus_ds, bench_ds, n: int = 3):
     Returns ``(doc_id, n_grams, n_overlap)`` for docs with overlap > 0,
     all exact int64 so the SQL-twin comparison is hash-exact.
 
-    Scale shape: the benchmark side is tiny by construction (an eval
+    Scale shape: a real benchmark side is tiny by construction (an eval
     suite is KBs-MBs); its distinct-gram union is reduced from per-batch
     partials and broadcast ONCE via ``ray.put``.  The corpus then
     streams through one vectorized membership probe per batch against a
@@ -486,10 +488,12 @@ def ngram_overlap(corpus_ds, bench_ds, n: int = 3):
     shuffle, no join, corpus never materialized.  Grams are the same
     64-bit word-hash rolling combine the exact word-n-gram dedup family
     uses (``_word_gram_hash_list``), whose string-level SQL equivalence
-    is value-checked by d_wordgram_pairs/d_cross_dedup.  A benchmark
-    side too big to broadcast would switch to token-hash-sharded
-    membership (the tfidf DF shape) — documented, not needed for
-    real eval suites."""
+    is value-checked by d_wordgram_pairs/d_cross_dedup.
+
+    Past ``max_broadcast_grams`` (bench partial rows, an upper bound of
+    the union) the probe switches to gram-hash-sharded tasks — see
+    ``_ngram_overlap_sharded`` — so no node ever holds the full bench
+    gram set; a forced-path pytest pins shard == broadcast equality."""
     import ray
 
     from ..blocks import concat_shaped
@@ -504,9 +508,12 @@ def ngram_overlap(corpus_ds, bench_ds, n: int = 3):
              else np.empty(0, np.uint64))
         return pd.DataFrame({"g": u})
 
-    bench_tbl = concat_shaped(
-        bench_ds.map_batches(_bench_part, batch_format="pandas")
-        .materialize(), "g", empty_schema=_g_schema)
+    bench_parts = bench_ds.map_batches(
+        _bench_part, batch_format="pandas").materialize()
+    if bench_parts.count() > max_broadcast_grams:
+        return _ngram_overlap_sharded(corpus_ds, bench_parts, n, nparts)
+
+    bench_tbl = concat_shaped(bench_parts, "g", empty_schema=_g_schema)
     bench = np.unique(bench_tbl["g"].to_numpy(zero_copy_only=False)
                       .astype(np.uint64))
     gref = ray.put(pa.array(bench, pa.uint64()))
@@ -533,3 +540,105 @@ def ngram_overlap(corpus_ds, bench_ds, n: int = 3):
     got = corpus_ds.map_batches(_probe, batch_format="pandas") \
         .materialize()
     return concat_shaped(got, "n_overlap", empty_schema=_OVERLAP_SCHEMA)
+
+
+def _ngram_overlap_sharded(corpus_ds, bench_parts, n: int,
+                           nparts: int | None):
+    """Big-benchmark path of ``ngram_overlap``: nothing is broadcast.
+
+    Both sides shard by gram hash: the corpus's (doc_id, gram) stream is
+    tagged ``gram % nparts`` in one narrow pass, and each shard task
+    gathers its partition plus ITS slice of the bench gram partials,
+    probing with a per-task khash.  A gram lives in exactly one shard,
+    and per-doc grams are globally unique, so the per-shard (doc,
+    n_grams, n_overlap) counts are ADDITIVE — a second wave of
+    doc-hash tasks sums them and applies the overlap>0 cut.  Per-task
+    memory is one gram shard (~total/nparts), never the full set; the
+    doc partials are bounded by docs × nparts rows."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .dedup_docs import _word_gram_hash_list
+
+    if nparts is None:
+        nparts = max(4, min(2 * _ncpus(), 64))
+    bench_refs = bench_parts.to_arrow_refs()
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        sets = _word_gram_hash_list(df["text"], n)
+        lens = np.fromiter((len(a) for a in sets), np.int64, len(sets))
+        if lens.sum() == 0:
+            return pd.DataFrame({"part": pd.Series([], dtype="int64"),
+                                 "doc_id": pd.Series([], dtype="int64"),
+                                 "g": pd.Series([], dtype="uint64")})
+        allg = np.concatenate([a for a in sets if len(a)])
+        ids = np.repeat(np.asarray(df["doc_id"]).astype(np.int64), lens)
+        return pd.DataFrame({
+            "part": (allg % np.uint64(nparts)).astype(np.int64),
+            "doc_id": ids, "g": allg})
+
+    narrow = corpus_ds.map_batches(tag, batch_format="pandas") \
+        .materialize()
+    refs = narrow.to_arrow_refs()
+
+    @ray.remote
+    def _shard(p: int, refs, bench_refs, nparts: int) -> pa.Table:
+        tbls = [t.filter(pc.equal(t["part"], p)) for t in ray.get(refs)
+                if isinstance(t, pa.Table) and "part" in t.schema.names]
+        t = pa.concat_tables(tbls).combine_chunks() if tbls else None
+        if t is None or t.num_rows == 0:
+            return _OVERLAP_SCHEMA.empty_table()
+        bg = [b["g"].to_numpy(zero_copy_only=False).astype(np.uint64)
+              for b in ray.get(bench_refs)
+              if isinstance(b, pa.Table) and "g" in b.schema.names]
+        bg = (np.concatenate(bg) if bg else np.empty(0, np.uint64))
+        shard = np.unique(bg[bg % np.uint64(nparts) == np.uint64(p)])
+        g = t["g"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        hit = (pd.Index(shard).get_indexer(g) >= 0).astype(np.int64) \
+            if len(shard) else np.zeros(len(g), np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids, hit = ids[order], hit[order]
+        b = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        return pa.table({
+            "doc_id": pa.array(ids[b], pa.int64()),
+            "n_grams": pa.array(np.diff(np.r_[b, ids.size])
+                                .astype(np.int64)),
+            "n_overlap": pa.array(np.add.reduceat(hit, b), pa.int64())})
+
+    srefs = [_shard.remote(p, refs, bench_refs, nparts)
+             for p in range(nparts)]
+
+    # a doc's grams spread across shards, so its per-shard counts must
+    # meet: one doc-hash task wave sums the (docs × nparts)-bounded
+    # partials (refs nested in a list are NOT auto-resolved — ray.get
+    # inside, the documented rule)
+    @ray.remote
+    def _doc_sum(q: int, srefs, nparts: int) -> pa.Table:
+        tbls = []
+        for t in ray.get(srefs):
+            if not isinstance(t, pa.Table) or t.num_rows == 0:
+                continue
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids.astype(np.uint64) % np.uint64(nparts)) == np.uint64(q)
+            tbls.append(t.filter(pa.array(m)))
+        t = pa.concat_tables(tbls).combine_chunks() if tbls else None
+        if t is None or t.num_rows == 0:
+            return _OVERLAP_SCHEMA.empty_table()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        ng = t["n_grams"].to_numpy(zero_copy_only=False)
+        nov = t["n_overlap"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids, ng, nov = ids[order], ng[order], nov[order]
+        b = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        out = pa.table({
+            "doc_id": pa.array(ids[b], pa.int64()),
+            "n_grams": pa.array(np.add.reduceat(ng, b), pa.int64()),
+            "n_overlap": pa.array(np.add.reduceat(nov, b), pa.int64())})
+        return out.filter(pc.greater(out["n_overlap"], 0))
+
+    parts = ray.get([_doc_sum.remote(q, srefs, nparts)
+                     for q in range(nparts)])
+    tbls = [t for t in parts if t.num_rows]
+    return (pa.concat_tables(tbls) if tbls
+            else _OVERLAP_SCHEMA.empty_table())

@@ -305,3 +305,28 @@ def test_dedup_units_matches_reference(ray_session):
         kept = list(dict.fromkeys(ws))
         assert out.loc[i, "text_clean"] == " ".join(kept), texts[i]
         assert out.loc[i, "n_removed"] == len(ws) - len(kept)
+
+
+def test_ngram_overlap_sharded_matches_broadcast(ray_session):
+    from ict_log_parser_ray.functions.curation import ngram_overlap
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(40)]
+    bench_texts = [" ".join(rng.choice(vocab, 12)) for _ in range(6)]
+    corpus_texts = [" ".join(rng.choice(vocab, 20)) for _ in range(60)]
+    corpus_texts += [bench_texts[0] + " tail words here", "", None]
+    bench = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(bench_texts)), pa.int64()),
+        "text": pa.array(bench_texts, pa.string())}))
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": pa.array([i + 1000 for i in range(len(corpus_texts))],
+                           pa.int64()),
+        "text": pa.array(corpus_texts, pa.string())}))
+    want = ngram_overlap(corpus, bench, n=3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # max_broadcast_grams=1 forces the gram-hash-sharded path
+    got = ngram_overlap(corpus, bench, n=3, max_broadcast_grams=1,
+                        nparts=5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert len(want) > 0
