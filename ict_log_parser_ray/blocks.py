@@ -56,6 +56,22 @@ def shaped_tables(refs_or_ds, required_col: str) -> list[pa.Table]:
             if isinstance(t, pa.Table) and required_col in t.schema.names]
 
 
+def tagged_tables(refs, p: int) -> list[pa.Table]:
+    """Blocks of hash partition ``p`` from tagged block refs — the
+    canonical gather for the narrow-tag + partition-task shape.  Ray
+    passes ZERO-ROW input blocks through ``map_batches`` WITHOUT calling
+    the tagging UDF (the documented trap above), so a block can surface
+    with the ORIGINAL schema (no "part" column) — or even unconverted
+    (pandas) when the source was ``from_pandas``.  Those carry no rows
+    by construction; skip them instead of raising KeyError."""
+    import pyarrow.compute as pc
+    import ray
+
+    return [t.filter(pc.equal(t["part"], p))
+            for t in ray.get(refs)
+            if isinstance(t, pa.Table) and "part" in t.schema.names]
+
+
 def split_arrow_ds(df, min_rows_per_block: int = 8):
     """Driver-collected DataFrame → multi-block ARROW Dataset.
 

@@ -583,16 +583,24 @@ def _ngram_overlap_sharded(corpus_ds, bench_parts, n: int,
 
     @ray.remote
     def _shard(p: int, refs, bench_refs, nparts: int) -> pa.Table:
-        tbls = [t.filter(pc.equal(t["part"], p)) for t in ray.get(refs)
-                if isinstance(t, pa.Table) and "part" in t.schema.names]
+        from ..blocks import tagged_tables
+
+        tbls = tagged_tables(refs, p)
         t = pa.concat_tables(tbls).combine_chunks() if tbls else None
         if t is None or t.num_rows == 0:
             return _OVERLAP_SCHEMA.empty_table()
-        bg = [b["g"].to_numpy(zero_copy_only=False).astype(np.uint64)
-              for b in ray.get(bench_refs)
-              if isinstance(b, pa.Table) and "g" in b.schema.names]
-        bg = (np.concatenate(bg) if bg else np.empty(0, np.uint64))
-        shard = np.unique(bg[bg % np.uint64(nparts) == np.uint64(p)])
+        # filter each bench block to THIS shard before concatenating —
+        # concatenating first would transiently hold the full gram set
+        # per task, the exact memory blow-up this path exists to avoid
+        bg = []
+        for blk in ray.get(bench_refs):
+            if not isinstance(blk, pa.Table) or "g" not in blk.schema.names:
+                continue
+            a = blk["g"].to_numpy(zero_copy_only=False).astype(
+                np.uint64, copy=False)
+            bg.append(a[a % np.uint64(nparts) == np.uint64(p)])
+        shard = np.unique(np.concatenate(bg)) if bg \
+            else np.empty(0, np.uint64)
         g = t["g"].to_numpy(zero_copy_only=False).astype(np.uint64)
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         hit = (pd.Index(shard).get_indexer(g) >= 0).astype(np.int64) \

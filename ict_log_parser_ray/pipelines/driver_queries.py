@@ -3132,6 +3132,9 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        count(*) FILTER (WHERE rn > 1) AS n_removed
 FROM r GROUP BY doc_id
 """,
+        # generate_series takes constants only: 4096 >> max word count
+        # at any fixture sf (99 at sf0.01/0.1); a longer doc would
+        # silently undercount SQL-side grams (sibling-oracle convention)
         "d_ngram_overlap": r"""
 WITH d AS (
   SELECT doc_id, regexp_extract_all(lower(COALESCE(text, '')), '\S+') AS w

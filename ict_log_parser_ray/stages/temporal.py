@@ -49,15 +49,11 @@ def _col_np(tbl: pa.Table, name: str) -> np.ndarray:
 
 
 def _tagged(refs, p: int) -> list[pa.Table]:
-    """Blocks of hash partition ``p`` from tagged block refs.  Ray passes
-    ZERO-ROW input blocks through ``map_batches`` WITHOUT calling the
-    tagging UDF (the repo's documented trap), so a block can surface with
-    the ORIGINAL schema (no "part" column) — or even unconverted (pandas)
-    when the source was ``from_pandas``.  Those carry no rows by
-    construction; skip them instead of raising KeyError."""
-    return [t.filter(pc.equal(t["part"], p))
-            for t in ray.get(refs)
-            if isinstance(t, pa.Table) and "part" in t.schema.names]
+    """Blocks of hash partition ``p`` — see ``blocks.tagged_tables``
+    (the canonical zero-row-pass-through-guarded gather)."""
+    from ..blocks import tagged_tables
+
+    return tagged_tables(refs, p)
 
 
 def prepare_asof_side(right: pa.Table, by: str, on: str) -> tuple:
