@@ -436,6 +436,30 @@ def interval_join_partitioned(left_ds, right_ds, on: str, start: str,
         for p in range(nparts)])
 
 
+def _narrow_tag_refs(ds, key: str, ts: str, idc: str, nparts: int,
+                     val: str | None = None) -> list:
+    """Shared scaffold of the per-key partitioned operators (sessionize /
+    inter-arrival / running sum): one narrow (part, key, ts, id[, val])
+    int64 tagging pass, materialized, returning the pinned block refs
+    for the per-partition tasks to gather via ``_tagged``."""
+    def tag(b: pa.Table) -> pa.Table:
+        kv = _col_np(b, key)
+        part = (kv.astype(np.uint64) % np.uint64(nparts)).astype(np.int64)
+        cols = {
+            "part": pa.array(part),
+            key: pa.array(kv, pa.int64()),
+            ts: pa.array(_col_np(b, ts), pa.int64()),
+            idc: pa.array(_col_np(b, idc), pa.int64()),
+        }
+        if val is not None:
+            cols[val] = pa.array(_col_np(b, val).astype(np.float64))
+        return pa.table(cols)
+
+    return ds.map_batches(tag, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize() \
+        .to_arrow_refs()
+
+
 @ray.remote
 def _session_part(p: int, refs, key: str, ts: str, idc: str,
                   gap_us: int) -> pa.Table:
@@ -487,19 +511,7 @@ def sessionize_partitioned(ds, key: str, ts: str, idc: str,
         ncpu = _ncpus()
         nparts = max(4, min(ncpu, 32))
 
-    def tag(b: pa.Table) -> pa.Table:
-        kv = _col_np(b, key)
-        part = (kv.astype(np.uint64) % np.uint64(nparts)).astype(np.int64)
-        return pa.table({
-            "part": pa.array(part),
-            key: pa.array(kv, pa.int64()),
-            ts: pa.array(_col_np(b, ts), pa.int64()),
-            idc: pa.array(_col_np(b, idc), pa.int64()),
-        })
-
-    narrow = ds.map_batches(tag, batch_format="pyarrow",
-                            zero_copy_batch=True).materialize()
-    refs = narrow.to_arrow_refs()
+    refs = _narrow_tag_refs(ds, key, ts, idc, nparts)
     import ray.data as rd
     return rd.from_arrow_refs([
         _session_part.remote(p, refs, key, ts, idc, gap_us)
@@ -559,19 +571,7 @@ def interarrival_partitioned(ds, key: str, ts: str, idc: str,
         ncpu = _ncpus()
         nparts = max(4, min(ncpu, 32))
 
-    def tag(b: pa.Table) -> pa.Table:
-        kv = _col_np(b, key)
-        part = (kv.astype(np.uint64) % np.uint64(nparts)).astype(np.int64)
-        return pa.table({
-            "part": pa.array(part),
-            key: pa.array(kv, pa.int64()),
-            ts: pa.array(_col_np(b, ts), pa.int64()),
-            idc: pa.array(_col_np(b, idc), pa.int64()),
-        })
-
-    narrow = ds.map_batches(tag, batch_format="pyarrow",
-                            zero_copy_batch=True).materialize()
-    refs = narrow.to_arrow_refs()
+    refs = _narrow_tag_refs(ds, key, ts, idc, nparts)
     import ray.data as rd
     return rd.from_arrow_refs([
         _gap_part.remote(p, refs, key, ts, idc)
@@ -615,20 +615,7 @@ def running_sum_partitioned(ds, key: str, ts: str, idc: str, val: str,
         ncpu = _ncpus()
         nparts = max(4, min(ncpu, 32))
 
-    def tag(b: pa.Table) -> pa.Table:
-        kv = _col_np(b, key)
-        part = (kv.astype(np.uint64) % np.uint64(nparts)).astype(np.int64)
-        return pa.table({
-            "part": pa.array(part),
-            key: pa.array(kv, pa.int64()),
-            ts: pa.array(_col_np(b, ts), pa.int64()),
-            idc: pa.array(_col_np(b, idc), pa.int64()),
-            val: pa.array(_col_np(b, val).astype(np.float64)),
-        })
-
-    narrow = ds.map_batches(tag, batch_format="pyarrow",
-                            zero_copy_batch=True).materialize()
-    refs = narrow.to_arrow_refs()
+    refs = _narrow_tag_refs(ds, key, ts, idc, nparts, val=val)
     parts = ray.get([_running_part.remote(p, refs, key, ts, idc, val)
                      for p in range(nparts)])
     return pa.concat_tables(parts)
