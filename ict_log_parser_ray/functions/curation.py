@@ -492,8 +492,11 @@ def ngram_overlap(corpus_ds, bench_ds, n: int = 3,
 
     Past ``max_broadcast_grams`` (bench partial rows, an upper bound of
     the union) the probe switches to gram-hash-sharded tasks — see
-    ``_ngram_overlap_sharded`` — so no node ever holds the full bench
-    gram set; a forced-path pytest pins shard == broadcast equality."""
+    ``_ngram_overlap_sharded`` — the bench partials are pre-split into
+    per-shard slices (one per-block task wave, ``num_returns=nparts``)
+    so each shard task fetches ONLY its slice: no task heap and no
+    single node's object store ever holds the full bench gram set; a
+    forced-path pytest pins shard == broadcast equality."""
     import ray
 
     from ..blocks import concat_shaped
@@ -547,14 +550,17 @@ def _ngram_overlap_sharded(corpus_ds, bench_parts, n: int,
     """Big-benchmark path of ``ngram_overlap``: nothing is broadcast.
 
     Both sides shard by gram hash: the corpus's (doc_id, gram) stream is
-    tagged ``gram % nparts`` in one narrow pass, and each shard task
-    gathers its partition plus ITS slice of the bench gram partials,
-    probing with a per-task khash.  A gram lives in exactly one shard,
-    and per-doc grams are globally unique, so the per-shard (doc,
-    n_grams, n_overlap) counts are ADDITIVE — a second wave of
-    doc-hash tasks sums them and applies the overlap>0 cut.  Per-task
-    memory is one gram shard (~total/nparts), never the full set; the
-    doc partials are bounded by docs × nparts rows."""
+    tagged ``gram % nparts`` in one narrow pass, and the bench gram
+    partials are pre-split ONCE by a per-block task wave
+    (``num_returns=nparts`` — each split task reads one bench block
+    only) so every shard task fetches exactly its partition plus its
+    slice of the bench grams, probing with a per-task khash.  A gram
+    lives in exactly one shard, and per-doc grams are globally unique,
+    so the per-shard (doc, n_grams, n_overlap) counts are ADDITIVE — a
+    second wave of doc-hash tasks sums them and applies the overlap>0
+    cut.  Per-task memory AND per-task object-store traffic are one
+    gram shard (~total/nparts), never the full set; the doc partials
+    are bounded by docs × nparts rows."""
     import pyarrow.compute as pc
     import ray
 
@@ -563,6 +569,21 @@ def _ngram_overlap_sharded(corpus_ds, bench_parts, n: int,
     if nparts is None:
         nparts = max(4, min(2 * _ncpus(), 64))
     bench_refs = bench_parts.to_arrow_refs()
+
+    @ray.remote
+    def _split_bench(blk, nparts: int):
+        """One bench partial block → its nparts gram shard slices."""
+        if not isinstance(blk, pa.Table) or "g" not in blk.schema.names:
+            return tuple(np.empty(0, np.uint64) for _ in range(nparts))
+        a = blk["g"].to_numpy(zero_copy_only=False).astype(
+            np.uint64, copy=False)
+        part = (a % np.uint64(nparts)).astype(np.int64)
+        return tuple(a[part == p] for p in range(nparts))
+
+    # splits[b][p]: block b's shard-p slice (nparts ≥ 4, so num_returns
+    # always yields a list of refs)
+    splits = [_split_bench.options(num_returns=nparts).remote(r, nparts)
+              for r in bench_refs]
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:
         sets = _word_gram_hash_list(df["text"], n)
@@ -582,23 +603,16 @@ def _ngram_overlap_sharded(corpus_ds, bench_parts, n: int,
     refs = narrow.to_arrow_refs()
 
     @ray.remote
-    def _shard(p: int, refs, bench_refs, nparts: int) -> pa.Table:
+    def _shard(p: int, refs, slice_refs) -> pa.Table:
         from ..blocks import tagged_tables
 
         tbls = tagged_tables(refs, p)
         t = pa.concat_tables(tbls).combine_chunks() if tbls else None
         if t is None or t.num_rows == 0:
             return _OVERLAP_SCHEMA.empty_table()
-        # filter each bench block to THIS shard before concatenating —
-        # concatenating first would transiently hold the full gram set
-        # per task, the exact memory blow-up this path exists to avoid
-        bg = []
-        for blk in ray.get(bench_refs):
-            if not isinstance(blk, pa.Table) or "g" not in blk.schema.names:
-                continue
-            a = blk["g"].to_numpy(zero_copy_only=False).astype(
-                np.uint64, copy=False)
-            bg.append(a[a % np.uint64(nparts) == np.uint64(p)])
+        # slice_refs hold ONLY this shard's bench grams (pre-split by
+        # _split_bench) — fetching them never pulls the full gram set
+        bg = [a for a in ray.get(slice_refs) if len(a)]
         shard = np.unique(np.concatenate(bg)) if bg \
             else np.empty(0, np.uint64)
         g = t["g"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -614,7 +628,7 @@ def _ngram_overlap_sharded(corpus_ds, bench_parts, n: int,
                                 .astype(np.int64)),
             "n_overlap": pa.array(np.add.reduceat(hit, b), pa.int64())})
 
-    srefs = [_shard.remote(p, refs, bench_refs, nparts)
+    srefs = [_shard.remote(p, refs, [s[p] for s in splits])
              for p in range(nparts)]
 
     # a doc's grams spread across shards, so its per-shard counts must

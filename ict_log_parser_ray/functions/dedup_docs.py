@@ -1398,19 +1398,48 @@ def _decode_cross_pairs(pairs):
 
 
 class SimHasher:
-    """Actor: 64-bit simhash over word features, vectorized per batch."""
+    """Actor: 64-bit simhash over word features, vectorized per batch.
 
-    def __init__(self, seed: int = 42):
+    ``word_hash``: "pandas" (default — C-backed pandas row hash, fastest)
+    or "fnv" (FNV-1a over unicode CODEPOINTS, vectorized over char
+    columns).  The fnv fold is reproduced bit-exactly by the
+    d_simhash_pairs SQL oracle's recursive CTE, which is what makes the
+    simhash pair set externally value-checkable."""
+
+    def __init__(self, seed: int = 42, word_hash: str = "pandas"):
         self.seed = seed
+        self.word_hash = word_hash
         self._shifts = np.arange(64, dtype=np.uint64)
 
-    @staticmethod
-    def _hash_words(words: pd.Series) -> np.ndarray:
-        """64-bit hash per word — C-backed (pandas row hash), not a Python
-        per-character loop."""
+    def _hash_words(self, words: pd.Series) -> np.ndarray:
+        if self.word_hash == "fnv":
+            return self._fnv1a_words(words)
+        # C-backed (pandas row hash), not a Python per-character loop
         from pandas.util import hash_pandas_object
 
         return hash_pandas_object(words, index=False).to_numpy()
+
+    @staticmethod
+    def _fnv1a_words(words: pd.Series) -> np.ndarray:
+        """FNV-1a folded over unicode codepoints, one vectorized pass per
+        CHAR COLUMN (words are short; padding zeros mark end-of-word, and
+        codepoint 0 never occurs in real text).  uint64 arithmetic wraps
+        mod 2^64 — numpy unsigned overflow is silent by design."""
+        arr = np.asarray(words, dtype="U")
+        if arr.size == 0:
+            return np.empty(0, np.uint64)
+        width = arr.dtype.itemsize // 4
+        cp = np.ascontiguousarray(arr).view(np.uint32).reshape(
+            arr.size, width)
+        h = np.full(arr.size, np.uint64(0xCBF29CE484222325))
+        prime = np.uint64(0x100000001B3)
+        for j in range(width):
+            col = cp[:, j].astype(np.uint64)
+            alive = col != 0
+            if not alive.any():
+                break
+            h[alive] = (h[alive] ^ col[alive]) * prime
+        return h
 
     def _simhash_batch(self, texts: pd.Series) -> np.ndarray:
         sw = texts.fillna("").str.lower().str.split()
@@ -1445,20 +1474,21 @@ class SimHasher:
         return df
 
 
-def simhash_documents(docs_ds, concurrency=None):
+def simhash_documents(docs_ds, concurrency=None, word_hash: str = "pandas"):
     # stateless tasks: SimHasher's only "state" is a 64-element shift
     # vector — an actor pool here pays process spawns for nothing (the
     # MinHasher, whose __init__ builds real signature matrices, stays a
     # pool).  ``concurrency`` kept for API compat; tasks autoscale.
     def _sim(df: pd.DataFrame) -> pd.DataFrame:
-        return SimHasher()(df)
+        return SimHasher(word_hash=word_hash)(df)
 
     return docs_ds.map_batches(_sim, batch_format="pandas")
 
 
 def simhash_candidate_pairs(docs_ds, max_hamming: int = 3,
                             concurrency=(1, 8), cap: int = 50,
-                            collect_threshold: int = 5_000_000):
+                            collect_threshold: int = 5_000_000,
+                            word_hash: str = "pandas"):
     """Banded simhash near-dup candidates: 4 bands × 16 bits; docs sharing a
     band value are candidates; verified by hamming distance.  The band
     shuffle carries (band_key, doc_id, simhash) — 24 B/row, no text.
@@ -1468,13 +1498,21 @@ def simhash_candidate_pairs(docs_ds, max_hamming: int = 3,
     pays ~100 µs/bucket of Ray scheduling — masked at fixture scale only
     by the singleton-bucket prefilter; boilerplate-heavy corpora regrow
     populated buckets).  Each of ~2×CPU tasks groups its band shard with
-    one pandas groupby and verifies hamming inline."""
+    one pandas groupby and verifies hamming inline.
+
+    EXACTNESS: with ``max_hamming <= 3`` and no bucket past ``cap``, the
+    output equals the exact all-pairs hamming<=max_hamming set on ANY
+    data — by pigeonhole, <=3 differing bits cannot touch all 4 16-bit
+    bands, so every qualifying pair shares at least one band bucket, and
+    the inline verify is exact.  d_simhash_pairs exploits this with
+    word_hash="fnv" (SQL-reproducible) and an effectively-unbounded cap."""
     import ray
     import ray.data as rd
 
     from ..stages.bloom import _M1, _mix
 
-    hashed = simhash_documents(docs_ds, concurrency=concurrency)
+    hashed = simhash_documents(docs_ds, concurrency=concurrency,
+                               word_hash=word_hash)
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         sh = df["simhash"].to_numpy(np.uint64)

@@ -2783,6 +2783,29 @@ def d_simhash(sf_dir):
     return _i64(simhash_documents(ds).to_pandas(), ["doc_id", "simhash"])
 
 
+def d_simhash_pairs(sf_dir):
+    """SimHash near-dup pairs — VALUE-CHECKED (VERDICT r3 item 6).
+
+    4 bands x 16 bits with max_hamming=3: by pigeonhole, <=3 differing
+    bits cannot touch all 4 bands, so LSH recall is exactly 1.0 and the
+    inline Hamming verify makes the output equal the exact all-pairs
+    hamming<=3 set on ANY data — unlike d_minhash_pairs, no planted-pair
+    recall argument is needed.  word_hash="fnv" makes the word hash
+    SQL-reproducible (the oracle folds the same FNV-1a over codepoints
+    in a recursive CTE, bit-exactness pinned by a pytest); both sides
+    compute hamming over the same 63 bits (the engine's int64 simhash
+    masks bit 63; the oracle only assembles bits 0..62).  cap=1e9
+    disables the star-pair overflow approximation (an exactness
+    precondition)."""
+    from ..functions.dedup_docs import simhash_candidate_pairs
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    df = simhash_candidate_pairs(ds, max_hamming=3, cap=1_000_000_000,
+                                 word_hash="fnv").to_pandas()
+    df = _i64(df, ["doc_a", "doc_b", "hamming"])
+    return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 def media_frames(sf_dir):
     """Multimodal resize → frame-sample chain (rows-only — stubbed pixel
     kernels; the geometry/timing math and the row-expanding Ray plumbing
@@ -2951,12 +2974,16 @@ def build_queries() -> dict:
         "e_hash_sample": e_hash_sample,
         "e_stratified_sample": e_stratified_sample,
         "e_asof": e_asof,
-        "e_asof_big": e_asof_big,
-        "e_rolling": e_rolling,
         "e_window_join": e_window_join,
-        "e_window_join_big": e_window_join_big,
-        "e_sliding": e_sliding,
         "e_sessions": e_sessions,
+        # round-4 rotation (VERDICT r3 item 1): the only oracle-backed
+        # queries with zero external green rows take the window; the
+        # demoted r03-green rows (e_asof_big, e_window_join_big,
+        # e_rolling, e_sliding) stay value-checked in-repo below
+        "e_gaps": e_gaps,
+        "d_ngram_overlap": d_ngram_overlap,
+        "d_unit_dedup": d_unit_dedup,
+        "d_simhash_pairs": d_simhash_pairs,
         "e_top_per_user": e_top_per_user,
         # new this round — need their first external green row
         "d_weighted_sample": d_weighted_sample,
@@ -3017,9 +3044,11 @@ def build_queries() -> dict:
         "q_region_brand_revenue": q_region_brand_revenue,
         "d_lang_eval": d_lang_eval,
         "e_mode_hour": e_mode_hour,
-        "e_gaps": e_gaps,
-        "d_ngram_overlap": d_ngram_overlap,
-        "d_unit_dedup": d_unit_dedup,
+        # r03-green rows demoted in the round-4 rotation above
+        "e_asof_big": e_asof_big,
+        "e_window_join_big": e_window_join_big,
+        "e_rolling": e_rolling,
+        "e_sliding": e_sliding,
         # LSH scale path of d_cross_dedup: its exact twin holds the window
         # slot; the minhash machinery is value-checked in-window via
         # d_minhash_pairs and in-repo via test_driver_oracle
@@ -3039,9 +3068,60 @@ def build_queries() -> dict:
         "media_frames": media_frames,
     }
     first50 = list(q)[:50]
-    assert len(q) == 98 and all(n in build_oracles() for n in first50), \
+    assert len(q) == 99 and all(n in build_oracles() for n in first50), \
         "driver checks only the first 50 keys — keep them oracle-backed"
     return q
+
+
+def _simhash_pairs_oracle_sql() -> str:
+    """All-pairs 63-bit simhash XOR-popcount oracle for d_simhash_pairs.
+
+    Recomputes the engine's simhash from scratch in SQL: FNV-1a word
+    hashes via a recursive-CTE fold over codepoints (bit-exact vs the
+    numpy fold in SimHasher._fnv1a_words — pinned by a pytest), per-bit
+    majority votes as 63 GENERATED sum expressions (no word x bit row
+    explosion), then an all-pairs self-join at hamming <= 3.  Wordless
+    docs get simhash 0 (every vote CASE falls to ELSE 0 on NULL), same
+    as the engine."""
+    psums = ",\n    ".join(
+        f"sum(CAST((h >> {b}) & 1 AS BIGINT)) AS p{b}" for b in range(63))
+    bits = "\n      + ".join(
+        f"CASE WHEN 2 * p{b} > cnt THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(63))
+    return f"""
+WITH RECURSIVE dw AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(COALESCE(text, '')), '\\S+')) AS w
+  FROM documents
+),
+words AS (SELECT DISTINCT w FROM dw),
+fold(w, n, pos, h) AS (
+  SELECT w, length(w), 0, CAST(14695981039346656037 AS UBIGINT) FROM words
+  UNION ALL
+  SELECT w, n, pos + 1,
+    CAST((CAST(xor(h, CAST(unicode(substr(w, pos + 1, 1)) AS UBIGINT))
+          AS HUGEINT) * 1099511628211) % 18446744073709551616 AS UBIGINT)
+  FROM fold WHERE pos < n
+),
+wh AS (SELECT w, h FROM fold WHERE pos = n),
+votes AS (
+  SELECT doc_id, count(*) AS cnt,
+    {psums}
+  FROM dw JOIN wh USING (w)
+  GROUP BY doc_id
+),
+sh AS (
+  SELECT d.doc_id,
+    {bits} AS simhash
+  FROM (SELECT doc_id FROM documents) d
+  LEFT JOIN votes USING (doc_id)
+)
+SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY doc_a, doc_b
+"""
 
 
 def build_oracles() -> dict[str, str]:
@@ -3404,6 +3484,10 @@ SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
 FROM j WHERE jac >= 0.6
 ORDER BY doc_a, doc_b
 """,
+        # Exact all-pairs 63-bit simhash XOR-popcount at hamming <= 3 —
+        # equals the engine's 4x16-band LSH output by pigeonhole recall
+        # (see d_simhash_pairs docstring); generated SQL, see the helper.
+        "d_simhash_pairs": _simhash_pairs_oracle_sql(),
         # LSH cross-corpus variant: the same shingle CTE restricted to
         # cross-side pairs (new = doc_id % 7 == 0); equality holds by the
         # d_minhash_pairs recall argument (exact verify + recall 1.0 at

@@ -534,6 +534,14 @@ def _gap_part(p: int, refs, key: str, ts: str, idc: str) -> pa.Table:
     k = _col_np(t, key)
     tsv = _col_np(t, ts)
     ids = _col_np(t, idc)
+    # null ts rows: _col_np renders NaT as int64-min, which would sort
+    # first and fabricate a huge gap — SQL LAG yields NULL there and the
+    # oracle's WHERE drops it, so drop the rows before computing gaps
+    ok = tsv != np.iinfo(np.int64).min
+    if not ok.all():
+        k, tsv, ids = k[ok], tsv[ok], ids[ok]
+        if k.size == 0:
+            return empty
     order = np.lexsort((ids, tsv, k))
     k, tsv = k[order], tsv[order]
     same = k[1:] == k[:-1]

@@ -72,7 +72,7 @@ ORACLE_NAMES = [
     "d_wordgram_pairs", "d_redact", "d_boilerplate", "d_chunks",
     "d_pack", "d_repetition", "d_dedup_best", "d_cross_dedup",
     "d_cross_dedup_lsh", "d_curation_pipeline", "e_gaps",
-    "d_ngram_overlap", "d_unit_dedup",
+    "d_ngram_overlap", "d_unit_dedup", "d_simhash_pairs",
 ]
 
 
@@ -106,6 +106,19 @@ def test_rows_only_queries_run(contract, name):
     df = _to_df(q[name](SF_DIR))
     assert df is not None
     assert len(df.columns) > 0
+
+
+def test_ngram_oracle_word_cap(con):
+    """The d_ngram_overlap oracle's generate_series(1, 4096) caps the
+    SQL-side gram index; a fixture doc longer than 4096 words would
+    silently undercount oracle grams and red-flag the ENGINE (the
+    correct side).  Fail loudly here if the testdata ever changes."""
+    mx = con.sql(r"""
+        SELECT max(len(regexp_extract_all(lower(COALESCE(text, '')),
+                                          '\S+')))
+        FROM documents""").fetchone()[0]
+    assert mx < 4096, f"documents fixture now has a {mx}-word doc — " \
+        "raise the d_ngram_overlap oracle's generate_series cap"
 
 
 def test_entry_smoke(ray_session):

@@ -457,6 +457,37 @@ def test_simhash_candidates(ray_session):
     assert sh.simhash("hello world") != sh.simhash("goodbye world")
 
 
+def test_fnv1a_word_hash_matches_duckdb():
+    """The d_simhash_pairs oracle recomputes the FNV-1a word hash with a
+    recursive-CTE fold over codepoints — pin numpy == DuckDB bit-exactly
+    on short/long/digit/non-ascii words (the whole oracle-equality
+    argument rests on this fold)."""
+    import duckdb
+    import pandas as pd
+
+    from ict_log_parser_ray.functions.dedup_docs import SimHasher
+
+    words = ["a", "hello", "x" * 40, "1234", "naïve", "mixedCase",
+             "punct.,;", "日本語"]
+    got = SimHasher._fnv1a_words(pd.Series(words))
+    con = duckdb.connect()
+    want = dict(con.sql("""
+WITH RECURSIVE fold(w, n, pos, h) AS (
+  SELECT w, length(w), 0, CAST(14695981039346656037 AS UBIGINT)
+  FROM (SELECT unnest(?) AS w) v
+  UNION ALL
+  SELECT w, n, pos + 1,
+    CAST((CAST(xor(h, CAST(unicode(substr(w, pos + 1, 1)) AS UBIGINT))
+          AS HUGEINT) * 1099511628211) % 18446744073709551616 AS UBIGINT)
+  FROM fold WHERE pos < n
+)
+SELECT w, h FROM fold WHERE pos = n
+""", params=[words]).fetchall())
+    con.close()
+    for w, g in zip(words, got):
+        assert int(g) == int(want[w]), w
+
+
 # ------------------------------------------------------------- similarity
 
 def test_knn_bruteforce_matches_numpy(ray_session):
