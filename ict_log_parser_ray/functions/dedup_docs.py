@@ -1588,6 +1588,60 @@ def simhash_candidate_pairs(docs_ds, max_hamming: int = 3,
         Min("hamming", alias_name="hamming"))
 
 
+def dedup_drop_filter(docs_ds, comp, id_col: str = "doc_id",
+                      max_broadcast: int | None = None):
+    """Stream ``docs_ds`` through the dedup KEEP filter implied by a
+    component labeling ``comp`` (DataFrame or Dataset of
+    (node, component), or a raw numpy array of ids to drop): rows whose
+    id is a non-canonical cluster member (node != component) drop.
+    → lazy Dataset.
+
+    Threads the components node budget through the final filter (VERDICT
+    r3 item 2): below ``max_broadcast`` drop-set values (env
+    ``ICT_DROPSET_MAX_BROADCAST``, default 2e7) the drop set ships once
+    via ray.put and each batch filters with a zero-copy ``is_in``; past
+    it — or whenever ``comp`` is already a (over-budget) Dataset — the
+    filter is ``stages.bloom.bloom_anti_join_partitioned``: misses pass
+    inline on the bloom's one-sided error, only fp-bounded hits probe
+    hash-routed key shards, and neither the driver nor any worker ever
+    holds the full drop set."""
+    import os
+
+    import pyarrow.compute as pc
+    import ray
+
+    from ..stages.bloom import bloom_anti_join_partitioned
+
+    if max_broadcast is None:
+        max_broadcast = int(os.environ.get("ICT_DROPSET_MAX_BROADCAST",
+                                           20_000_000))
+
+    if isinstance(comp, (pd.DataFrame, np.ndarray)):
+        drop = comp if isinstance(comp, np.ndarray) else \
+            comp.loc[comp["node"] != comp["component"], "node"].to_numpy()
+        if drop.size <= max_broadcast:
+            drop_ref = ray.put(pa.array(np.sort(drop)))
+
+            def keep(b: pa.Table) -> pa.Table:
+                m = pc.invert(pc.is_in(b[id_col],
+                                       value_set=ray.get(drop_ref)))
+                return b.filter(m)
+
+            return docs_ds.map_batches(keep, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+        from ..blocks import split_arrow_ds
+
+        drop_ds = split_arrow_ds(pd.DataFrame({"node": drop}))
+    else:
+        def to_drop(b: pa.Table) -> pa.Table:
+            m = pc.invert(pc.equal(b["node"], b["component"]))
+            return b.filter(m).select(["node"])
+
+        drop_ds = comp.map_batches(to_drop, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    return bloom_anti_join_partitioned(docs_ds, drop_ds, id_col, "node")
+
+
 def exact_duplicate_groups(docs_ds, collect_threshold: int = 100_000_000):
     """Exact dedup over text: groups with >1 copy.
 

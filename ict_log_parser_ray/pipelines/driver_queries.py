@@ -2423,27 +2423,19 @@ def d_dup_clusters(sf_dir):
 def d_dedup_keep(sf_dir):
     """The end-to-end near-dup DEDUP deliverable: the keep-list.  Pairs →
     connected components → drop every non-canonical cluster member (keep
-    the min doc_id per component) → stream the corpus through a broadcast
-    drop-set filter.  The drop set is bounded by dup-cluster size (tiny
-    vs corpus), so the final pass is a constant-size broadcast filter —
-    the shape that holds at 100 TB."""
-    import ray
-
+    the min doc_id per component) → stream the corpus through
+    dedup_drop_filter, which broadcasts the drop set while it is small
+    and auto-switches to the streaming partitioned bloom anti-join past
+    ICT_DROPSET_MAX_BROADCAST (mirroring the components node budget) —
+    the shape that holds at 100 TB even when dup density is high."""
     from ..functions.components import connected_components
+    from ..functions.dedup_docs import dedup_drop_filter
 
     pairs = _pairs_ds(_minhash_pairs_df(sf_dir))
     comp = connected_components(pairs, "doc_a", "doc_b")
-    drop = comp.loc[comp["node"] != comp["component"], "node"].to_numpy()
-    drop_ref = ray.put(pa.array(np.sort(drop), pa.int64()))
-
-    def keep(b: pa.Table) -> pa.Table:
-        m = pc.invert(pc.is_in(b["doc_id"], value_set=ray.get(drop_ref)))
-        return pa.table({"doc_id": pc.cast(b.filter(m)["doc_id"],
-                                           pa.int64())})
-
     ids = read_table(sf_dir, "documents", columns=["doc_id"])
-    out = ids.map_batches(keep, batch_format="pyarrow",
-                          zero_copy_batch=True).to_pandas()
+    out = dedup_drop_filter(ids, comp).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -2452,14 +2444,16 @@ def d_dedup_best(sf_dir):
     (tie → smallest doc_id) — the quality-aware keep rule curation
     pipelines actually use, vs d_dedup_keep's min-id canonicalisation.
 
-    Same pairs → connected components → broadcast drop-set shape as
-    d_dedup_keep; the per-cluster argmax is a bounded driver step over
-    the (tiny, dup-graph-sized) clustered-node set, whose n_chars come
-    from one column-pruned broadcast-filtered scan — the corpus text
-    never moves."""
+    Same pairs → connected components → dedup_drop_filter shape as
+    d_dedup_keep (broadcast below ICT_DROPSET_MAX_BROADCAST, streaming
+    partitioned bloom anti-join above); the per-cluster argmax is a
+    bounded driver step over the (tiny, dup-graph-sized) clustered-node
+    set, whose n_chars come from one column-pruned broadcast-filtered
+    scan — the corpus text never moves."""
     import ray
 
     from ..functions.components import connected_components
+    from ..functions.dedup_docs import dedup_drop_filter
 
     pairs = _pairs_ds(_minhash_pairs_df(sf_dir))
     comp = connected_components(pairs, "doc_a", "doc_b")
@@ -2485,16 +2479,9 @@ def d_dedup_best(sf_dir):
                       ascending=[True, False, True])
     keep_nodes = j.groupby("component", sort=False).head(1)["node"]
     drop = np.setdiff1d(comp["node"].to_numpy(), keep_nodes.to_numpy())
-    drop_ref = ray.put(pa.array(np.sort(drop), pa.int64()))
-
-    def keep(b: pa.Table) -> pa.Table:
-        m = pc.invert(pc.is_in(b["doc_id"], value_set=ray.get(drop_ref)))
-        return pa.table({"doc_id": pc.cast(b.filter(m)["doc_id"],
-                                           pa.int64())})
-
     ids = read_table(sf_dir, "documents", columns=["doc_id"])
-    out = ids.map_batches(keep, batch_format="pyarrow",
-                          zero_copy_batch=True).to_pandas()
+    out = dedup_drop_filter(ids, drop).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
 
 

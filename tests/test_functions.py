@@ -1446,6 +1446,116 @@ def test_connected_components_empty(ray_session):
     assert len(got) == 0 and list(got.columns) == ["node", "component"]
 
 
+def _clustered_random_edges(seed: int = 7) -> "pd.DataFrame":
+    """Dup-graph-shaped test input: many small clusters + one long chain
+    + one star hub + duplicate/reversed/self-loop edges."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    a, b = [], []
+    base = 0
+    for size in rng.integers(2, 9, 40):          # 40 random clusters
+        nodes = base + rng.permutation(size)
+        extra = rng.integers(0, size, size)      # random intra edges
+        a.extend(nodes[:-1]); b.extend(nodes[1:])
+        a.extend(nodes[extra]); b.extend(nodes[(extra + 1) % size])
+        base += int(size) + 3                    # gaps → isolated ids unused
+    chain = np.arange(base, base + 200)          # adversarial long chain
+    a.extend(chain[:-1]); b.extend(chain[1:])
+    hub = base + 300
+    spokes = hub + 1 + np.arange(50)             # star
+    a.extend([hub] * 50); b.extend(spokes)
+    df = pd.DataFrame({"a": np.array(a, np.int64),
+                       "b": np.array(b, np.int64)})
+    rev = df.rename(columns={"a": "b", "b": "a"})
+    loops = pd.DataFrame({"a": [5, hub], "b": [5, hub]})   # self-loops
+    return pd.concat([df, rev, df.head(17), loops], ignore_index=True)
+
+
+def test_connected_components_partitioned_parity(ray_session):
+    """Forced-path parity (VERDICT r3 item 2): the large-star/small-star
+    exchange must equal the driver pointer-jumping path on a clustered
+    random graph, a long chain and a star, with dup/reversed/self-loop
+    edges in the input."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.components import (
+        connected_components, connected_components_partitioned)
+
+    df = _clustered_random_edges()
+    want = (connected_components(rd.from_pandas(df).repartition(4),
+                                 "a", "b")
+            .sort_values("node").reset_index(drop=True))
+    got = (connected_components_partitioned(
+        rd.from_pandas(df).repartition(4), "a", "b", nparts=5)
+        .to_pandas().sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_connected_components_budget_dispatch(ray_session):
+    """node_budget=1 forces the partitioned fallback through the public
+    connected_components API — result must be identical to the driver
+    path (and come back as the same DataFrame shape)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.components import connected_components
+
+    df = _clustered_random_edges(seed=11)
+    want = (connected_components(rd.from_pandas(df).repartition(3),
+                                 "a", "b")
+            .sort_values("node").reset_index(drop=True))
+    got = (connected_components(rd.from_pandas(df).repartition(3),
+                                "a", "b", node_budget=1)
+           .sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_dedup_drop_filter_forced_partitioned(ray_session):
+    """max_broadcast=0 forces the streaming bloom anti-join drop path —
+    it must keep exactly the same ids as the broadcast path, for comp
+    given as a labeling DataFrame, a raw drop array, and a Dataset."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.dedup_docs import dedup_drop_filter
+
+    ids = pd.DataFrame({"doc_id": np.arange(2000, dtype=np.int64)})
+    comp = pd.DataFrame({
+        "node": np.array([3, 4, 5, 100, 101, 500, 1999], np.int64),
+        "component": np.array([3, 3, 3, 100, 100, 500, 500], np.int64)})
+    docs = rd.from_pandas(ids).repartition(4)
+    want = sorted(dedup_drop_filter(docs, comp)
+                  .to_pandas()["doc_id"].tolist())
+    assert 4 not in want and 5 not in want and 101 not in want \
+        and 1999 not in want and 3 in want and 500 in want
+    got_forced = sorted(dedup_drop_filter(docs, comp, max_broadcast=0)
+                        .to_pandas()["doc_id"].tolist())
+    assert got_forced == want
+    drop = comp.loc[comp["node"] != comp["component"], "node"].to_numpy()
+    got_arr = sorted(dedup_drop_filter(docs, drop, max_broadcast=0)
+                     .to_pandas()["doc_id"].tolist())
+    assert got_arr == want
+    got_ds = sorted(dedup_drop_filter(docs, rd.from_pandas(comp))
+                    .to_pandas()["doc_id"].tolist())
+    assert got_ds == want
+
+
+def test_connected_components_budget_string_nodes_raise(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.components import connected_components
+
+    df = pd.DataFrame({"a": ["x", "y"], "b": ["y", "z"]})
+    with pytest.raises(ValueError, match="integer node ids"):
+        connected_components(rd.from_pandas(df), "a", "b", node_budget=1)
+
+
 # ------------------------- grouped moments / corr -------------------------
 
 def test_grouped_corr_vs_numpy(ray_session):
