@@ -55,7 +55,7 @@ def run_headline_streaming(sf: float, out_dir: str) -> dict:
 
     import pyarrow.parquet as pq
 
-    d = fx.ensure_fixture(sf)
+    d = os.environ.get("ICT_BENCH_FIXTURE_DIR") or fx.ensure_fixture(sf)
     n_turns = json.load(open(os.path.join(d, "_DONE.json")))["rows"]
     meta = pq.read_table(os.path.join(d, "tool_meta.parquet"))
 
@@ -83,7 +83,9 @@ def run_headline(sf: float, out_dir: str) -> dict:
 
     import pyarrow.parquet as pq
 
-    d = fx.ensure_fixture(sf)  # cached; generation cost not measured
+    # cached; generation cost not measured.  The env override points the
+    # identical job at a fixture VARIANT (bench.py --skew)
+    d = os.environ.get("ICT_BENCH_FIXTURE_DIR") or fx.ensure_fixture(sf)
     n_turns = json.load(open(os.path.join(d, "_DONE.json")))["rows"]
     meta = pq.read_table(os.path.join(d, "tool_meta.parquet"))
 
@@ -163,7 +165,7 @@ def single_run(num_cpus: int, sf_dir: str, json_out: str | None,
     # column-chunked, so reading one column warms only that column's pages
     # and leaves `text` (the bulk) cold — measured as a ~35%-slow first
     # run at the high level (BASELINE.md, the 0.745 invocation).
-    d = fx.ensure_fixture(sf)
+    d = os.environ.get("ICT_BENCH_FIXTURE_DIR") or fx.ensure_fixture(sf)
     tdir = os.path.join(d, "transcripts")
     for fn in sorted(os.listdir(tdir)):
         with open(os.path.join(tdir, fn), "rb") as f:
@@ -301,6 +303,70 @@ def scaling(sf_dir: str, cpus=(2, 8), repeats: int = 3,
     }
 
 
+def skew(cpus: int = 8, skew_sf: float = 0.5, repeats: int = 3,
+         frac: float = 0.10, streaming: bool = True) -> dict:
+    """Adversarial-skew evidence (north_rule skew claim): the identical
+    streaming flagship over a UNIFORM fixture vs a SKEWED variant where
+    ONE conversation holds ~10% of all turns, same CPU count, fresh
+    processes, interleaved best-of-``repeats`` (the host-noise protocol
+    from --scaling).  Reports throughput on both and the degradation
+    ratio tput_uniform / tput_skewed — the bucketed per-key partition
+    shapes must keep it < 2 (one mega key must not serialize a stage)."""
+    from ict_log_parser_ray import fixtures as fx
+
+    base = fx.ensure_fixture(skew_sf)
+    skewed = fx.ensure_skew_fixture(skew_sf, frac=frac)
+    sink_root = os.environ.get("ICT_BENCH_SINK_DIR", "/dev/shm/ict_bench")
+    obs = {"uniform": [], "skewed": []}
+    best = {}
+    for r in range(repeats):
+        for name, fdir in (("uniform", base), ("skewed", skewed)):
+            path = f"/tmp/ict_ray_bench_skew_{name}_{r}.json"
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
+                       ICT_BENCH_SINK_DIR=sink_root,
+                       ICT_BENCH_FIXTURE_DIR=fdir)
+            if streaming:
+                env["ICT_BENCH_STREAMING"] = "1"
+            subprocess.run(["sync"], check=False)
+            cp = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--single-run",
+                 "--num-cpus", str(cpus), "--sf-dir",
+                 f"/skew/sf{skew_sf:g}", "--json-out", path, "--no-queries"],
+                check=False, env=env, stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            for chunk in (cp.stdout, cp.stderr):
+                if chunk:
+                    sys.stderr.write(chunk.decode(errors="replace"))
+            if cp.returncode != 0:
+                raise subprocess.CalledProcessError(cp.returncode, cp.args)
+            out = json.load(open(path))
+            obs[name].append(out["turns_per_sec"])
+            if name not in best or \
+                    out["turns_per_sec"] > best[name]["turns_per_sec"]:
+                best[name] = out
+    if sink_root.startswith("/dev/shm"):
+        shutil.rmtree(sink_root, ignore_errors=True)
+    ratio = round(best["uniform"]["turns_per_sec"]
+                  / best["skewed"]["turns_per_sec"], 4)
+    return {
+        "metric": f"skew degradation (uniform vs one-conv~{frac:.0%} "
+                  f"fixture, {cpus} CPUs, streaming={streaming}, "
+                  f"best of {repeats})",
+        "value": ratio,
+        "unit": "ratio",
+        "queries": {},
+        "sf": skew_sf,
+        "num_cpus": cpus,
+        "tput_uniform": best["uniform"]["turns_per_sec"],
+        "tput_skewed": best["skewed"]["turns_per_sec"],
+        "turns_uniform": best["uniform"]["turns"],
+        "turns_skewed": best["skewed"]["turns"],
+        "skew_degradation": ratio,
+        "observations": obs,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get(
@@ -319,9 +385,16 @@ def main():
     ap.add_argument("--single-run", action="store_true")
     ap.add_argument("--no-queries", action="store_true")
     ap.add_argument("--json-out", default=None)
+    ap.add_argument("--skew", action="store_true",
+                    help="uniform-vs-skewed-fixture degradation at one CPU "
+                         "count (north_rule skew evidence)")
+    ap.add_argument("--skew-sf", type=float, default=0.5)
+    ap.add_argument("--skew-cpus", type=int, default=8)
     args = ap.parse_args()
 
-    if args.scaling:
+    if args.skew:
+        result = skew(cpus=args.skew_cpus, skew_sf=args.skew_sf)
+    elif args.scaling:
         cpus = tuple(int(x) for x in args.cpus.split(","))
         result = scaling(args.sf_dir, cpus=cpus, scaling_sf=args.scaling_sf)
     else:

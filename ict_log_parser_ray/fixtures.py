@@ -156,7 +156,8 @@ def n_panels_for_sf(sf: float) -> int:
     return max(8, int(round(50_000 * sf)))
 
 
-def generate_transcripts_table(sf: float, seed: int = DEFAULT_SEED) -> pa.Table:
+def generate_transcripts_table(sf: float, seed: int = DEFAULT_SEED,
+                               mega_factor: int = MEGA_FACTOR) -> pa.Table:
     defs, pareto_idx, limit_change_names = _build_testdefs(seed)
     pareto_names = [defs[i]["name"] for i in pareto_idx]
     n_panels = n_panels_for_sf(sf)
@@ -190,7 +191,7 @@ def generate_transcripts_table(sf: float, seed: int = DEFAULT_SEED) -> pa.Table:
                 else:
                     fail_tests = set()
                 mega = p == 0 and b == 0 and run == 0 and sf >= 0.0005
-                sub = subset * MEGA_FACTOR if mega else subset
+                sub = subset * mega_factor if mega else subset
                 conv_id = f"B{p:04d}-{b:02d}-{run:02d}"
                 serial = f"DMC{p:05d}{b:02d}"
                 t_us = _emit_attempt(
@@ -253,22 +254,14 @@ def fixture_dir(sf: float, seed: int = DEFAULT_SEED, root: str = DEFAULT_ROOT) -
     return os.path.join(root, f"sf{sf:g}_seed{seed}_v{FIXTURE_VERSION}")
 
 
-def ensure_fixture(sf: float, seed: int = DEFAULT_SEED, root: str = DEFAULT_ROOT) -> str:
-    """Idempotently materialize transcripts/ shards + tool_meta.parquet.
-
-    Returns the directory.  Safe to call from multiple entry points; a marker
-    file written last makes partially-written dirs regenerate.
-    """
-    d = fixture_dir(sf, seed, root)
-    marker = os.path.join(d, "_DONE.json")
-    if os.path.exists(marker):
-        return d
+def _write_fixture_dir(d: str, tbl: pa.Table, sf: float, seed: int,
+                       extra_meta: dict | None = None) -> str:
+    """Shard + write one fixture directory (transcripts/ + tool_meta +
+    marker-last).  Sharded multi-file layout: conversation-disjoint shards
+    split on panel boundaries — the natural transcript layout (one logfile
+    per shard set, run_resumable's dedup contract) and enough input files
+    that read_parquet feeds every core at 8 and 32 CPUs alike."""
     os.makedirs(d, exist_ok=True)
-    tbl = generate_transcripts_table(sf, seed)
-    # Sharded multi-file layout: conversation-disjoint shards split on panel
-    # boundaries — the natural transcript layout (one logfile per shard set,
-    # run_resumable's dedup contract) and enough input files that
-    # read_parquet feeds every core at 8 and 32 CPUs alike.
     shard_dir = os.path.join(d, "transcripts")
     os.makedirs(shard_dir, exist_ok=True)
     n_shards = max(8, min(64, int(round(320 * sf))))
@@ -283,12 +276,62 @@ def ensure_fixture(sf: float, seed: int = DEFAULT_SEED, root: str = DEFAULT_ROOT
         pq.write_table(part, os.path.join(shard_dir, f"shard_{i:04d}.parquet"),
                        row_group_size=32_768)
     pq.write_table(tool_meta_table(seed), os.path.join(d, "tool_meta.parquet"))
+    marker = os.path.join(d, "_DONE.json")
     tmp = marker + ".tmp"
     with open(tmp, "w") as f:
         json.dump({"sf": sf, "seed": seed, "rows": tbl.num_rows,
-                   "version": FIXTURE_VERSION}, f)
+                   "version": FIXTURE_VERSION, **(extra_meta or {})}, f)
     os.replace(tmp, marker)
     return d
+
+
+def ensure_fixture(sf: float, seed: int = DEFAULT_SEED, root: str = DEFAULT_ROOT) -> str:
+    """Idempotently materialize transcripts/ shards + tool_meta.parquet.
+
+    Returns the directory.  Safe to call from multiple entry points; a marker
+    file written last makes partially-written dirs regenerate.
+    """
+    d = fixture_dir(sf, seed, root)
+    if os.path.exists(os.path.join(d, "_DONE.json")):
+        return d
+    return _write_fixture_dir(d, generate_transcripts_table(sf, seed),
+                              sf, seed)
+
+
+def ensure_skew_fixture(sf: float, frac: float = 0.10,
+                        seed: int = DEFAULT_SEED,
+                        root: str = DEFAULT_ROOT) -> str:
+    """Adversarially skewed fixture variant: ONE conversation holds
+    ~``frac`` of all turns (the north-rule skew claim made measurable —
+    a real transcript corpus has mega-conversations, and per-key
+    partitioned stages must not serialize on them).
+
+    The mega conversation's size scales linearly with ``mega_factor``
+    (it repeats the test subset), so the needed factor is solved from
+    the BASE fixture's mega row count: one cheap shard-0 read, no second
+    full generation.  Cached like the base fixture; marker-last."""
+    d = os.path.join(root, f"sf{sf:g}_seed{seed}_v{FIXTURE_VERSION}"
+                           f"_skew{frac:g}")
+    if os.path.exists(os.path.join(d, "_DONE.json")):
+        return d
+    import pyarrow.compute as pc
+
+    base = ensure_fixture(sf, seed, root)
+    total = json.load(open(os.path.join(base, "_DONE.json")))["rows"]
+    s0 = pq.read_table(os.path.join(base, "transcripts",
+                                    "shard_0000.parquet"),
+                       columns=["conv_id"])
+    m0 = pc.sum(pc.equal(s0["conv_id"], "B0000-00-00").cast(
+        pa.int64())).as_py() or 0
+    if not m0:
+        raise RuntimeError("base fixture has no mega conversation "
+                           "(sf too small for the skew variant)")
+    per_factor = m0 / MEGA_FACTOR
+    target = frac / (1.0 - frac) * (total - m0)
+    factor = max(1, int(round(target / per_factor)))
+    tbl = generate_transcripts_table(sf, seed, mega_factor=factor)
+    return _write_fixture_dir(d, tbl, sf, seed,
+                              {"skew_frac": frac, "mega_factor": factor})
 
 
 def sf_from_dir(sf_dir: str, default: float = 0.01) -> float:

@@ -732,6 +732,66 @@ def append_minhash_index(docs_ds, index_dir: str) -> None:
      .write_parquet(index_dir, partition_cols=["bucket"]))
 
 
+def compact_minhash_index(index_dir: str) -> dict:
+    """Drop retry-duplicated index rows bucket-by-bucket WITHOUT a full
+    rebuild — the incremental-crawl steady state accumulates them from
+    crash-retried appends (documented in ``append_minhash_index``), and
+    also leaves one small file per append per bucket.
+
+    One Ray task per bucket partition: read the bucket's files, dedup on
+    (band_key, doc_id) — the index's row identity — and rewrite as ONE
+    file only when something changed (duplicate rows OR file sprawl).
+    Crash-safe by write ordering: the deduped file lands under a unique
+    final name via ``os.replace`` (atomic within the bucket dir) BEFORE
+    the old files are unlinked, so an interruption leaves either the old
+    set, both (duplicates — probe-harmless, recompactable), or the new
+    set; rows are never lost.  Untouched buckets are not rewritten.
+    → stats dict (buckets, rewritten, rows_before, rows_after)."""
+    import glob
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq
+    import ray
+
+    if not minhash_index_complete(index_dir):
+        raise FileNotFoundError(f"minhash index at {index_dir} incomplete "
+                                "(no _SUCCESS) — build it first")
+    bucket_dirs = sorted(glob.glob(os.path.join(index_dir, "bucket=*")))
+
+    @ray.remote
+    def _compact(d: str):
+        files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+        if not files:
+            return (0, 0, False)
+        t = pa.concat_tables([pq.read_table(f) for f in files])
+        n = t.num_rows
+        bk = t["band_key"].to_numpy(zero_copy_only=False)
+        di = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((di, bk))
+        bs, ds_ = bk[order], di[order]
+        keep = np.r_[True, (bs[1:] != bs[:-1]) | (ds_[1:] != ds_[:-1])] \
+            if n else np.empty(0, bool)
+        kept = int(keep.sum())
+        if kept == n and len(files) == 1:
+            return (n, n, False)            # nothing to do — don't touch
+        out = t.take(pa.array(order[keep], pa.int64()))
+        tmp = os.path.join(d, f".compact-{uuid.uuid4().hex}.tmp")
+        pq.write_table(out, tmp, compression="lz4", use_dictionary=False,
+                       write_statistics=False)
+        os.replace(tmp, os.path.join(
+            d, f"compacted-{uuid.uuid4().hex}.parquet"))
+        for f in files:
+            os.remove(f)
+        return (n, kept, True)
+
+    stats = ray.get([_compact.remote(d) for d in bucket_dirs])
+    return {"buckets": len(bucket_dirs),
+            "rewritten": sum(1 for s in stats if s[2]),
+            "rows_before": sum(s[0] for s in stats),
+            "rows_after": sum(s[1] for s in stats)}
+
+
 def touched_bucket_dirs(index_dir: str, band_keys: np.ndarray,
                         nbuckets: int) -> list:
     """The bucket partition directories a new batch must read — and

@@ -369,6 +369,74 @@ def test_minhash_index_incremental_cycle(ray_session, tmp_path):
     assert rights & {1, 3} and rights & {0, 4}
 
 
+def test_compact_minhash_index(ray_session, tmp_path):
+    """Crash-retried append (same batch twice) → compact → probe results
+    identical to a FRESH index build over corpus ∪ batch; duplicate rows
+    gone; buckets that needed no work keep their original files."""
+    import glob
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.dedup_docs import (
+        append_minhash_index, compact_minhash_index,
+        minhash_cross_pairs_indexed, write_minhash_index)
+
+    docs = _near_dup_docs()
+    ids = docs["doc_id"].to_pylist()
+    m_corpus = pa.array([i in {1, 3} for i in ids])
+    m_b1 = pa.array([i in {0, 4} for i in ids])
+    m_b2 = pa.array([i in {2, 5} for i in ids])
+    corpus = rd.from_arrow(docs.filter(m_corpus))
+    b1 = rd.from_arrow(docs.filter(m_b1))
+    b2 = rd.from_arrow(docs.filter(m_b2))
+
+    idx = str(tmp_path / "mh_compact")
+    write_minhash_index(corpus, idx, nbuckets=64)
+    append_minhash_index(b1, idx)
+    append_minhash_index(b1, idx)            # the crash-retry duplicate
+
+    def rows(d):
+        fs = sorted(glob.glob(os.path.join(d, "bucket=*", "*.parquet")))
+        return pa.concat_tables([pq.read_table(f) for f in fs])
+
+    before = rows(idx)
+    untouched = [d for d in sorted(glob.glob(os.path.join(idx, "bucket=*")))
+                 if len(glob.glob(os.path.join(d, "*.parquet"))) == 1]
+    keep_files = {d: glob.glob(os.path.join(d, "*.parquet"))
+                  for d in untouched}
+
+    stats = compact_minhash_index(idx)
+    after = rows(idx)
+    assert stats["rows_before"] == before.num_rows
+    assert stats["rows_after"] == after.num_rows < before.num_rows
+    # deduped exactly: distinct (band_key, doc_id) preserved
+    key = lambda t: sorted(zip(t["band_key"].to_pylist(),
+                               t["doc_id"].to_pylist()))
+    assert key(after) == sorted(set(key(before)))
+    # single-file clean buckets were not rewritten
+    for d, fs in keep_files.items():
+        assert glob.glob(os.path.join(d, "*.parquet")) == fs
+
+    # probe equality vs a FRESH build over corpus ∪ b1
+    big_corpus = rd.from_arrow(docs.filter(pc.or_(m_corpus, m_b1)))
+    fresh = str(tmp_path / "mh_fresh")
+    write_minhash_index(big_corpus, fresh, nbuckets=64)
+    pkey = lambda df: sorted((int(r.left_doc), int(r.right_doc),
+                              round(r.jaccard, 9)) for r in df.itertuples())
+    got = minhash_cross_pairs_indexed(b2, idx, big_corpus,
+                                      threshold=0.3).to_pandas()
+    want = minhash_cross_pairs_indexed(b2, fresh, big_corpus,
+                                       threshold=0.3).to_pandas()
+    assert pkey(got) == pkey(want) and len(want) > 0
+    # idempotent: a second compact is a no-op
+    stats2 = compact_minhash_index(idx)
+    assert stats2["rewritten"] == 0
+    assert stats2["rows_after"] == stats["rows_after"]
+
+
 def test_incremental_dedup_batch_cycle(ray_session, tmp_path):
     """The one-call cycle: batch1's corpus-dup is dropped and survivors
     appended, so batch2's dup-of-a-batch1-survivor is then dropped too;

@@ -43,6 +43,62 @@ def test_invariants_hold_across_seeds(ray_session, seed, tmp_path_factory):
     assert got_all == golden["paretos"]["all"]
 
 
+def test_skewed_fixture_parity(ray_session):
+    """Adversarial skew variant (VERDICT r3 item 5): ONE conversation
+    holds ~10% of ALL turns.  The full flagship must still match the
+    sequential parity reference row-for-row — the bucketed per-key
+    stages may not drop, split, or double-count the mega key."""
+    import pyarrow.compute as pc
+
+    from ict_log_parser_ray.pipelines import flagship, reports
+
+    d = fx.ensure_skew_fixture(0.001, frac=0.10)
+    tbl = pq.read_table(f"{d}/transcripts")
+    # shape guard: the variant really is ~10% skewed
+    counts = tbl.group_by("conv_id").aggregate([("turn_idx", "count")])
+    mega = max(counts.column("turn_idx_count").to_pylist())
+    assert 0.07 < mega / tbl.num_rows < 0.13
+
+    golden = parity.run_reference(tbl)
+    meta = pq.read_table(f"{d}/tool_meta.parquet")
+    pipe = flagship.build(f"{d}/transcripts", tool_meta=meta,
+                          materialize_intermediates=True)
+    tm = reports.turn_metrics_combined(pipe["flagged"])
+    got_sinks = {r["sink"]: r["n"]
+                 for r in tm["sink_counts"].to_dict("records")}
+    assert got_sinks == golden["sink_counts"]
+    assert sum(got_sinks.values()) == golden["n_deduped"]
+    small = reports.attempts_report_tables(pipe["attempts"])
+    ys = {r["phase"]: (r["ok"], r["nok"])
+          for r in small["yields_sb"].to_pylist()}
+    assert ys == golden["yields_sb"]
+
+
+def test_skew_wall_degradation_under_2x():
+    """The north_rule skew claim made measurable (VERDICT r3 item 5): the
+    streaming flagship over the skewed fixture must run within 2× of the
+    uniform fixture at 8 CPUs.  Fresh-process runs, variants interleaved
+    inside ONE invocation (this host's throughput swings ~2× on an hour
+    timescale — the ratio between interleaved runs stays meaningful when
+    absolutes do not).  bench.py --skew is the bench-scale (sf0.5)
+    version of this; BASELINE.md records its series."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import bench
+
+    os.environ["ICT_BENCH_HEADLINE_REPS"] = "1"
+    try:
+        res = bench.skew(cpus=8, skew_sf=0.1, repeats=3)
+    finally:
+        os.environ.pop("ICT_BENCH_HEADLINE_REPS", None)
+    assert res["skew_degradation"] < 2.0, res
+    # the skewed fixture really is bigger by the mega conversation
+    assert res["turns_skewed"] > res["turns_uniform"]
+
+
 def test_fixture_has_skew_and_dups(fixture_sf0001):
     """Guard: the fixture must keep exercising the skew (mega conversation)
     and dedup paths — regressions here would silently weaken every test."""
