@@ -1,11 +1,14 @@
 """Multimodal column stages (task brief): image/audio/video as opaque
 ``binary`` columns with typed metadata.
 
-The decode kernels themselves are STUBBED (no image/audio libraries in this
-container): ``decode=\"fake\"`` runs a deterministic fake decoder so the
+Decode kernels: ``decode="fake"`` runs a deterministic fake decoder so the
 Ray-side plumbing — schema, batch sizing, actor signature, output layout —
-is real and tested; ``decode=\"real\"`` raises ``NotImplementedError`` at the
-exact point where PIL/libav would be called.
+is testable without media libraries; ``decode="real"`` REALLY decodes
+binary netpbm images (PPM ``P6`` / PGM ``P5`` — a self-describing format a
+numpy ``frombuffer`` can parse, no external lib) and raises
+``NotImplementedError`` for formats that need PIL/libav (PNG/JPEG/MP4…) at
+the exact point those would be called.  The real path is golden-tested:
+decode∘encode round-trips, box-average resize, per-channel moment features.
 
 Scale notes baked in: binary payloads make rows heavy → small ``batch_size``
 (default 64) and an actor pool (decoder init is expensive in the real world);
@@ -20,6 +23,63 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+NETPBM_MIMES = ("image/x-portable-pixmap", "image/x-portable-graymap")
+
+
+def decode_netpbm(payload: bytes) -> np.ndarray:
+    """Binary netpbm (P6 = RGB, P5 = gray) → (H, W, C) uint8 array.
+
+    Real parsing: magic, whitespace/``#``-comment tokens, dims, maxval,
+    single whitespace, raw raster via ``np.frombuffer`` — the whole
+    format, not a subset (maxval ≤ 255 only; 16-bit rasters raise)."""
+    if payload[:2] not in (b"P5", b"P6"):
+        raise NotImplementedError(
+            f"real decode supports binary netpbm (P5/P6) only, got "
+            f"{payload[:2]!r} — PNG/JPEG need PIL, absent here")
+    chans = 3 if payload[:2] == b"P6" else 1
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":        # comment to end of line
+            nl = payload.index(b"\n", pos)
+            pos = nl + 1
+            continue
+        end = pos
+        while end < len(payload) and not payload[end : end + 1].isspace():
+            end += 1
+        tokens.append(int(payload[pos:end]))
+        pos = end
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm rasters not supported")
+    pos += 1                                      # single whitespace
+    n = w * h * chans
+    raster = np.frombuffer(payload, np.uint8, count=n, offset=pos)
+    return raster.reshape(h, w, chans)
+
+
+def encode_netpbm(img: np.ndarray) -> bytes:
+    """(H, W, C) uint8 → binary netpbm bytes (P6 for C=3, P5 for C=1)."""
+    h, w, c = img.shape
+    magic = b"P6" if c == 3 else b"P5"
+    return magic + f"\n{w} {h}\n255\n".encode() + \
+        np.ascontiguousarray(img, np.uint8).tobytes()
+
+
+def resize_box(img: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Box-average downscale to exactly (th, tw) — pure numpy: pixel
+    (i, j) averages the source box [i*h/th, (i+1)*h/th) × [j*w/tw, …).
+    Handles non-integer ratios via edge-index arithmetic (no Python
+    per-pixel loop; two reduceat passes)."""
+    h, w, c = img.shape
+    ye = (np.arange(th + 1) * h) // th
+    xe = (np.arange(tw + 1) * w) // tw
+    acc = np.add.reduceat(img.astype(np.float64), ye[:-1], axis=0)
+    acc = np.add.reduceat(acc, xe[:-1], axis=1)
+    area = (np.diff(ye)[:, None] * np.diff(xe)[None, :])[:, :, None]
+    return np.clip(np.rint(acc / area), 0, 255).astype(np.uint8)
+
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
     ("kind", pa.string()),         # image | audio | video
@@ -31,22 +91,37 @@ MEDIA_SCHEMA = pa.schema([
 ])
 
 
-def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
-    """Deterministic fake media table for tests/benchmarks."""
+def synth_media_table(n: int = 64, seed: int = 42,
+                      real_images: bool = False) -> pa.Table:
+    """Deterministic fake media table for tests/benchmarks.
+
+    ``real_images=True``: image rows carry REAL binary PPM payloads
+    (random pixels, header/metadata consistent) so the ``decode="real"``
+    netpbm path can be driven end-to-end; audio/video stay opaque."""
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
     rows = {k.name: [] for k in MEDIA_SCHEMA}
     for i in range(n):
         kind = kinds[i % 3]
-        payload = rng.integers(0, 256, size=int(rng.integers(256, 2048)),
-                               dtype=np.uint8).tobytes()
+        if kind == "image" and real_images:
+            w, h = int(rng.integers(8, 96)), int(rng.integers(8, 96))
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payload, mime = encode_netpbm(img), NETPBM_MIMES[0]
+        else:
+            payload = rng.integers(0, 256,
+                                   size=int(rng.integers(256, 2048)),
+                                   dtype=np.uint8).tobytes()
+            mime = {"image": "image/png", "audio": "audio/wav",
+                    "video": "video/mp4"}[kind]
+            w = h = None if kind == "audio" else int(rng.integers(32, 1024))
+            if kind != "audio":
+                w, h = int(rng.integers(32, 1024)), int(rng.integers(32, 1024))
         rows["media_id"].append(i)
         rows["kind"].append(kind)
         rows["payload"].append(payload)
-        rows["mime"].append({"image": "image/png", "audio": "audio/wav",
-                             "video": "video/mp4"}[kind])
-        rows["width"].append(int(rng.integers(32, 1024)) if kind != "audio" else None)
-        rows["height"].append(int(rng.integers(32, 1024)) if kind != "audio" else None)
+        rows["mime"].append(mime)
+        rows["width"].append(w if kind != "audio" else None)
+        rows["height"].append(h if kind != "audio" else None)
         rows["duration_ms"].append(int(rng.integers(1000, 60000)) if kind != "image" else None)
     return pa.table(rows, schema=MEDIA_SCHEMA)
 
@@ -64,11 +139,6 @@ class MediaFeatureExtractor:
             raise ValueError(decode)
         self.decode = decode
         self.feature_dim = feature_dim
-        if decode == "real":
-            # point where PIL / torchaudio / pyav would be imported+loaded
-            raise NotImplementedError(
-                "real media decoding requires image/audio libs not present "
-                "in this environment; use decode='fake'")
 
     def _fake_features(self, payload: bytes) -> np.ndarray:
         # deterministic digest → fixed-width pseudo-features
@@ -76,9 +146,38 @@ class MediaFeatureExtractor:
         raw = np.frombuffer(d[: self.feature_dim * 4], dtype=np.uint32)
         return (raw % 10_000).astype(np.float32) / 10_000.0
 
+    def _real_features(self, payload: bytes, mime: str) -> np.ndarray:
+        """REAL pixel features for netpbm images (pure-numpy decode):
+        [mean, std, first-channel mean, last-channel mean, w/4096,
+        h/4096, aspect, mean |∂x|] — each in [0, ~1].  Non-netpbm mimes
+        raise at the exact point PIL / torchaudio / pyav would run."""
+        if mime not in NETPBM_MIMES:
+            raise NotImplementedError(
+                f"real feature extraction for {mime} requires media libs "
+                "not present in this environment (netpbm images are "
+                "decoded for real); use decode='fake'")
+        img = decode_netpbm(payload)
+        f = img.astype(np.float64)
+        h, w, _ = img.shape
+        dx = np.abs(np.diff(f, axis=1)).mean() / 255.0 if w > 1 else 0.0
+        feats = np.array([f.mean() / 255.0, f.std() / 255.0,
+                          f[:, :, 0].mean() / 255.0,
+                          f[:, :, -1].mean() / 255.0,
+                          w / 4096.0, h / 4096.0,
+                          min(w / h, 8.0), dx], np.float32)
+        out = np.zeros(self.feature_dim, np.float32)
+        out[: min(len(feats), self.feature_dim)] = \
+            feats[: self.feature_dim]
+        return out
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
-        feats = np.stack([self._fake_features(p) for p in payloads])
+        if self.decode == "real":
+            mimes = batch["mime"].to_pylist()
+            feats = np.stack([self._real_features(p, m)
+                              for p, m in zip(payloads, mimes)])
+        else:
+            feats = np.stack([self._fake_features(p) for p in payloads])
         out = batch.drop_columns(["payload"])
         out = out.append_column(
             "features", pa.array(list(feats), pa.list_(pa.float32())))
@@ -144,22 +243,21 @@ def media_digest(media_ds, batch_size: int = 64):
 class MediaResizer:
     """Actor-pool image/video RESIZE stage (task-brief op #3).
 
-    Real plumbing, stubbed pixel kernel: the OUTPUT GEOMETRY is computed
-    for real from the typed metadata (cap the longer side at ``max_side``,
-    preserve aspect ratio, never upscale), and ``decode="fake"`` emits a
-    deterministic payload (sha256 of the input payload + target geometry,
-    length scaled by the area ratio — so payload size responds to the
-    resize like a real re-encode would).  ``decode="real"`` raises at the
-    exact point PIL/pyav would run.  Audio rows pass through untouched.
+    The OUTPUT GEOMETRY is computed for real from the typed metadata (cap
+    the longer side at ``max_side``, preserve aspect ratio, never
+    upscale).  ``decode="fake"`` emits a deterministic payload (sha256 of
+    the input payload + target geometry, length scaled by the area ratio
+    — so payload size responds to the resize like a real re-encode
+    would).  ``decode="real"`` REALLY decodes netpbm images (pure-numpy
+    P5/P6 parse), box-average resizes, and re-encodes — golden-tested;
+    non-netpbm formats raise at the exact point PIL/pyav would run.
+    Audio rows pass through untouched either way.
     """
 
     def __init__(self, max_side: int = 256, decode: str = "fake"):
         if decode not in ("fake", "real"):
             raise ValueError(decode)
-        if decode == "real":
-            raise NotImplementedError(
-                "real media resize requires image/video libs not present "
-                "in this environment; use decode='fake'")
+        self.decode = decode
         self.max_side = max_side
 
     @staticmethod
@@ -179,12 +277,31 @@ class MediaResizer:
         ws = batch["width"].to_pylist()
         hs = batch["height"].to_pylist()
         payloads = batch["payload"].to_pylist()
+        mimes = batch["mime"].to_pylist()
         out_w, out_h, out_p = [], [], []
-        for kind, w, h, p in zip(kinds, ws, hs, payloads):
+        for kind, w, h, p, mime in zip(kinds, ws, hs, payloads, mimes):
             if kind == "audio" or w is None or h is None:
                 out_w.append(w)
                 out_h.append(h)
                 out_p.append(p)
+                continue
+            if self.decode == "real":
+                if mime not in NETPBM_MIMES:
+                    raise NotImplementedError(
+                        f"real resize for {mime} requires image/video "
+                        "libs not present here (netpbm images resize for "
+                        "real); use decode='fake'")
+                img = decode_netpbm(p)
+                ih, iw = img.shape[:2]       # trust pixels, not metadata
+                tw, th = self._target(iw, ih, self.max_side)
+                if (tw, th) == (iw, ih):
+                    out_w.append(iw)
+                    out_h.append(ih)
+                    out_p.append(p)
+                    continue
+                out_p.append(encode_netpbm(resize_box(img, tw, th)))
+                out_w.append(tw)
+                out_h.append(th)
                 continue
             tw, th = self._target(int(w), int(h), self.max_side)
             if (tw, th) == (w, h):

@@ -643,11 +643,117 @@ def test_media_feature_plumbing(ray_session):
     assert np.allclose(f1, f2)
 
 
-def test_media_real_decode_is_stubbed():
+def test_media_real_decode_unsupported_formats_raise():
+    """Non-netpbm formats still raise at the exact point PIL/pyav would
+    run — the real path is honest about what it can decode."""
     from ict_log_parser_ray.functions.multimodal import MediaFeatureExtractor
 
     with pytest.raises(NotImplementedError):
-        MediaFeatureExtractor(decode="real")
+        MediaFeatureExtractor(decode="real")._real_features(
+            b"\x89PNG....", "image/png")
+
+
+def test_netpbm_roundtrip_and_header_variants():
+    """decode∘encode is the identity; the parser handles comments and
+    multi-whitespace headers (the full binary-netpbm grammar)."""
+    from ict_log_parser_ray.functions.multimodal import (decode_netpbm,
+                                                         encode_netpbm)
+
+    rng = np.random.default_rng(3)
+    for shape in [(1, 1, 3), (5, 7, 3), (7, 5, 1), (64, 64, 3)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        assert np.array_equal(decode_netpbm(encode_netpbm(img)), img)
+    # comment + tabs/newlines in header
+    raster = bytes(range(12))
+    hdr = b"P6 # a comment\n# another\n 2\t2 \n255\n"
+    assert np.array_equal(decode_netpbm(hdr + raster),
+                          np.frombuffer(raster, np.uint8).reshape(2, 2, 3))
+    with pytest.raises(NotImplementedError):
+        decode_netpbm(b"P3\n1 1\n255\n0 0 0")    # ascii netpbm: not ours
+    with pytest.raises(NotImplementedError):
+        decode_netpbm(b"P6\n1 1\n65535\n" + bytes(6))  # 16-bit raster
+
+
+def test_resize_box_golden():
+    """Box-average golden values, integer and NON-integer ratios."""
+    from ict_log_parser_ray.functions.multimodal import resize_box
+
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4, 1)
+    out = resize_box(img, 2, 2)
+    # 2x2 boxes: mean([0,1,4,5])=2.5→round-half-even 2; ([2,3,6,7])=4.5→4
+    assert out.shape == (2, 2, 1)
+    assert out.reshape(-1).tolist() == [2, 4, 10, 12]
+    # non-integer 3→2: rows [0], [1,2] per numpy edge arithmetic
+    img3 = np.array([[[0]], [[30]], [[60]]], np.uint8)  # 3x1
+    out3 = resize_box(img3, 1, 2)
+    assert out3.reshape(-1).tolist() == [0, 45]
+    # constant image stays constant at any ratio
+    const = np.full((7, 5, 3), 123, np.uint8)
+    assert (resize_box(const, 3, 2) == 123).all()
+
+
+def test_media_real_resize_end_to_end(ray_session):
+    """decode="real" drives REAL pixels through the actor-pool resize:
+    output payload decodes to exactly resize_box(decode(input)) at the
+    _target geometry; small images pass through byte-identical; audio
+    rows untouched."""
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.multimodal import (
+        MediaResizer, decode_netpbm, resize_box, resize_media,
+        synth_media_table)
+
+    full = synth_media_table(n=24, real_images=True)
+    # real mode handles netpbm images + passes audio through; VIDEO rows
+    # raise at the pyav point (asserted below) — filter them like a real
+    # pipeline would route by kind
+    tbl = full.filter(pa.compute.not_equal(full["kind"], "video"))
+    out = resize_media(rd.from_arrow(tbl), max_side=32,
+                       decode="real").take_all()
+    by_id = {r["media_id"]: r for r in out}
+    for src in tbl.to_pylist():
+        got = by_id[src["media_id"]]
+        if src["kind"] != "image":
+            assert got["payload"] == src["payload"]
+            continue
+        img = decode_netpbm(src["payload"])
+        ih, iw = img.shape[:2]
+        tw, th = MediaResizer._target(iw, ih, 32)
+        assert (got["width"], got["height"]) == (tw, th)
+        want = img if (tw, th) == (iw, ih) else resize_box(img, tw, th)
+        assert np.array_equal(decode_netpbm(got["payload"]), want)
+    vids = full.filter(pa.compute.equal(full["kind"], "video"))
+    with pytest.raises(Exception, match="video/mp4"):
+        resize_media(rd.from_arrow(vids), max_side=32,
+                     decode="real").take_all()
+
+
+def test_media_real_features_end_to_end(ray_session):
+    """decode="real" feature extraction computes pixel statistics from
+    the actual raster (golden-checked on a constant image)."""
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.multimodal import (
+        MediaFeatureExtractor, encode_netpbm, extract_media_features,
+        synth_media_table)
+
+    # golden: constant 100-valued 4x8 RGB image
+    const = np.full((4, 8, 3), 100, np.uint8)
+    f = MediaFeatureExtractor(decode="real")._real_features(
+        encode_netpbm(const), "image/x-portable-pixmap")
+    assert abs(f[0] - 100 / 255) < 1e-6 and f[1] == 0.0
+    assert abs(f[4] - 8 / 4096) < 1e-9 and abs(f[5] - 4 / 4096) < 1e-9
+    assert abs(f[6] - 2.0) < 1e-6 and f[7] == 0.0
+
+    # end-to-end over the real-image synth table (images only)
+    tbl = synth_media_table(n=24, real_images=True)
+    imgs = tbl.filter(pa.compute.equal(tbl["kind"], "image"))
+    out = extract_media_features(rd.from_arrow(imgs),
+                                 decode="real").take_all()
+    assert len(out) == imgs.num_rows
+    for r in out:
+        assert len(r["features"]) == 8
+        assert all(np.isfinite(v) for v in r["features"])
 
 
 # ------------------------------------------- round-2 scale-fix regressions
