@@ -119,6 +119,9 @@ def connected_components(edges_ds, a_col: str = "a", b_col: str = "b",
         ds = connected_components_partitioned(edges, "src", "dst",
                                               max_rounds=2 * max_iters)
         df = ds.to_pandas()
+        if not len(df.columns):   # empty Datasets lose their schema
+            df = pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                               "component": pd.Series([], dtype="int64")})
         return df.sort_values("node").reset_index(drop=True)
 
     # node table: per-block uniques → driver unique (bounded by the
@@ -235,14 +238,16 @@ def connected_components_partitioned(edges_ds, a_col: str = "a",
         nparts = max(4, min(2 * ncpus(), 64))
 
     def norm(b: pa.Table) -> pa.Table:
+        # self-loop rows (a == b) ride along as lo == hi pairs: they are
+        # NOT edges for the star rounds (init splits them out below) but
+        # their nodes are singleton components the driver path emits —
+        # semantics must match (a node with only a self-loop gets a row)
         a, bb = b[a_col], b[b_col]
         valid = pc.and_(pc.is_valid(a), pc.is_valid(bb))
         t = pa.table({"a": pc.cast(a, pa.int64()),
                       "b": pc.cast(bb, pa.int64())}).filter(valid)
         av = t["a"].to_numpy(zero_copy_only=False)
         bv = t["b"].to_numpy(zero_copy_only=False)
-        keep = av != bv
-        av, bv = av[keep], bv[keep]
         lo, hi = np.minimum(av, bv), np.maximum(av, bv)
         out = _pair_table(lo, hi)
         return out.append_column(
@@ -252,16 +257,18 @@ def connected_components_partitioned(edges_ds, a_col: str = "a",
                                   zero_copy_batch=True).materialize()
     trefs = tagged.to_arrow_refs()
 
-    @ray.remote
-    def _init_part(p: int) -> pa.Table:
+    @ray.remote(num_returns=2)
+    def _init_part(p: int):
+        """→ (distinct real-edge pair table, distinct self-loop nodes)."""
         tbls = [t for t in tagged_tables(trefs, p) if t.num_rows]
         if not tbls:
-            return _PAIR_SCHEMA.empty_table()
+            return _PAIR_SCHEMA.empty_table(), np.empty(0, np.int64)
         t = pa.concat_tables(tbls)
         lo, hi = _sorted_dedup(
             t["lo"].to_numpy(zero_copy_only=False),
             t["hi"].to_numpy(zero_copy_only=False))
-        return _pair_table(lo, hi)
+        loop = lo == hi
+        return _pair_table(lo[~loop], hi[~loop]), np.unique(lo[loop])
 
     @ray.remote
     def _scatter(tbl: pa.Table, large: bool, nparts: int):
@@ -339,7 +346,9 @@ def connected_components_partitioned(edges_ds, a_col: str = "a",
                        and np.array_equal(hi, phi))
         return _pair_table(lo, hi), changed
 
-    cur = [_init_part.remote(p) for p in range(nparts)]
+    inits = [_init_part.remote(p) for p in range(nparts)]
+    cur = [i[0] for i in inits]
+    loop_refs = [i[1] for i in inits]
     large = True
     stable = 0
     for _ in range(max_rounds):
@@ -364,26 +373,51 @@ def connected_components_partitioned(edges_ds, a_col: str = "a",
         return pa.table({"node": tbl["hi"], "component": tbl["lo"]})
 
     @ray.remote
-    def _root_slices(tbl: pa.Table, nparts: int):
+    def _node_slices(tbl: pa.Table, col: str, nparts: int):
+        """Distinct node ids of one pair-partition column, sliced by
+        node hash (aligns roots/children/loops for the singles check)."""
         from ..stages.bloom import _M1, _mix
 
-        r = np.unique(tbl["lo"].to_numpy(zero_copy_only=False))
+        r = np.unique(tbl[col].to_numpy(zero_copy_only=False))
         tag = (_mix(r.astype(np.uint64), _M1)
                % np.uint64(nparts)).astype(np.int64)
         return tuple(r[tag == q] for q in range(nparts))
 
     @ray.remote
-    def _roots(slices) -> pa.Table:
-        parts = [a for a in ray.get(slices) if len(a)]
-        if not parts:
+    def _arr_slices(arr: np.ndarray, nparts: int):
+        from ..stages.bloom import _M1, _mix
+
+        tag = (_mix(arr.astype(np.uint64), _M1)
+               % np.uint64(nparts)).astype(np.int64)
+        return tuple(arr[tag == q] for q in range(nparts))
+
+    @ray.remote
+    def _roots(root_sl, child_sl, loop_sl) -> pa.Table:
+        """One node-hash partition: (r, r) per distinct root, plus
+        (x, x) for self-loop-only nodes — loop nodes already present as
+        a root or child elsewhere in the pair set get no extra row
+        (matches the driver path, where a self-loop is just an edge)."""
+        def gather(slices):
+            parts = [a for a in ray.get(slices) if len(a)]
+            return np.unique(np.concatenate(parts)) if parts \
+                else np.empty(0, np.int64)
+
+        roots = gather(root_sl)
+        singles = np.setdiff1d(
+            gather(loop_sl), np.union1d(roots, gather(child_sl)))
+        out = np.sort(np.concatenate([roots, singles]))
+        if not out.size:
             return _CC_SCHEMA.empty_table()
-        r = np.unique(np.concatenate(parts))
-        ra = pa.array(r, pa.int64())
+        ra = pa.array(out, pa.int64())
         return pa.table({"node": ra, "component": ra})
 
-    rslices = [_root_slices.options(num_returns=nparts).remote(c, nparts)
-               for c in cur]
+    rsl = [_node_slices.options(num_returns=nparts).remote(c, "lo", nparts)
+           for c in cur]
+    csl = [_node_slices.options(num_returns=nparts).remote(c, "hi", nparts)
+           for c in cur]
+    lsl = [_arr_slices.options(num_returns=nparts).remote(l, nparts)
+           for l in loop_refs]
     refs = ([_children.remote(c) for c in cur]
-            + [_roots.remote([rs[q] for rs in rslices])
-               for q in range(nparts)])
+            + [_roots.remote([r[q] for r in rsl], [c[q] for c in csl],
+                             [l[q] for l in lsl]) for q in range(nparts)])
     return rd.from_arrow_refs(refs)

@@ -1687,6 +1687,33 @@ def test_connected_components_budget_dispatch(ray_session):
     pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
 
 
+def test_connected_components_partitioned_degenerate(ray_session):
+    """Empty input yields zero rows; self-loop-only nodes are singleton
+    components — BOTH matching the driver path (whose property test
+    requires lbl[a] to exist for (a, a) edges)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.components import (
+        connected_components, connected_components_partitioned)
+
+    empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                          "b": pd.Series([], dtype="int64")})
+    assert len(connected_components_partitioned(
+        rd.from_pandas(empty), "a", "b", nparts=4).to_pandas()) == 0
+    # self-loops: alone, attached to a real component, and mixed
+    df = pd.DataFrame({"a": [5, 9, 1, 1], "b": [5, 9, 2, 1]})
+    want = (connected_components(rd.from_pandas(df), "a", "b")
+            .sort_values("node").reset_index(drop=True))
+    got = (connected_components_partitioned(
+        rd.from_pandas(df), "a", "b", nparts=4)
+        .to_pandas().sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+    assert set(got["node"]) == {1, 2, 5, 9}
+    assert dict(zip(got["node"], got["component"])) == \
+        {1: 1, 2: 1, 5: 5, 9: 9}
+
+
 def test_connected_components_partitioned_long_chain(ray_session):
     """Star-convergence guard: a 2000-node path graph (the adversarial
     diameter case) must converge well inside max_rounds and label
