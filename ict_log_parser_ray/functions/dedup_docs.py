@@ -746,7 +746,11 @@ def compact_minhash_index(index_dir: str) -> dict:
     the old files are unlinked, so an interruption leaves either the old
     set, both (duplicates — probe-harmless, recompactable), or the new
     set; rows are never lost.  Untouched buckets are not rewritten.
-    → stats dict (buckets, rewritten, rows_before, rows_after)."""
+    Maintenance-window op: a probe that lists a bucket DURING the
+    unlink step can hit a vanished file — schedule compaction when no
+    probes are in flight (appends, by contrast, are always safe to
+    interleave).  → stats dict (buckets, rewritten, rows_before,
+    rows_after)."""
     import glob
     import os
     import uuid
