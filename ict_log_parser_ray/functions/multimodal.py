@@ -136,7 +136,7 @@ def synth_media_table(n: int = 64, seed: int = 42,
 class MediaFeatureExtractor:
     """Actor-pool decode/feature stage.
 
-    __init__ loads the decoder ONCE per actor (stubbed); __call__ maps a
+    __init__ loads the decoder ONCE per actor; __call__ maps a
     small batch of payloads → fixed-width feature vectors + metadata, and
     DROPS the payload column from the output.
     """
@@ -337,7 +337,8 @@ class MediaResizer:
 def resize_media(media_ds, max_side: int = 256, concurrency=(1, 4),
                  batch_size: int = 64, decode: str = "fake"):
     """Actor-pool resize over binary media rows (small batches — payload
-    rows are heavy; geometry math real, pixel kernel stubbed)."""
+    rows are heavy; geometry math always real, pixels real for netpbm
+    under decode="real", deterministic fake otherwise)."""
     return media_ds.map_batches(
         MediaResizer,
         fn_constructor_kwargs={"max_side": max_side, "decode": decode},

@@ -2794,7 +2794,7 @@ def d_simhash_pairs(sf_dir):
 
 
 def media_frames(sf_dir):
-    """Multimodal resize → frame-sample chain (rows-only — stubbed pixel
+    """Multimodal resize → frame-sample chain (rows-only — fake-path pixel
     kernels; the geometry/timing math and the row-expanding Ray plumbing
     are real and pytest-pinned): videos resized to ≤256 px then sampled
     one frame per 5 s; returns (media_id, frame_idx, ts_ms, n_bytes)."""
