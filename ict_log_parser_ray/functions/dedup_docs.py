@@ -1696,14 +1696,117 @@ def dedup_drop_filter(docs_ds, comp, id_col: str = "doc_id",
         from ..blocks import split_arrow_ds
 
         drop_ds = split_arrow_ds(pd.DataFrame({"node": drop}))
-    else:
+    elif "component" in comp.schema().names:
         def to_drop(b: pa.Table) -> pa.Table:
             m = pc.invert(pc.equal(b["node"], b["component"]))
             return b.filter(m).select(["node"])
 
         drop_ds = comp.map_batches(to_drop, batch_format="pyarrow",
                                    zero_copy_batch=True)
+    else:
+        drop_ds = comp          # already a (node) drop list Dataset
     return bloom_anti_join_partitioned(docs_ds, drop_ds, id_col, "node")
+
+
+_DROP_SCHEMA = pa.schema([("node", pa.int64())])
+
+
+def dedup_best_drop_ds(comp_ds, meta_ds, id_col: str = "doc_id",
+                       len_col: str = "n_chars", nparts: int | None = None):
+    """Distributed keep-LONGEST-per-cluster drop list (d_dedup_best's
+    policy): → Dataset of node ids to DROP — the over-budget sibling of
+    the query's driver-held argmax, for when the clustered-node set
+    itself exceeds one heap.
+
+    Shape: ``meta_ds`` bloom-semi-joins down to clustered nodes
+    (streaming, nothing corpus-sized moves), both sides hash-exchange on
+    node to attach lengths, merged rows re-exchange on component, and
+    each component partition computes its argmax locally (max length,
+    tie → min node).  Nodes missing from meta can never be keepers
+    (length -1 sentinel); a component entirely missing meta drops whole
+    — exact driver-argmax parity, pinned by a forced-path pytest.  Feed
+    the result to ``dedup_drop_filter`` (Dataset comp input) for the
+    fully streaming end-to-end keep pipeline."""
+    import pyarrow.compute as pc  # noqa: F401  (schema guards below)
+    import ray
+    import ray.data as rd
+
+    from ..blocks import tagged_tables
+    from ..stages.bloom import _M1, _mix, bloom_semi_join_partitioned
+
+    if nparts is None:
+        nparts = max(4, min(2 * _ncpus(), 64))
+
+    meta_cl = bloom_semi_join_partitioned(
+        meta_ds.select_columns([id_col, len_col]), comp_ds, id_col, "node")
+
+    def _tag(col_name):
+        def f(b: pa.Table) -> pa.Table:
+            v = b[col_name].to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False)
+            part = (_mix(v.astype(np.uint64), _M1)
+                    % np.uint64(nparts)).astype(np.int64)
+            return b.append_column("part", pa.array(part, pa.int64()))
+        return f
+
+    comp_refs = (comp_ds.map_batches(_tag("node"), batch_format="pyarrow",
+                                     zero_copy_batch=True)
+                 .materialize().to_arrow_refs())
+    meta_refs = (meta_cl.map_batches(_tag(id_col), batch_format="pyarrow",
+                                     zero_copy_batch=True)
+                 .materialize().to_arrow_refs())
+
+    _m_schema = pa.schema([("node", pa.int64()), ("component", pa.int64()),
+                           ("ln", pa.int64())])
+
+    @ray.remote
+    def _attach(p: int):
+        """One node partition: left-join lengths onto comp rows, re-tag
+        by component hash for the argmax exchange."""
+        ct = [t for t in tagged_tables(comp_refs, p) if t.num_rows]
+        if not ct:
+            return tuple(_m_schema.empty_table() for _ in range(nparts))
+        comp = pa.concat_tables(
+            [t.select(["node", "component"]) for t in ct]).to_pandas()
+        mt = [t for t in tagged_tables(meta_refs, p) if t.num_rows]
+        if mt:
+            meta = pa.concat_tables(
+                [t.select([id_col, len_col]) for t in mt]).to_pandas()
+            meta = meta.drop_duplicates(subset=[id_col])
+            j = comp.merge(meta, left_on="node", right_on=id_col,
+                           how="left")
+            ln = j[len_col].fillna(-1).astype("int64").to_numpy()
+        else:
+            j = comp
+            ln = np.full(len(comp), -1, np.int64)
+        node = j["node"].to_numpy().astype(np.int64, copy=False)
+        cm = j["component"].to_numpy().astype(np.int64, copy=False)
+        tag = (_mix(cm.astype(np.uint64), _M1)
+               % np.uint64(nparts)).astype(np.int64)
+        return tuple(pa.table({
+            "node": pa.array(node[tag == q], pa.int64()),
+            "component": pa.array(cm[tag == q], pa.int64()),
+            "ln": pa.array(ln[tag == q], pa.int64())})
+            for q in range(nparts))
+
+    att = [_attach.options(num_returns=nparts).remote(p)
+           for p in range(nparts)]
+
+    @ray.remote
+    def _argmax_drop(slices) -> pa.Table:
+        tbls = [t for t in ray.get(slices) if t.num_rows]
+        if not tbls:
+            return _DROP_SCHEMA.empty_table()
+        df = pa.concat_tables(tbls).to_pandas()
+        df = df.sort_values(["component", "ln", "node"],
+                            ascending=[True, False, True])
+        head = df.groupby("component", sort=False).head(1)
+        keep = head.loc[head["ln"] >= 0, "node"].to_numpy()
+        drop = np.setdiff1d(df["node"].to_numpy(), keep)
+        return pa.table({"node": pa.array(drop, pa.int64())})
+
+    return rd.from_arrow_refs(
+        [_argmax_drop.remote([a[q] for a in att]) for q in range(nparts)])
 
 
 def exact_duplicate_groups(docs_ds, collect_threshold: int = 100_000_000):

@@ -1763,6 +1763,59 @@ def test_dedup_drop_filter_forced_partitioned(ray_session):
     assert got_ds == want
 
 
+def test_dedup_best_drop_ds_matches_driver_argmax(ray_session):
+    """The distributed keep-longest-per-cluster drop list must equal the
+    driver argmax (d_dedup_best's logic) exactly: max n_chars, tie → min
+    node, nodes missing meta never keep, all-missing components drop
+    whole — and it must compose with dedup_drop_filter end-to-end."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.dedup_docs import (dedup_best_drop_ds,
+                                                         dedup_drop_filter)
+
+    rng = np.random.default_rng(13)
+    # 60 clusters of 2-6 nodes + a tie cluster + an all-missing cluster
+    nodes, comps = [], []
+    base = 0
+    for size in rng.integers(2, 7, 60):
+        for j in range(int(size)):
+            nodes.append(base + j)
+            comps.append(base)
+        base += int(size)
+    comp = pd.DataFrame({"node": np.array(nodes, np.int64),
+                         "component": np.array(comps, np.int64)})
+    meta = pd.DataFrame({
+        "doc_id": np.arange(base + 500, dtype=np.int64),   # superset
+        "n_chars": rng.integers(10, 5000, base + 500).astype(np.int64)})
+    # force exact length ties inside cluster 0, and strip meta from the
+    # last cluster + one node of another
+    meta.loc[meta["doc_id"].isin([0, 1]), "n_chars"] = 777
+    last = comp["component"].iloc[-1]
+    missing = set(comp.loc[comp["component"] == last, "node"]) | {2}
+    meta = meta[~meta["doc_id"].isin(missing)]
+
+    # driver reference (d_dedup_best's exact logic)
+    j = comp.merge(meta, left_on="node", right_on="doc_id")
+    j = j.sort_values(["component", "n_chars", "node"],
+                      ascending=[True, False, True])
+    keep = j.groupby("component", sort=False).head(1)["node"]
+    want = np.setdiff1d(comp["node"].to_numpy(), keep.to_numpy())
+
+    got_ds = dedup_best_drop_ds(rd.from_pandas(comp).repartition(3),
+                                rd.from_pandas(meta).repartition(4),
+                                nparts=5)
+    got = np.sort(got_ds.to_pandas()["node"].to_numpy())
+    assert np.array_equal(got, np.sort(want))
+
+    # composes with dedup_drop_filter: corpus minus drop == keep ∪ unclustered
+    corpus = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(base + 500, dtype=np.int64)})).repartition(4)
+    kept = dedup_drop_filter(corpus, got_ds).to_pandas()["doc_id"]
+    assert set(kept) == set(range(base + 500)) - set(want)
+
+
 def test_connected_components_budget_string_nodes_raise(ray_session):
     import pandas as pd
     import pytest
