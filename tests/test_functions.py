@@ -436,6 +436,21 @@ def test_compact_minhash_index(ray_session, tmp_path):
     assert stats2["rewritten"] == 0
     assert stats2["rows_after"] == stats["rows_after"]
 
+    # crash window: compacted file landed but old files NOT yet removed
+    # (simulated by duplicating a bucket's file) — rows only DUPLICATE,
+    # never vanish: probe results unchanged, and the next compact heals
+    import shutil
+    victim = next(d for d in sorted(glob.glob(os.path.join(idx, "bucket=*")))
+                  if glob.glob(os.path.join(d, "*.parquet")))
+    f0 = glob.glob(os.path.join(victim, "*.parquet"))[0]
+    shutil.copy(f0, os.path.join(victim, "crashleft-copy.parquet"))
+    got_crash = minhash_cross_pairs_indexed(b2, idx, big_corpus,
+                                            threshold=0.3).to_pandas()
+    assert pkey(got_crash) == pkey(want)
+    stats3 = compact_minhash_index(idx)
+    assert stats3["rows_after"] == stats["rows_after"]
+    assert len(glob.glob(os.path.join(victim, "*.parquet"))) == 1
+
 
 def test_incremental_dedup_batch_cycle(ray_session, tmp_path):
     """The one-call cycle: batch1's corpus-dup is dropped and survivors
