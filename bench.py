@@ -128,11 +128,13 @@ def run_queries(sf_dir: str) -> dict:
     # member), the curation wave's scrubber + sequence packer, the
     # fuzzy n-gram decontamination scorer and the inter-arrival op
     # round-4 tail: the value-checked simhash pair set (FNV word hash)
+    # and the token-budget corpus cut (global ordered prefix-sum)
     names = ["e_hourly", "e_pareto", "q1_lineitem", "d_token_counts",
              "emb_knn", "d_simhash", "d_minhash_pairs", "q_cube_revenue",
              "d_contamination", "d_lang_mix", "d_wordgram_pairs",
              "d_redact", "d_pack", "d_cross_dedup", "d_curation_pipeline",
-             "d_ngram_overlap", "e_gaps", "d_simhash_pairs"]
+             "d_ngram_overlap", "e_gaps", "d_simhash_pairs",
+             "d_budget_select"]
     out = {}
     qmap = dq.build_queries()
     for n in names:

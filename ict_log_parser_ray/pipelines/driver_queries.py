@@ -2912,6 +2912,77 @@ def e_sample(sf_dir):
     return _i64(ds.random_sample(0.1, seed=42).to_pandas(), ["event_id"])
 
 
+_BUDGET_SELECT_TOKENS = 20_000  # ~74% of the sf0.01 corpus — cut lands
+                                # strictly inside the q_int=5 run
+
+
+def d_budget_select(sf_dir):
+    """Token-budget corpus selection — value-checked: keep documents in
+    integer-quality order (q_int DESC, doc_id ASC) while the running
+    token total stays within the budget.  The global ordered prefix-sum
+    cut pattern (functions/sampling.py::select_to_token_budget); the SQL
+    twin is one SUM() OVER window.  All-int64 output — the ordering key
+    is the float-free q_int, so no IEEE boundary hazards."""
+    from ..blocks import concat_shaped
+    from ..functions.sampling import BUDGET_SCHEMA, select_to_token_budget
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    # concat_shaped: an all-rows-cut result is a Dataset of empty blocks,
+    # whose .to_pandas() loses the schema (the repo's documented trap)
+    df = concat_shaped(select_to_token_budget(ds, _BUDGET_SELECT_TOKENS),
+                       "cum_tok", empty_schema=BUDGET_SCHEMA).to_pandas()
+    df = _i64(df, ["doc_id", "q_int", "n_tok", "cum_tok"])
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _d_budget_select_sql() -> str:
+    """DuckDB twin of d_budget_select: the d_quality feature CTE (same
+    STOPWORDS constant, same int-over-int IEEE ratios — the indicator
+    comparisons are the externally-validated d_quality ones) reduced to
+    an INTEGER quality, then one cumulative-sum window over the total
+    order (q_int DESC, doc_id) and the budget predicate.  The ORDER BY
+    keys are unique per row, so DuckDB's default RANGE frame equals
+    ROWS."""
+    from ..functions.text import STOPWORDS
+
+    stop_sql = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+    return rf"""
+WITH f AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tok,
+         len(regexp_extract_all(text, '[^\w\s]')) * 1.0
+           / greatest(length(text), 1) AS punct_ratio,
+         regexp_extract_all(lower(text), '[a-z]+') AS lw,
+         regexp_extract_all(text, '\w+') AS ww
+  FROM documents
+), g AS (
+  SELECT doc_id, n_tok, punct_ratio,
+         CASE WHEN len(lw) = 0 THEN 0.0
+              ELSE len(list_filter(lw, w -> w in ({stop_sql}))) * 1.0
+                   / len(lw) END AS stopword_ratio,
+         coalesce(list_avg(list_transform(ww, w -> length(w))), 0.0)
+           AS mean_word_len
+  FROM f
+), s AS (
+  SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+         CAST(2 * (CASE WHEN n_tok >= 10 AND n_tok <= 100000
+                        THEN 1 ELSE 0 END)
+            + (CASE WHEN punct_ratio < 0.3 THEN 1 ELSE 0 END)
+            + (CASE WHEN stopword_ratio > 0.01 THEN 1 ELSE 0 END)
+            + (CASE WHEN mean_word_len > 2 AND mean_word_len < 12
+                    THEN 1 ELSE 0 END) AS BIGINT) AS q_int
+  FROM g
+), c AS (
+  SELECT doc_id, q_int, n_tok,
+         SUM(n_tok) OVER (ORDER BY q_int DESC, doc_id) AS cum_tok
+  FROM s
+)
+SELECT doc_id, q_int, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
+FROM c WHERE cum_tok <= {_BUDGET_SELECT_TOKENS}
+ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3035,6 +3106,9 @@ def build_queries() -> dict:
         "q_region_brand_revenue": q_region_brand_revenue,
         "d_lang_eval": d_lang_eval,
         "e_mode_hour": e_mode_hour,
+        # new in round 4 — oracle-backed but past the cap (the window is
+        # full of never-externally-checked queries); rotate in round 5
+        "d_budget_select": d_budget_select,
         # r03-green rows demoted in the round-4 rotation above
         "e_asof_big": e_asof_big,
         "e_window_join_big": e_window_join_big,
@@ -3056,7 +3130,7 @@ def build_queries() -> dict:
         "media_frames": media_frames,
     }
     first50 = list(q)[:50]
-    assert len(q) == 99 and all(n in build_oracles() for n in first50), \
+    assert len(q) == 100 and all(n in build_oracles() for n in first50), \
         "driver checks only the first 50 keys — keep them oracle-backed"
     return q
 
@@ -3476,6 +3550,7 @@ ORDER BY doc_a, doc_b
         # equals the engine's 4x16-band LSH output by pigeonhole recall
         # (see d_simhash_pairs docstring); generated SQL, see the helper.
         "d_simhash_pairs": _simhash_pairs_oracle_sql(),
+        "d_budget_select": _d_budget_select_sql(),
         # LSH cross-corpus variant: the same shingle CTE restricted to
         # cross-side pairs (new = doc_id % 7 == 0); equality holds by the
         # d_minhash_pairs recall argument (exact verify + recall 1.0 at

@@ -2480,6 +2480,88 @@ def test_weighted_sampling_is_weight_proportional(ray_session):
     assert 0.85 < heavy_frac < 0.95
 
 
+def test_select_to_token_budget_vs_sequential_reference(ray_session):
+    """Global ordered prefix-sum cut vs a single-process pandas
+    reference (same TextAnalyzer features, sequential sort + cumsum) on
+    a mixed corpus: good docs, punct-heavy docs, stopword-free docs,
+    EMPTY docs (n_tok=0 — the running sum must not advance), across
+    multiple blocks including a zero-row one.  Budgets cover 0, an
+    EXACT boundary (budget == some row's cum_tok), mid-stream, and
+    all-kept."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ict_log_parser_ray.blocks import concat_shaped
+    from ict_log_parser_ray.functions.sampling import (BUDGET_SCHEMA,
+                                                       select_to_token_budget)
+    from ict_log_parser_ray.functions.text import TextAnalyzer
+
+    texts = []
+    for i in range(240):
+        if i % 7 == 0:
+            texts.append("")                       # n_tok = 0
+        elif i % 5 == 0:
+            texts.append("!!! ??? ;;; ***" * 3)    # punct-heavy, low q
+        elif i % 3 == 0:
+            texts.append(" ".join(f"w{j}" for j in range(i % 11 + 2)))
+        else:
+            texts.append(("the quick brown fox jumps over the lazy dog "
+                          * (i % 4 + 1)).strip())
+    ids = np.arange(240, dtype=np.int64)
+    tbl = pa.table({"doc_id": pa.array(ids),
+                    "text": pa.array(texts, pa.string())})
+    ds = rd.from_arrow([tbl.slice(0, 90), tbl.slice(90, 90),
+                        tbl.slice(180, 60), tbl.slice(0, 0)])
+
+    # sequential reference
+    an = TextAnalyzer()
+    s = pd.Series(texts)
+    n_tok = an.token_count(s).to_numpy()
+    q = (2 * ((n_tok >= 10) & (n_tok <= 100_000))
+         + (an.punct_ratio(s).to_numpy() < 0.3)
+         + (an.stopword_ratio(s).to_numpy() > 0.01)
+         + ((an.mean_word_len(s).to_numpy() > 2)
+            & (an.mean_word_len(s).to_numpy() < 12))).astype(np.int64)
+    ref = pd.DataFrame({"doc_id": ids, "q_int": q, "n_tok": n_tok})
+    ref = ref.sort_values(["q_int", "doc_id"],
+                          ascending=[False, True]).reset_index(drop=True)
+    ref["cum_tok"] = ref["n_tok"].cumsum()
+    assert ref["q_int"].nunique() >= 3   # the mix really is mixed
+    assert (ref["n_tok"] == 0).any()
+
+    total = int(ref["cum_tok"].iloc[-1])
+    exact_boundary = int(ref["cum_tok"].iloc[len(ref) // 2])
+    for budget in (0, exact_boundary, total // 3, total + 10):
+        got = (concat_shaped(select_to_token_budget(ds, budget), "cum_tok",
+                             empty_schema=BUDGET_SCHEMA).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        want = (ref[ref["cum_tok"] <= budget]
+                .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got, want.astype("int64"), check_dtype=False)
+        if budget == exact_boundary:   # the == row itself is kept
+            assert (got["cum_tok"] == budget).any()
+        if budget == total + 10:
+            assert len(got) == len(ref)
+
+    with pytest.raises(ValueError):
+        select_to_token_budget(ds, -1)
+
+
+def test_select_to_token_budget_rejects_out_of_range_ids(ray_session):
+    """doc_id >= 2^48 would collide with the quality level in the
+    composite sort key — must fail loudly, not mis-sort."""
+    import ray
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.sampling import select_to_token_budget
+
+    tbl = pa.table({"doc_id": pa.array([1 << 48], pa.int64()),
+                    "text": pa.array(["hello world"], pa.string())})
+    with pytest.raises((ValueError, ray.exceptions.RayTaskError)):
+        select_to_token_budget(rd.from_arrow(tbl), 100).to_pandas()
+
+
 def _force_tiny_blocks(monkeypatch, n=33):
     """Pin the read split ABOVE the tiny fixtures' row counts so the
     zero-row pass-through guards stay exercised: read_table's footer
