@@ -3031,17 +3031,21 @@ def build_queries() -> dict:
         "media_digest": media_digest_q,
         "e_hash_sample": e_hash_sample,
         "e_stratified_sample": e_stratified_sample,
-        "e_asof": e_asof,
         "e_window_join": e_window_join,
         # round-4 rotation (VERDICT r3 item 1): the only oracle-backed
         # queries with zero external green rows take the window; the
         # demoted r03-green rows (e_asof_big, e_window_join_big,
         # e_rolling, e_sliding, e_sessions — the session family stays
-        # in-window via e_gaps) stay value-checked in-repo below
+        # in-window via e_gaps; e_asof demoted mid-round for
+        # d_budget_select, its big-big twin e_asof_big stays green
+        # in-repo) stay value-checked in-repo below
         "e_gaps": e_gaps,
         "d_ngram_overlap": d_ngram_overlap,
         "d_unit_dedup": d_unit_dedup,
         "d_simhash_pairs": d_simhash_pairs,
+        # new in round 4, rotated straight into the window (e_asof
+        # demoted — r02/r03 green, its value-check stays in-repo)
+        "d_budget_select": d_budget_select,
         # the last never-externally-checked oracle-backed query: the LSH
         # cross-dedup scale path (its exact twin d_cross_dedup is also
         # in-window — both families now externally evidenced)
@@ -3106,10 +3110,8 @@ def build_queries() -> dict:
         "q_region_brand_revenue": q_region_brand_revenue,
         "d_lang_eval": d_lang_eval,
         "e_mode_hour": e_mode_hour,
-        # new in round 4 — oracle-backed but past the cap (the window is
-        # full of never-externally-checked queries); rotate in round 5
-        "d_budget_select": d_budget_select,
         # r03-green rows demoted in the round-4 rotation above
+        "e_asof": e_asof,
         "e_asof_big": e_asof_big,
         "e_window_join_big": e_window_join_big,
         "e_rolling": e_rolling,
