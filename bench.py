@@ -306,6 +306,103 @@ def scaling(sf_dir: str, cpus=(2, 8), repeats: int = 3,
     }
 
 
+def doc_single_run(num_cpus: int, n_docs: int, json_out: str | None) -> dict:
+    """One fresh-session run of the doc-family workload: MinHash+LSH
+    near-dup pairs (threshold 0.6) + the composed curation pipeline
+    (redact → repetition filter → exact dedup) over the deterministic
+    ``ensure_doc_fixture`` documents table — the same library entry
+    points the value-checked d_minhash_pairs / d_curation_pipeline
+    queries call, at a size where compute dominates executor-launch
+    fixed cost (the driver testdata caps documents at 5k rows)."""
+    from ict_log_parser_ray import fixtures as fx
+
+    ray = _quiet_ray(num_cpus)
+    _warmup(num_cpus)
+    d = fx.ensure_doc_fixture(n_docs)
+    with open(os.path.join(d, "documents.parquet"), "rb") as f:
+        while f.read(1 << 24):  # warm the page cache, untimed
+            pass
+    from ict_log_parser_ray.functions.dedup_docs import minhash_duplicate_pairs
+    from ict_log_parser_ray.pipelines import driver_queries as dq
+    from ict_log_parser_ray.sources.transcripts import read_table
+
+    ds = read_table(d, "documents", columns=["doc_id", "text"])
+    t0 = time.time()
+    pairs = minhash_duplicate_pairs(ds, threshold=0.6).to_pandas()
+    t1 = time.time()
+    kept = dq.d_curation_pipeline(d)
+    t2 = time.time()
+    ray.shutdown()
+    result = {
+        "n_docs": n_docs, "num_cpus": num_cpus,
+        "sec_minhash": round(t1 - t0, 3), "sec_curation": round(t2 - t1, 3),
+        "seconds": round(t2 - t0, 3),
+        "docs_per_sec": round(n_docs / (t2 - t0), 1),
+        "n_pairs": len(pairs), "n_kept": len(kept),
+    }
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(result, f)
+    return result
+
+
+def scaling_docs(cpus=(2, 8), repeats: int = 2,
+                 n_docs: int = 100_000) -> dict:
+    """Doc-family N→4N scaling evidence (complements --scaling, which
+    covers the transcript flagship): fresh-process runs of the identical
+    doc workload (see doc_single_run) at two CPU levels on the same
+    cached fixture, interleaved best-of-``repeats`` per the host-noise
+    protocol.  No sink writes, so no tmpfs redirection is needed."""
+    from ict_log_parser_ray import fixtures as fx
+
+    fx.ensure_doc_fixture(n_docs)  # generate once, outside the timing
+    lo, hi = cpus
+    obs = {lo: [], hi: []}
+    best = {}
+    for r in range(repeats):
+        for n in (lo, hi):
+            path = f"/tmp/ict_ray_bench_docscale_{n}_{r}.json"
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+            subprocess.run(["sync"], check=False)
+            cp = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--doc-single-run", "--num-cpus", str(n),
+                 "--doc-n", str(n_docs), "--json-out", path],
+                check=False, env=env, stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            for chunk in (cp.stdout, cp.stderr):
+                if chunk:
+                    sys.stderr.write(chunk.decode(errors="replace"))
+            if cp.returncode != 0:
+                raise subprocess.CalledProcessError(cp.returncode, cp.args)
+            out = json.load(open(path))
+            obs[n].append(out["docs_per_sec"])
+            if n not in best or out["docs_per_sec"] > best[n]["docs_per_sec"]:
+                best[n] = out
+    t_lo, t_hi = best[lo]["docs_per_sec"], best[hi]["docs_per_sec"]
+    eff = round((t_hi / t_lo) / (hi / lo), 4)
+    return {
+        "metric": f"doc-family scaling efficiency ({lo}→{hi} CPUs, "
+                  f"minhash+curation over {n_docs} docs, fresh sessions, "
+                  f"best of {repeats})",
+        "value": eff,
+        "unit": "efficiency",
+        "queries": {},
+        "sf": n_docs,
+        "num_cpus": hi,
+        f"tput_{lo}cpu": t_lo,
+        f"tput_{hi}cpu": t_hi,
+        f"sec_{lo}cpu": best[lo]["seconds"],
+        f"sec_{hi}cpu": best[hi]["seconds"],
+        "sec_minhash": {str(n): best[n]["sec_minhash"] for n in (lo, hi)},
+        "sec_curation": {str(n): best[n]["sec_curation"] for n in (lo, hi)},
+        "n_pairs": best[hi]["n_pairs"], "n_kept": best[hi]["n_kept"],
+        "scaling_efficiency": eff,
+        "observations": {str(n): obs[n] for n in (lo, hi)},
+    }
+
+
 def skew(cpus: int = 8, skew_sf: float = 0.5, repeats: int = 3,
          frac: float = 0.10, streaming: bool = True) -> dict:
     """Adversarial-skew evidence (north_rule skew claim): the identical
@@ -388,6 +485,12 @@ def main():
     ap.add_argument("--single-run", action="store_true")
     ap.add_argument("--no-queries", action="store_true")
     ap.add_argument("--json-out", default=None)
+    ap.add_argument("--doc-scaling", action="store_true",
+                    help="2→8 CPU scaling of the doc-family workload "
+                         "(minhash near-dup + curation pipeline) over the "
+                         "synthetic documents fixture")
+    ap.add_argument("--doc-single-run", action="store_true")
+    ap.add_argument("--doc-n", type=int, default=100_000)
     ap.add_argument("--skew", action="store_true",
                     help="uniform-vs-skewed-fixture degradation at one CPU "
                          "count (north_rule skew evidence)")
@@ -395,7 +498,11 @@ def main():
     ap.add_argument("--skew-cpus", type=int, default=8)
     args = ap.parse_args()
 
-    if args.skew:
+    if args.doc_single_run:
+        result = doc_single_run(args.num_cpus, args.doc_n, args.json_out)
+    elif args.doc_scaling:
+        result = scaling_docs(n_docs=args.doc_n)
+    elif args.skew:
         result = skew(cpus=args.skew_cpus, skew_sf=args.skew_sf)
     elif args.scaling:
         cpus = tuple(int(x) for x in args.cpus.split(","))

@@ -343,3 +343,94 @@ def sf_from_dir(sf_dir: str, default: float = 0.01) -> float:
         except ValueError:
             pass
     return default
+
+
+# ---------------------------------------------------------------------------
+# Scalable synthetic `documents` fixture (doc-family scaling benchmark)
+# ---------------------------------------------------------------------------
+# The driver testdata caps the documents table at sf0.1 (5,000 docs /
+# ~1.5 MB of text) — too small for scaling evidence on the LLM-curation
+# operator family (fixed executor-launch cost dominates).  This generator
+# produces an arbitrarily large table with the SAME SCHEMA as
+# /root/testdata/sf*/documents.parquet (doc_id, text, lang, source,
+# n_chars) and, crucially, duplicate structure whose PAIR COUNT SCALES
+# LINEARLY with n_docs: near/exact dups are planted as predecessor copies
+# (cluster size 2), never replicas of one template (which would grow the
+# pair output quadratically and turn a throughput benchmark into the
+# adversarial-dup-density test).  Used by `bench.py --doc-scaling` only —
+# correctness queries keep reading the driver testdata.
+
+DOC_LANGS = ["en", "de", "es", "fr", "zh"]
+DOC_NEAR_DUP_EVERY = 17   # doc i (i%17==1) = near-dup of doc i-1 (~6%)
+DOC_EXACT_DUP_EVERY = 29  # doc i (i%29==2) = exact copy of doc i-2 (~3.4%)
+DOC_NEAR_DUP_MUTATE = 0.04  # fraction of words replaced in the near-dup
+
+_DOC_VOCAB = (
+    "batch part spark line column order small sort fast value scan slow "
+    "hash group agg filter query big key window join merge shard block "
+    "stream stage task actor store spill pipe read write plan probe build "
+    "index token text model train corpus dedup near exact pair bucket "
+    "band shingle signature sample quality language score clean route "
+    "parse record field status limit board panel test retest yield hour "
+    "shift daily report export lookup product station tool meta config "
+    "count distinct rank first final attempt chain series word char doc"
+).split() + [f"w{i}" for i in range(64)]
+
+
+def generate_documents_table(n_docs: int, seed: int = DEFAULT_SEED) -> pa.Table:
+    """Deterministic documents table: same (n_docs, seed) → identical
+    bytes.  Word-salad text like the driver fixture's (40-120 words/doc,
+    ~250-750 chars), 5-lang / 20-source categorical columns, planted
+    near-dups (predecessor copy with ~4% of words replaced — char-shingle
+    Jaccard ≥ ~0.8, well above the minhash queries' 0.6 threshold) and
+    exact dups (byte-identical predecessor copies)."""
+    rng = np.random.default_rng([seed, 777])
+    vocab = np.array(_DOC_VOCAB)
+    lens = rng.integers(40, 121, n_docs)
+    flat = rng.integers(0, len(vocab), int(lens.sum()))
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    idx = [flat[offs[i]:offs[i + 1]] for i in range(n_docs)]
+    for i in range(n_docs):
+        if i >= 1 and i % DOC_NEAR_DUP_EVERY == 1:
+            w = idx[i - 1].copy()
+            k = max(1, int(round(len(w) * DOC_NEAR_DUP_MUTATE)))
+            pos = rng.choice(len(w), size=k, replace=False)
+            w[pos] = rng.integers(0, len(vocab), k)
+            idx[i] = w
+        elif i >= 2 and i % DOC_EXACT_DUP_EVERY == 2:
+            idx[i] = idx[i - 2]
+    texts = [" ".join(vocab[w]) for w in idx]
+    langs = rng.choice(np.array(DOC_LANGS), size=n_docs,
+                       p=[0.4, 0.15, 0.15, 0.15, 0.15])
+    src = rng.integers(0, 20, n_docs)
+    return pa.table({
+        "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array([f"src{s}" for s in src], pa.string()),
+        "n_chars": pa.array(np.array([len(t) for t in texts],
+                                     dtype=np.int64)),
+    })
+
+
+def ensure_doc_fixture(n_docs: int, seed: int = DEFAULT_SEED,
+                       root: str = DEFAULT_ROOT) -> str:
+    """Idempotently materialize ``documents.parquet`` for ``n_docs`` docs;
+    returns the directory (readable via ``sources.read_table(d,
+    "documents")``).  Small row groups (2,048 rows) so Ray's parquet
+    reader can split the single file across every core; marker-last like
+    the transcript fixtures."""
+    d = os.path.join(root, f"docs_n{n_docs}_seed{seed}_v{FIXTURE_VERSION}")
+    if os.path.exists(os.path.join(d, "_DONE.json")):
+        return d
+    os.makedirs(d, exist_ok=True)
+    tbl = generate_documents_table(n_docs, seed)
+    pq.write_table(tbl, os.path.join(d, "documents.parquet"),
+                   row_group_size=2_048)
+    marker = os.path.join(d, "_DONE.json")
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"n_docs": n_docs, "seed": seed,
+                   "version": FIXTURE_VERSION}, f)
+    os.replace(tmp, marker)
+    return d

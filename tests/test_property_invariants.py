@@ -400,3 +400,50 @@ def test_cross_mask_is_exact_sign_filter_property():
         assert crosset == want
 
     run()
+
+
+def test_doc_fixture_structure_and_planted_dups(ray_session):
+    """The doc-scaling fixture (bench.py --doc-scaling): deterministic,
+    driver-testdata schema, and its planted duplicate structure is
+    LINEAR — near/exact dups are predecessor copies (cluster size 2), so
+    pair count grows ∝ n_docs, keeping the benchmark a throughput
+    measurement rather than an adversarial dup-density blowup.  The
+    minhash query path must find every planted pair (all sit at
+    char-shingle Jaccard well above the 0.6 threshold; seeded data, so
+    this is a fixed assertion, not a flaky recall bound)."""
+    from ict_log_parser_ray.functions.dedup_docs import \
+        minhash_duplicate_pairs
+    from ict_log_parser_ray.sources.transcripts import read_table
+
+    n = 2_000
+    t1 = fx.generate_documents_table(n)
+    assert t1.equals(fx.generate_documents_table(n))
+    assert not t1.equals(fx.generate_documents_table(n, seed=7))
+    assert t1.column_names == ["doc_id", "text", "lang", "source",
+                               "n_chars"]
+
+    texts = t1["text"].to_pylist()
+    planted = set()
+    for i in range(n):
+        if i >= 1 and i % fx.DOC_NEAR_DUP_EVERY == 1:
+            a, b = texts[i - 1].split(), texts[i].split()
+            assert len(a) == len(b)
+            diff = sum(x != y for x, y in zip(a, b))
+            assert 1 <= diff <= max(1, round(
+                len(a) * fx.DOC_NEAR_DUP_MUTATE)) + 1
+            planted.add((i - 1, i))
+        elif i >= 2 and i % fx.DOC_EXACT_DUP_EVERY == 2:
+            assert texts[i] == texts[i - 2]
+            planted.add((i - 2, i))
+    # n/17 near + n/29 exact ≈ n/10.7 pairs (~19% of docs in a pair)
+    assert len(planted) > n / 12
+
+    d = fx.ensure_doc_fixture(n)
+    assert d == fx.ensure_doc_fixture(n)  # marker hit, no regeneration
+    ds = read_table(d, "documents", columns=["doc_id", "text"])
+    pairs = minhash_duplicate_pairs(ds, threshold=0.6).to_pandas()
+    got = set(zip(pairs["doc_a"].astype(int), pairs["doc_b"].astype(int)))
+    missing = planted - got
+    assert not missing, f"planted pairs missed by LSH+verify: {missing}"
+    # linearity guard: found pairs stay O(planted), not O(n^2)
+    assert len(got) < 3 * len(planted)
