@@ -347,7 +347,7 @@ def doc_single_run(num_cpus: int, n_docs: int, json_out: str | None) -> dict:
 
 
 def scaling_docs(cpus=(2, 8), repeats: int = 2,
-                 n_docs: int = 100_000) -> dict:
+                 n_docs: int = 200_000) -> dict:
     """Doc-family N→4N scaling evidence (complements --scaling, which
     covers the transcript flagship): fresh-process runs of the identical
     doc workload (see doc_single_run) at two CPU levels on the same
@@ -490,7 +490,7 @@ def main():
                          "(minhash near-dup + curation pipeline) over the "
                          "synthetic documents fixture")
     ap.add_argument("--doc-single-run", action="store_true")
-    ap.add_argument("--doc-n", type=int, default=100_000)
+    ap.add_argument("--doc-n", type=int, default=200_000)
     ap.add_argument("--skew", action="store_true",
                     help="uniform-vs-skewed-fixture degradation at one CPU "
                          "count (north_rule skew evidence)")

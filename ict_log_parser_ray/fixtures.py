@@ -360,12 +360,14 @@ def sf_from_dir(sf_dir: str, default: float = 0.01) -> float:
 # adversarial-dup-density test).  Used by `bench.py --doc-scaling` only —
 # correctness queries keep reading the driver testdata.
 
+DOC_FIXTURE_VERSION = 2  # doc-fixture-local: bumping FIXTURE_VERSION would
+#                          needlessly regenerate the big transcript fixtures
 DOC_LANGS = ["en", "de", "es", "fr", "zh"]
 DOC_NEAR_DUP_EVERY = 17   # doc i (i%17==1) = near-dup of doc i-1 (~6%)
 DOC_EXACT_DUP_EVERY = 29  # doc i (i%29==2) = exact copy of doc i-2 (~3.4%)
 DOC_NEAR_DUP_MUTATE = 0.04  # fraction of words replaced in the near-dup
 
-_DOC_VOCAB = (
+_DOC_COMMON = (
     "batch part spark line column order small sort fast value scan slow "
     "hash group agg filter query big key window join merge shard block "
     "stream stage task actor store spill pipe read write plan probe build "
@@ -374,7 +376,18 @@ _DOC_VOCAB = (
     "parse record field status limit board panel test retest yield hour "
     "shift daily report export lookup product station tool meta config "
     "count distinct rank first final attempt chain series word char doc"
-).split() + [f"w{i}" for i in range(64)]
+).split()
+# v2: ~4k-word vocab, zipf-like mixture (30% of draws from the 104 common
+# words, 70% uniform over the tail).  The v1 150-word vocab gave unrelated
+# docs baseline char-shingle Jaccard ~0.3-0.5 — right under the 16-band/
+# 4-row LSH curve's knee — producing 1.59M candidate pairs for 9.7k true
+# pairs at 100k docs (163× verify blow-up, candidates growing
+# superlinearly).  Real crawl corpora have near-zero baseline J between
+# unrelated docs; the wide vocab restores that, so --doc-scaling measures
+# signature+shuffle+true-pair-verify throughput, not an adversarial FP
+# regime (the >5M-pair candidate path keeps its own forced pytest).
+_DOC_VOCAB = _DOC_COMMON + [f"w{i}" for i in range(4000)]
+_DOC_COMMON_FRAC = 0.3
 
 
 def generate_documents_table(n_docs: int, seed: int = DEFAULT_SEED) -> pa.Table:
@@ -387,7 +400,12 @@ def generate_documents_table(n_docs: int, seed: int = DEFAULT_SEED) -> pa.Table:
     rng = np.random.default_rng([seed, 777])
     vocab = np.array(_DOC_VOCAB)
     lens = rng.integers(40, 121, n_docs)
-    flat = rng.integers(0, len(vocab), int(lens.sum()))
+    total = int(lens.sum())
+    # zipf-like mixture: 30% of word draws from the common head, the rest
+    # uniform over the full vocab (see the _DOC_VOCAB comment)
+    flat = rng.integers(0, len(vocab), total)
+    head = rng.random(total) < _DOC_COMMON_FRAC
+    flat[head] = rng.integers(0, len(_DOC_COMMON), int(head.sum()))
     offs = np.concatenate([[0], np.cumsum(lens)])
     idx = [flat[offs[i]:offs[i + 1]] for i in range(n_docs)]
     for i in range(n_docs):
@@ -420,7 +438,8 @@ def ensure_doc_fixture(n_docs: int, seed: int = DEFAULT_SEED,
     "documents")``).  Small row groups (2,048 rows) so Ray's parquet
     reader can split the single file across every core; marker-last like
     the transcript fixtures."""
-    d = os.path.join(root, f"docs_n{n_docs}_seed{seed}_v{FIXTURE_VERSION}")
+    d = os.path.join(root, f"docs_n{n_docs}_seed{seed}"
+                           f"_v{FIXTURE_VERSION}.{DOC_FIXTURE_VERSION}")
     if os.path.exists(os.path.join(d, "_DONE.json")):
         return d
     os.makedirs(d, exist_ok=True)
