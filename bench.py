@@ -403,6 +403,101 @@ def scaling_docs(cpus=(2, 8), repeats: int = 2,
     }
 
 
+def emb_single_run(num_cpus: int, n_vecs: int, n_queries: int,
+                   json_out: str | None) -> dict:
+    """One fresh-session run of the embedding-family workload: batched
+    brute-force kNN (similarity.knn_batch — the query-MATRIX baseline:
+    one distributed pass, (q, d) broadcast once, one matmul per block)
+    for ``n_queries`` queries over the deterministic
+    ``ensure_emb_fixture`` corpus."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ict_log_parser_ray import fixtures as fx
+
+    ray = _quiet_ray(num_cpus)
+    _warmup(num_cpus)
+    d = fx.ensure_emb_fixture(n_vecs)
+    with open(os.path.join(d, "embeddings.parquet"), "rb") as f:
+        while f.read(1 << 24):  # warm the page cache, untimed
+            pass
+    from ict_log_parser_ray.functions.similarity import knn_batch
+    from ict_log_parser_ray.sources.transcripts import read_table
+
+    qt = pq.read_table(os.path.join(d, "embeddings.parquet"),
+                       columns=["embedding"]).slice(0, n_queries)
+    qm = np.asarray(qt["embedding"].combine_chunks().flatten()
+                    .to_numpy(zero_copy_only=False)).reshape(n_queries, -1)
+    ds = read_table(d, "embeddings", columns=["vec_id", "embedding"])
+    t0 = time.time()
+    out = knn_batch(ds, qm, k=20)
+    elapsed = time.time() - t0
+    ray.shutdown()
+    result = {
+        "n_vecs": n_vecs, "n_queries": n_queries, "num_cpus": num_cpus,
+        "seconds": round(elapsed, 3),
+        "vecs_per_sec": round(n_vecs / elapsed, 1),
+        "rows_out": out.num_rows,
+    }
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(result, f)
+    return result
+
+
+def scaling_emb(cpus=(2, 8), repeats: int = 2, n_vecs: int = 1_000_000,
+                n_queries: int = 1024) -> dict:
+    """Embedding-family N→4N scaling evidence: the batched kNN workload
+    (see emb_single_run) at two CPU levels on the same cached fixture,
+    interleaved fresh processes, best-of-``repeats``."""
+    from ict_log_parser_ray import fixtures as fx
+
+    fx.ensure_emb_fixture(n_vecs)  # generate once, outside the timing
+    lo, hi = cpus
+    obs = {lo: [], hi: []}
+    best = {}
+    for r in range(repeats):
+        for n in (lo, hi):
+            path = f"/tmp/ict_ray_bench_embscale_{n}_{r}.json"
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+            subprocess.run(["sync"], check=False)
+            cp = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--emb-single-run", "--num-cpus", str(n),
+                 "--emb-n", str(n_vecs), "--emb-q", str(n_queries),
+                 "--json-out", path],
+                check=False, env=env, stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            for chunk in (cp.stdout, cp.stderr):
+                if chunk:
+                    sys.stderr.write(chunk.decode(errors="replace"))
+            if cp.returncode != 0:
+                raise subprocess.CalledProcessError(cp.returncode, cp.args)
+            out = json.load(open(path))
+            obs[n].append(out["vecs_per_sec"])
+            if n not in best or out["vecs_per_sec"] > best[n]["vecs_per_sec"]:
+                best[n] = out
+    t_lo, t_hi = best[lo]["vecs_per_sec"], best[hi]["vecs_per_sec"]
+    eff = round((t_hi / t_lo) / (hi / lo), 4)
+    return {
+        "metric": f"embedding-family scaling efficiency ({lo}→{hi} CPUs, "
+                  f"batched kNN {n_queries}q/k=20 over {n_vecs} vecs, "
+                  f"fresh sessions, best of {repeats})",
+        "value": eff,
+        "unit": "efficiency",
+        "queries": {},
+        "sf": n_vecs,
+        "num_cpus": hi,
+        f"tput_{lo}cpu": t_lo,
+        f"tput_{hi}cpu": t_hi,
+        f"sec_{lo}cpu": best[lo]["seconds"],
+        f"sec_{hi}cpu": best[hi]["seconds"],
+        "scaling_efficiency": eff,
+        "observations": {str(n): obs[n] for n in (lo, hi)},
+    }
+
+
 def skew(cpus: int = 8, skew_sf: float = 0.5, repeats: int = 3,
          frac: float = 0.10, streaming: bool = True) -> dict:
     """Adversarial-skew evidence (north_rule skew claim): the identical
@@ -491,6 +586,13 @@ def main():
                          "synthetic documents fixture")
     ap.add_argument("--doc-single-run", action="store_true")
     ap.add_argument("--doc-n", type=int, default=200_000)
+    ap.add_argument("--emb-scaling", action="store_true",
+                    help="2→8 CPU scaling of the embedding-family workload "
+                         "(batched brute-force kNN) over the synthetic "
+                         "embeddings fixture")
+    ap.add_argument("--emb-single-run", action="store_true")
+    ap.add_argument("--emb-n", type=int, default=1_000_000)
+    ap.add_argument("--emb-q", type=int, default=1024)
     ap.add_argument("--skew", action="store_true",
                     help="uniform-vs-skewed-fixture degradation at one CPU "
                          "count (north_rule skew evidence)")
@@ -502,6 +604,11 @@ def main():
         result = doc_single_run(args.num_cpus, args.doc_n, args.json_out)
     elif args.doc_scaling:
         result = scaling_docs(n_docs=args.doc_n)
+    elif args.emb_single_run:
+        result = emb_single_run(args.num_cpus, args.emb_n, args.emb_q,
+                                args.json_out)
+    elif args.emb_scaling:
+        result = scaling_emb(n_vecs=args.emb_n, n_queries=args.emb_q)
     elif args.skew:
         result = skew(cpus=args.skew_cpus, skew_sf=args.skew_sf)
     elif args.scaling:

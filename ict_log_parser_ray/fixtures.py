@@ -453,3 +453,52 @@ def ensure_doc_fixture(n_docs: int, seed: int = DEFAULT_SEED,
                    "version": FIXTURE_VERSION}, f)
     os.replace(tmp, marker)
     return d
+
+
+EMB_DIM = 64
+EMB_CLUSTERS = 10
+
+
+def generate_embeddings_table(n_vecs: int, seed: int = DEFAULT_SEED) -> pa.Table:
+    """Deterministic embeddings table with the driver-testdata schema
+    (vec_id int64, embedding list<float32> 64-d, label int32): 10 unit
+    gaussian cluster centers, sigma 0.25 — separable clusters like the
+    testdata's, arbitrary size for the embedding-family scaling
+    benchmark (testdata caps embeddings at 2k rows)."""
+    rng = np.random.default_rng([seed, 888])
+    centers = rng.standard_normal((EMB_CLUSTERS, EMB_DIM),
+                                  dtype=np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = rng.integers(0, EMB_CLUSTERS, n_vecs).astype(np.int32)
+    vecs = centers[labels] + 0.25 * rng.standard_normal(
+        (n_vecs, EMB_DIM), dtype=np.float32)
+    offs = np.arange(0, (n_vecs + 1) * EMB_DIM, EMB_DIM, dtype=np.int32)
+    emb = pa.ListArray.from_arrays(pa.array(offs),
+                                   pa.array(vecs.ravel(), pa.float32()))
+    return pa.table({
+        "vec_id": pa.array(np.arange(n_vecs, dtype=np.int64)),
+        "embedding": emb,
+        "label": pa.array(labels, pa.int32()),
+    })
+
+
+def ensure_emb_fixture(n_vecs: int, seed: int = DEFAULT_SEED,
+                       root: str = DEFAULT_ROOT) -> str:
+    """Idempotently materialize ``embeddings.parquet`` for ``n_vecs``
+    vectors (small row groups so the parquet reader can split; marker-
+    last)."""
+    d = os.path.join(root, f"embs_n{n_vecs}_seed{seed}"
+                           f"_v{FIXTURE_VERSION}.{DOC_FIXTURE_VERSION}")
+    if os.path.exists(os.path.join(d, "_DONE.json")):
+        return d
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(generate_embeddings_table(n_vecs, seed),
+                   os.path.join(d, "embeddings.parquet"),
+                   row_group_size=16_384)
+    marker = os.path.join(d, "_DONE.json")
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"n_vecs": n_vecs, "seed": seed,
+                   "version": FIXTURE_VERSION}, f)
+    os.replace(tmp, marker)
+    return d

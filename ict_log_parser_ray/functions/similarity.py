@@ -67,6 +67,84 @@ def knn_bruteforce(emb_ds, query: np.ndarray, k: int = 10,
     return tbl.take(order[:k])
 
 
+def knn_batch(emb_ds, queries: np.ndarray, k: int = 10,
+              query_ids: "np.ndarray | None" = None,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              dtype=np.float64) -> pa.Table:
+    """Batched exact cosine top-k — the task brief's baseline shape for a
+    QUERY MATRIX: one distributed pass, the whole (q, d) matrix broadcast
+    once via ``ray.put``, ONE ``(n_b, d) @ (d, q)`` matmul per block plus
+    a per-query ``argpartition`` — so ≤ ``q·k`` candidate rows leave each
+    block and the corpus is never collected.  Serving a query batch (or
+    building a kNN graph over a sampled query set) this way costs one
+    executor launch total, vs ``q`` launches of the single-vector
+    ``knn_bruteforce`` twin.
+
+    Driver merge is O(nblocks · q · k) rows, numpy-vectorized (lexsort +
+    rank mask — a pandas groupby-head was ~5× slower at 650k candidate
+    rows).  Returns pa.Table ``(q_id, vec_id, cosine)``, ≤ k rows per
+    query, sorted (q_id asc, cosine desc, vec_id asc).  ``query_ids``
+    defaults to ``0..q-1``.  float64 math by default — matches the
+    DuckDB ``list_cosine_similarity`` oracle's ordering (the emb_knn
+    convention)."""
+    import pyarrow.compute as pc  # noqa: F401  (kept for parity w/ twin)
+
+    from ..blocks import concat_shaped
+
+    qm = np.ascontiguousarray(np.asarray(queries, dtype=dtype))
+    if qm.ndim != 2:
+        raise ValueError("queries must be a (q, d) matrix")
+    qn = np.linalg.norm(qm, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    qmt = np.ascontiguousarray((qm / qn).T)           # (d, q)
+    qids = (np.arange(len(qm), dtype=np.int64) if query_ids is None
+            else np.asarray(query_ids, dtype=np.int64))
+    if len(qids) != len(qm):
+        raise ValueError("query_ids length must match queries")
+    q_ref = ray.put((qmt, qids))
+
+    def topk_batch(batch: pa.Table) -> pa.Table:
+        qt, qi = ray.get(q_ref)
+        m = _batch_matrix(batch, vec_col).astype(dtype, copy=False)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (m / norms) @ qt                       # (n_b, q)
+        kk = min(k, sims.shape[0])
+        if not kk:
+            return pa.table({"q_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]   # (kk, q)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cos = np.take_along_axis(sims, top, axis=0)
+        # column-major flatten → rows grouped per query
+        return pa.table({
+            "q_id": pa.array(np.repeat(qi, kk), pa.int64()),
+            id_col: pa.array(ids[top].ravel(order="F"), pa.int64()),
+            "cosine": pa.array(cos.ravel(order="F").astype(np.float64)),
+        })
+
+    cand = emb_ds.map_batches(topk_batch, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    tbl = concat_shaped(cand, "q_id",
+                        empty_schema=pa.schema([("q_id", pa.int64()),
+                                                (id_col, pa.int64()),
+                                                ("cosine", pa.float64())]))
+    qa = tbl["q_id"].to_numpy(zero_copy_only=False)
+    ca = tbl["cosine"].to_numpy(zero_copy_only=False)
+    va = tbl[id_col].to_numpy(zero_copy_only=False)
+    order = np.lexsort((va, -ca, qa))       # q_id asc, cos desc, id asc
+    qs = qa[order]
+    # per-query rank via boundary-reset cumcount; keep rank < k
+    starts = np.flatnonzero(np.concatenate([[True], qs[1:] != qs[:-1]]))
+    rank = np.arange(len(qs)) - np.repeat(starts, np.diff(
+        np.concatenate([starts, [len(qs)]])))
+    keep = order[rank < k]
+    return pa.table({"q_id": pa.array(qa[keep], pa.int64()),
+                     id_col: pa.array(va[keep], pa.int64()),
+                     "cosine": pa.array(ca[keep], pa.float64())})
+
+
 class _KMeans:
     """Deterministic seeded mini k-means (Lloyd, fixed iters)."""
 

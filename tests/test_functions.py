@@ -2895,3 +2895,48 @@ def test_media_frame_sampling_counts_and_timing(ray_session):
         assert g["ts_ms"].tolist() == list(range(0, dur, 7000))
         assert g["frame_idx"].tolist() == list(range(want))
     assert (fr["payload"].str.len() == 32).all()   # sha256 frames
+
+
+def test_knn_batch_matches_single_query_twin(ray_session):
+    """Batched query-matrix kNN (one distributed pass, matrix broadcast
+    once) must rank exactly like q independent single-vector
+    knn_bruteforce/_knn_rank runs — float64 math both sides.  Also
+    covers: k > corpus (all rows returned per query), the zero-row
+    pass-through block regime (limit() leaves empty blocks), and the
+    (q, d) / query_ids validation errors."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ict_log_parser_ray.functions.similarity import knn_batch
+    from ict_log_parser_ray.pipelines.driver_queries import _knn_rank
+    from ict_log_parser_ray.sources.transcripts import read_table
+
+    sf = "/root/testdata/sf0.01"
+    t = pq.read_table(sf + "/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    qm = np.stack([np.asarray(t["embedding"][i].as_py(), dtype=np.float32)
+                   for i in range(3)])
+
+    def _ds():
+        return read_table(sf, "embeddings",
+                          columns=["vec_id", "embedding"])
+
+    res = knn_batch(_ds(), qm, k=10, query_ids=np.arange(3)).to_pandas()
+    assert res.groupby("q_id").size().tolist() == [10, 10, 10]
+    for qi in range(3):
+        single = _knn_rank(_ds(), qm[qi], k=10).to_pandas()
+        got = res[res.q_id == qi]["vec_id"].tolist()
+        assert got == single["vec_id"].tolist()
+    # within-query ordering: cosine desc
+    for qi in range(3):
+        c = res[res.q_id == qi]["cosine"].to_numpy()
+        assert (np.diff(c) <= 1e-12).all()
+
+    tiny = _ds().limit(3).materialize()        # forces empty blocks
+    r2 = knn_batch(tiny, qm, k=10, query_ids=np.arange(3)).to_pandas()
+    assert r2.groupby("q_id").size().tolist() == [3, 3, 3]
+
+    with pytest.raises(ValueError):
+        knn_batch(_ds(), qm[0], k=5)           # 1-D query
+    with pytest.raises(ValueError):
+        knn_batch(_ds(), qm, k=5, query_ids=np.arange(2))

@@ -447,3 +447,28 @@ def test_doc_fixture_structure_and_planted_dups(ray_session):
     assert not missing, f"planted pairs missed by LSH+verify: {missing}"
     # linearity guard: found pairs stay O(planted), not O(n^2)
     assert len(got) < 3 * len(planted)
+
+
+def test_emb_fixture_deterministic_and_separable(ray_session):
+    """The embedding-scaling fixture: deterministic, driver-testdata
+    schema, and the 10 planted gaussian clusters are separable enough
+    that nearest-centroid recovers labels (the property the IVF/kmeans
+    family relies on)."""
+    import numpy as np
+
+    n = 5_000
+    t1 = fx.generate_embeddings_table(n)
+    assert t1.equals(fx.generate_embeddings_table(n))
+    assert not t1.equals(fx.generate_embeddings_table(n, seed=7))
+    assert t1.column_names == ["vec_id", "embedding", "label"]
+    assert t1.schema.field("embedding").type.value_type == "float"
+
+    m = (t1["embedding"].combine_chunks().flatten()
+         .to_numpy(zero_copy_only=False).reshape(n, fx.EMB_DIM))
+    lab = t1["label"].to_numpy(zero_copy_only=False)
+    cents = np.stack([m[lab == c].mean(axis=0)
+                      for c in range(fx.EMB_CLUSTERS)])
+    recovered = np.argmax(
+        (m / np.linalg.norm(m, axis=1, keepdims=True))
+        @ (cents / np.linalg.norm(cents, axis=1, keepdims=True)).T, axis=1)
+    assert (recovered == lab).mean() > 0.95
