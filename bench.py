@@ -12,6 +12,15 @@ parallelism levels (default 2 and 8 CPUs; --cpus lo,hi) on the same input
 and reports both throughputs plus scaling efficiency = (tput_hi /
 tput_lo) / (hi / lo) — the sandbox evidence for the north_rule's N→4N
 cluster-size criterion (see scaling() for why (2,8) is canonical).
+
+--doc-scaling / --emb-scaling: the same two-level protocol for the
+LLM-curation family (minhash near-dup + curation pipeline over the
+synthetic documents fixture) and the embedding family (batched
+query-matrix kNN over the synthetic embeddings fixture) — the driver
+testdata caps those tables at 5k docs / 2k vectors, too small for
+scaling evidence.
+
+--skew: uniform-vs-skewed-fixture degradation (north_rule skew claim).
 """
 
 from __future__ import annotations
