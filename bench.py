@@ -337,7 +337,12 @@ def doc_single_run(num_cpus: int, n_docs: int, json_out: str | None) -> dict:
 
     ds = read_table(d, "documents", columns=["doc_id", "text"])
     t0 = time.time()
-    pairs = minhash_duplicate_pairs(ds, threshold=0.6).to_pandas()
+    # k=8 shingles: the corpus-scale LSH setting (BASELINE.md "LSH
+    # candidate blow-up study") — at 1M docs k=5 admits ~11.4M
+    # false-positive candidates (O(n²·p_fp), 7× the wall) while k=8
+    # collapses baseline-similarity collisions 87× with IDENTICAL true
+    # pairs (planted near-dup J stays ≫ the 16×4 recall knee)
+    pairs = minhash_duplicate_pairs(ds, threshold=0.6, k=8).to_pandas()
     t1 = time.time()
     kept = dq.d_curation_pipeline(d)
     t2 = time.time()

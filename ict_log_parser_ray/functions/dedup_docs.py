@@ -520,7 +520,18 @@ def minhash_duplicate_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
     Pipeline: signature+band explode, payload-free (actor pool) →
     groupby(band_key) → within-bucket candidate pairs → pair dedup across
     bands (output-sized groupby) → text attach (broadcast ≤ threshold,
-    hash join beyond) → vectorized Jaccard verify ≥ threshold."""
+    hash join beyond) → vectorized Jaccard verify ≥ threshold.
+
+    SCALE NOTE — ``k`` is the false-positive-control knob: candidate
+    count is O(n²·p_fp) where p_fp ≈ bands·J_baseline^rows, so the
+    baseline shingle-Jaccard between UNRELATED docs must sit far below
+    the LSH knee.  Measured at 1M docs (BASELINE.md round-4 study):
+    k=5 → 11.4M candidates / ~300 s; k=8 → 130k candidates / 43 s with
+    the IDENTICAL verified pair set (planted near-dups keep J ≈ 0.8 ≫
+    the 16-band/4-row recall knee, recall ~1.0).  k=5 is kept as the
+    default for the small-corpus oracle queries; corpus-scale callers
+    should raise k (or rows-per-band) rather than accept quadratic
+    candidate growth."""
     import ray
 
     from ..stages.join import attach_lookup

@@ -402,7 +402,8 @@ def test_cross_mask_is_exact_sign_filter_property():
     run()
 
 
-def test_doc_fixture_structure_and_planted_dups(ray_session):
+@pytest.mark.parametrize("shingle_k", [5, 8])
+def test_doc_fixture_structure_and_planted_dups(ray_session, shingle_k):
     """The doc-scaling fixture (bench.py --doc-scaling): deterministic,
     driver-testdata schema, and its planted duplicate structure is
     LINEAR — near/exact dups are predecessor copies (cluster size 2), so
@@ -410,7 +411,11 @@ def test_doc_fixture_structure_and_planted_dups(ray_session):
     measurement rather than an adversarial dup-density blowup.  The
     minhash query path must find every planted pair (all sit at
     char-shingle Jaccard well above the 0.6 threshold; seeded data, so
-    this is a fixed assertion, not a flaky recall bound)."""
+    this is a fixed assertion, not a flaky recall bound) — at BOTH the
+    small-corpus default k=5 AND the corpus-scale k=8 the benchmark
+    uses (the FP-control knob; see the minhash_duplicate_pairs scale
+    note): recall of the planted pairs must be exactly 1.0 either
+    way."""
     from ict_log_parser_ray.functions.dedup_docs import \
         minhash_duplicate_pairs
     from ict_log_parser_ray.sources.transcripts import read_table
@@ -441,7 +446,8 @@ def test_doc_fixture_structure_and_planted_dups(ray_session):
     d = fx.ensure_doc_fixture(n)
     assert d == fx.ensure_doc_fixture(n)  # marker hit, no regeneration
     ds = read_table(d, "documents", columns=["doc_id", "text"])
-    pairs = minhash_duplicate_pairs(ds, threshold=0.6).to_pandas()
+    pairs = minhash_duplicate_pairs(ds, threshold=0.6,
+                                    k=shingle_k).to_pandas()
     got = set(zip(pairs["doc_a"].astype(int), pairs["doc_b"].astype(int)))
     missing = planted - got
     assert not missing, f"planted pairs missed by LSH+verify: {missing}"
