@@ -162,9 +162,15 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
     import ray.data as rd
 
     n_docs = ds.count()
+    # batch_size=4096 bounds the per-call exploded object frame (the
+    # repetition_stats lesson, BASELINE round-4 1M probes): block-sized
+    # batches reach ~28k docs ≈ 2.2M token objects per groupby at 1M-doc
+    # scale and allocator churn goes superlinear — measured tf pass
+    # 27.0 → 4.8 s (whole op 44.6 → 11.8 s) at 1M docs / 32 CPUs,
+    # identical output.  Per-doc outputs, so the split is semantics-free.
     tf = ds.map_batches(_tf_batch, batch_format="pandas",
-                        fn_kwargs={"text_col": text_col, "id_col": id_col}
-                        ).materialize()
+                        fn_kwargs={"text_col": text_col, "id_col": id_col},
+                        batch_size=4096).materialize()
     refs = tf.to_arrow_refs()
     part_refs = [_df_partial.remote(r) for r in refs]
     sizes = ray.get([_nrows.remote(r) for r in part_refs])
