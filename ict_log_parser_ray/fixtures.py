@@ -457,6 +457,8 @@ def ensure_doc_fixture(n_docs: int, seed: int = DEFAULT_SEED,
 
 EMB_DIM = 64
 EMB_CLUSTERS = 10
+EMB_FIXTURE_VERSION = 3  # 2 collided with the pre-planting _v4.2 dir name
+EMB_NEAR_DUP_EVERY = 17  # vec i (i%17==1) = near-copy of vec i-1
 
 
 def generate_embeddings_table(n_vecs: int, seed: int = DEFAULT_SEED) -> pa.Table:
@@ -464,7 +466,11 @@ def generate_embeddings_table(n_vecs: int, seed: int = DEFAULT_SEED) -> pa.Table
     (vec_id int64, embedding list<float32> 64-d, label int32): 10 unit
     gaussian cluster centers, sigma 0.25 — separable clusters like the
     testdata's, arbitrary size for the embedding-family scaling
-    benchmark (testdata caps embeddings at 2k rows)."""
+    benchmark (testdata caps embeddings at 2k rows).  v2 plants
+    near-duplicate vectors the way the doc fixture plants near-dup
+    texts: every 17th vector is its predecessor plus sigma-0.01 noise
+    (cosine ≈ 0.999 ≫ any near-dup threshold), predecessor copies only
+    — so the true pair count scales LINEARLY with n."""
     rng = np.random.default_rng([seed, 888])
     centers = rng.standard_normal((EMB_CLUSTERS, EMB_DIM),
                                   dtype=np.float32)
@@ -472,6 +478,12 @@ def generate_embeddings_table(n_vecs: int, seed: int = DEFAULT_SEED) -> pa.Table
     labels = rng.integers(0, EMB_CLUSTERS, n_vecs).astype(np.int32)
     vecs = centers[labels] + 0.25 * rng.standard_normal(
         (n_vecs, EMB_DIM), dtype=np.float32)
+    dup = np.zeros(n_vecs, dtype=bool)
+    dup[1::EMB_NEAR_DUP_EVERY] = True
+    src = np.flatnonzero(dup) - 1
+    vecs[dup] = vecs[src] + 0.01 * rng.standard_normal(
+        (len(src), EMB_DIM), dtype=np.float32)
+    labels[dup] = labels[src]
     offs = np.arange(0, (n_vecs + 1) * EMB_DIM, EMB_DIM, dtype=np.int32)
     emb = pa.ListArray.from_arrays(pa.array(offs),
                                    pa.array(vecs.ravel(), pa.float32()))
@@ -488,7 +500,7 @@ def ensure_emb_fixture(n_vecs: int, seed: int = DEFAULT_SEED,
     vectors (small row groups so the parquet reader can split; marker-
     last)."""
     d = os.path.join(root, f"embs_n{n_vecs}_seed{seed}"
-                           f"_v{FIXTURE_VERSION}.{DOC_FIXTURE_VERSION}")
+                           f"_v{FIXTURE_VERSION}.{EMB_FIXTURE_VERSION}")
     if os.path.exists(os.path.join(d, "_DONE.json")):
         return d
     os.makedirs(d, exist_ok=True)

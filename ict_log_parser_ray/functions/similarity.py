@@ -371,9 +371,27 @@ def embedding_near_dup_pairs(emb_ds, threshold: float = 0.95, nlist: int = 16,
     if nassign <= 1:
         return out
     # a pair may surface from every shared bucket under multi-assignment
-    return out.groupby(["id_a", "id_b"]).max("cosine").map_batches(
-        lambda df: df.rename(columns={"max(cosine)": "cosine"}),
-        batch_format="pandas")
+    # (≤ nassign² occurrences per true pair) — the dedup is OUTPUT-sized.
+    # A Ray groupby at these ~all-distinct pair keys pays ~100 µs/group
+    # of scheduling (the repo's round-1 lesson; measured >10 min for the
+    # ~0.5M pair rows of the 1M-vector probe, vs seconds collected):
+    # collect + one vectorized pandas max under the threshold, with the
+    # distributed groupby kept only as the >threshold fallback — the
+    # exact _dedup_pairs shape from the minhash family.
+    from ..blocks import concat_shaped, split_arrow_ds
+
+    out = out.materialize()
+    if out.count() > 5_000_000:
+        return out.groupby(["id_a", "id_b"]).max("cosine").map_batches(
+            lambda df: df.rename(columns={"max(cosine)": "cosine"}),
+            batch_format="pandas")
+    tbl = concat_shaped(out, "id_a", empty_schema=_empty)
+    if tbl.num_rows == 0:
+        return rd.from_arrow(_empty.empty_table())
+    df = (tbl.to_pandas()
+          .groupby(["id_a", "id_b"], sort=False)["cosine"].max()
+          .reset_index())
+    return split_arrow_ds(df)
 
 
 def exact_near_dup_pairs(emb_ds, threshold: float = 0.5,

@@ -478,3 +478,11 @@ def test_emb_fixture_deterministic_and_separable(ray_session):
         (m / np.linalg.norm(m, axis=1, keepdims=True))
         @ (cents / np.linalg.norm(cents, axis=1, keepdims=True)).T, axis=1)
     assert (recovered == lab).mean() > 0.95
+
+    # v2 planted near-dups: predecessor copies at cosine ≈ 0.999,
+    # LINEAR pair count (the doc-fixture planting rule)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    dup = np.arange(1, n, fx.EMB_NEAR_DUP_EVERY)
+    cos = (mn[dup] * mn[dup - 1]).sum(axis=1)
+    assert (cos > 0.99).all()
+    assert (lab[dup] == lab[dup - 1]).all()
