@@ -514,3 +514,57 @@ def ensure_emb_fixture(n_vecs: int, seed: int = DEFAULT_SEED,
                    "version": FIXTURE_VERSION}, f)
     os.replace(tmp, marker)
     return d
+
+
+EVT_FIXTURE_VERSION = 1
+EVT_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+
+def generate_events_table(n_events: int, seed: int = DEFAULT_SEED) -> pa.Table:
+    """Deterministic events table with the driver-testdata schema
+    (event_id int64, ts timestamp[us] GLOBALLY SORTED, user_id int64,
+    event_type string uniform-5, value double, props json-string) for
+    probing the temporal/sessionization family beyond the testdata's
+    100k-row cap.  Users scale with n (≈ n/67 like the testdata's
+    100k/1500), so events-per-user stays realistic instead of
+    degenerating into per-user mega-streams."""
+    rng = np.random.default_rng([seed, 999])
+    n_users = max(10, n_events // 67)
+    base = np.int64(1_704_067_200_000_000)          # 2024-01-01 epoch µs
+    span = np.int64(30 * 86_400 * 1_000_000)
+    ts = base + np.sort(rng.integers(0, span, n_events, dtype=np.int64))
+    et = rng.integers(0, len(EVT_TYPES), n_events)
+    k = rng.integers(0, 99, n_events)
+    props = np.char.add(np.char.add('{"k": ',
+                                    k.astype("U3")), "}")
+    return pa.table({
+        "event_id": pa.array(np.arange(n_events, dtype=np.int64)),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, n_users, n_events,
+                                         dtype=np.int64)),
+        "event_type": pa.array(np.array(EVT_TYPES, dtype=object)[et],
+                               pa.string()),
+        "value": pa.array(np.round(rng.uniform(0, 560, n_events), 2)),
+        "props": pa.array(props.astype(object), pa.string()),
+    })
+
+
+def ensure_events_fixture(n_events: int, seed: int = DEFAULT_SEED,
+                          root: str = DEFAULT_ROOT) -> str:
+    """Idempotently materialize ``events.parquet`` for ``n_events`` rows
+    (own version counter — the emb v4.2 collision lesson)."""
+    d = os.path.join(root, f"evts_n{n_events}_seed{seed}"
+                           f"_v{FIXTURE_VERSION}.{EVT_FIXTURE_VERSION}")
+    if os.path.exists(os.path.join(d, "_DONE.json")):
+        return d
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(generate_events_table(n_events, seed),
+                   os.path.join(d, "events.parquet"),
+                   row_group_size=65_536)
+    marker = os.path.join(d, "_DONE.json")
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"n_events": n_events, "seed": seed,
+                   "version": FIXTURE_VERSION}, f)
+    os.replace(tmp, marker)
+    return d

@@ -486,3 +486,22 @@ def test_emb_fixture_deterministic_and_separable(ray_session):
     cos = (mn[dup] * mn[dup - 1]).sum(axis=1)
     assert (cos > 0.99).all()
     assert (lab[dup] == lab[dup - 1]).all()
+
+
+def test_events_fixture_deterministic_and_shaped(ray_session):
+    """The events probe fixture: deterministic, driver-testdata schema,
+    globally ts-sorted (the property the temporal family's
+    time-partition shapes rely on), users scaling with n."""
+    import numpy as np
+
+    t1 = fx.generate_events_table(50_000)
+    assert t1.equals(fx.generate_events_table(50_000))
+    assert not t1.equals(fx.generate_events_table(50_000, seed=7))
+    assert t1.column_names == ["event_id", "ts", "user_id", "event_type",
+                               "value", "props"]
+    ts = t1["ts"].to_numpy()
+    assert bool((ts[1:] >= ts[:-1]).all())
+    assert 600 <= len(np.unique(t1["user_id"].to_numpy())) <= 50_000 // 60
+    assert set(t1["event_type"].to_pylist()) == set(fx.EVT_TYPES)
+    import json
+    assert all("k" in json.loads(x) for x in t1["props"].to_pylist()[:50])
