@@ -1385,12 +1385,13 @@ def d_contamination(sf_dir):
     Scale shape: the probe side is tiny by construction (a benchmark
     suite is KBs), collected once from a column-pruned scan and broadcast
     via ``ray.put``; the corpus streams through one vectorized
-    ``pc.match_substring`` pass per probe — no shuffle, no join.  With
-    thousands+ of probes the per-probe kernel loop would switch to a
-    per-actor Aho-Corasick automaton (same broadcast shape, one pass);
-    at benchmark-suite probe counts the arrow kernel wins.  Counts are
-    exact int64 (a probe either is or isn't a substring), so the oracle
-    comparison is hash-exact."""
+    ``pc.match_substring`` pass per probe — no shuffle, no join.  Past
+    256 probes the scan switches to ONE Aho-Corasick pass per batch
+    (polars ``extract_many``, overlapping=True + unique — measured
+    658 s → ~7 s at 1M docs / 10.3k probes, value-identical; forced-path
+    parity pytest); at benchmark-suite probe counts the arrow kernel
+    wins.  Counts are exact int64 (a probe either is or isn't a
+    substring), so the oracle comparison is hash-exact."""
     import ray
 
     from ..blocks import concat_shaped
@@ -1417,10 +1418,27 @@ def d_contamination(sf_dir):
         text = pc.fill_null(b["text"], "")
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
-        n = np.zeros(len(b), dtype=np.int64)
-        for p in ray.get(pref):
-            n += pc.match_substring(text, p).to_numpy(
-                zero_copy_only=False).astype(np.int64)
+        ps = ray.get(pref)
+        if len(ps) > 256:
+            # big probe set: ONE Aho-Corasick pass (polars extract_many,
+            # Rust AC) instead of a match_substring kernel pass PER
+            # probe.  The per-probe loop is O(probes × corpus bytes) —
+            # measured 658 s at 1M docs where the modulo-97 probe set
+            # reaches ~10.3k strings, vs seconds for the automaton.
+            # overlapping=True so a probe hidden inside another probe's
+            # match is still found; unique() restores the per-probe 0/1
+            # count the small path computes.
+            import polars as pl
+
+            hits = (pl.from_arrow(text.cast(pa.large_string()))
+                    .str.extract_many(ps, overlapping=True)
+                    .list.unique().list.len())
+            n = hits.to_numpy().astype(np.int64)
+        else:
+            n = np.zeros(len(b), dtype=np.int64)
+            for p in ps:
+                n += pc.match_substring(text, p).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
         t = pa.table({"doc_id": pc.cast(b["doc_id"], pa.int64()),
                       "n_hits": pa.array(n, pa.int64())})
         return t.filter(pc.greater(t["n_hits"], 0))

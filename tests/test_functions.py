@@ -2940,3 +2940,44 @@ def test_knn_batch_matches_single_query_twin(ray_session):
         knn_batch(_ds(), qm[0], k=5)           # 1-D query
     with pytest.raises(ValueError):
         knn_batch(_ds(), qm, k=5, query_ids=np.arange(2))
+
+
+def test_contamination_ac_path_matches_kernel_path(ray_session, tmp_path):
+    """d_contamination's >256-probe Aho-Corasick branch (polars
+    extract_many, overlapping+unique) must be value-identical to the
+    small-probe arrow-kernel loop.  400 probe-eligible docs (all ids
+    multiples of 97, ≥40 chars) force the AC branch; the reference
+    n_hits is computed with the same per-probe substring logic the
+    kernel branch uses.  Includes docs that embed OTHER probes'
+    prefixes mid-text (the overlapping=True case) and a null text."""
+    import pyarrow.parquet as pq
+
+    from ict_log_parser_ray.pipelines.driver_queries import d_contamination
+
+    n = 400
+    ids = np.arange(n, dtype=np.int64) * 97
+    texts = []
+    for i in range(n):
+        base = f"probe{i:04d} " + "x" * 40  # ≥ 40 chars, unique prefix
+        texts.append(base)
+    # doc 0 embeds doc 1's and doc 2's 40-char prefixes mid-text
+    texts[0] = texts[0] + texts[1][:40] + texts[2][:40]
+    tbl = pa.table({"doc_id": pa.array(ids),
+                    "text": pa.array(texts[:-1] + [None], pa.string())})
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+
+    got = d_contamination(str(d))
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    got = dict(zip(got["doc_id"].astype(int), got["n_hits"].astype(int)))
+
+    probes = sorted({t[:40] for t in texts[:-1] if len(t) >= 40})
+    assert len(probes) > 256  # the AC branch really engaged
+    want = {}
+    for i, t in enumerate(texts[:-1]):
+        h = sum(1 for p in probes if p in t)
+        if h:
+            want[int(ids[i])] = h
+    assert got == want
+    assert want[0] == 3  # self + the two embedded overlapping prefixes
