@@ -568,3 +568,77 @@ def ensure_events_fixture(n_events: int, seed: int = DEFAULT_SEED,
                    "version": FIXTURE_VERSION}, f)
     os.replace(tmp, marker)
     return d
+
+
+TPC_FIXTURE_VERSION = 1
+
+
+def generate_orders_lineitem(n_orders: int, seed: int = DEFAULT_SEED):
+    """Deterministic (orders, lineitem) pair with the driver-testdata
+    schemas/value domains (~4 lines per order like the testdata's
+    600k/150k) for probing the big-big join family beyond the sf0.1
+    cap.  Returns (orders_table, lineitem_table)."""
+    rng = np.random.default_rng([seed, 1111])
+    base = np.int64(788_918_400_000_000)            # 1995-01-01 epoch µs
+    span = np.int64(7 * 365 * 86_400 * 1_000_000)
+    prios = np.array(["1-URGENT", "2-HIGH", "3-MEDIUM",
+                      "4-NOT SPECIFIED", "5-LOW"], dtype=object)
+    stats = np.array(["O", "F", "P"], dtype=object)
+    orders = pa.table({
+        "o_orderkey": pa.array(np.arange(n_orders, dtype=np.int64)),
+        "o_custkey": pa.array(rng.integers(0, max(1, n_orders // 10),
+                                           n_orders, dtype=np.int64)),
+        "o_orderstatus": pa.array(stats[rng.integers(0, 3, n_orders)],
+                                  pa.string()),
+        "o_totalprice": pa.array(np.round(
+            rng.uniform(1_000, 500_000, n_orders), 2)),
+        "o_orderdate": pa.array(base + rng.integers(0, span, n_orders,
+                                                    dtype=np.int64),
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array(prios[rng.integers(0, 5, n_orders)],
+                                    pa.string()),
+    })
+    nlines = rng.integers(1, 8, n_orders)           # mean ~4
+    n_li = int(nlines.sum())
+    lkey = np.repeat(np.arange(n_orders, dtype=np.int64), nlines)
+    rflag = np.array(["N", "A", "R"], dtype=object)
+    lstat = np.array(["O", "F"], dtype=object)
+    lineitem = pa.table({
+        "l_orderkey": pa.array(lkey),
+        "l_quantity": pa.array(rng.integers(1, 51, n_li).astype(np.float64)),
+        "l_extendedprice": pa.array(np.round(
+            rng.uniform(900, 100_000, n_li), 2)),
+        "l_discount": pa.array(np.round(
+            rng.integers(0, 11, n_li) / 100.0, 2)),
+        "l_returnflag": pa.array(rflag[rng.integers(0, 3, n_li)],
+                                 pa.string()),
+        "l_linestatus": pa.array(lstat[rng.integers(0, 2, n_li)],
+                                 pa.string()),
+        "l_shipdate": pa.array(base + rng.integers(0, span, n_li,
+                                                   dtype=np.int64),
+                               pa.timestamp("us")),
+    })
+    return orders, lineitem
+
+
+def ensure_tpc_fixture(n_orders: int, seed: int = DEFAULT_SEED,
+                       root: str = DEFAULT_ROOT) -> str:
+    """Idempotently materialize orders.parquet + lineitem.parquet for
+    ``n_orders`` orders (own version counter)."""
+    d = os.path.join(root, f"tpc_n{n_orders}_seed{seed}"
+                           f"_v{FIXTURE_VERSION}.{TPC_FIXTURE_VERSION}")
+    if os.path.exists(os.path.join(d, "_DONE.json")):
+        return d
+    os.makedirs(d, exist_ok=True)
+    orders, lineitem = generate_orders_lineitem(n_orders, seed)
+    pq.write_table(orders, os.path.join(d, "orders.parquet"),
+                   row_group_size=65_536)
+    pq.write_table(lineitem, os.path.join(d, "lineitem.parquet"),
+                   row_group_size=65_536)
+    marker = os.path.join(d, "_DONE.json")
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"n_orders": n_orders, "seed": seed,
+                   "version": FIXTURE_VERSION}, f)
+    os.replace(tmp, marker)
+    return d

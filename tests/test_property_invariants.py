@@ -505,3 +505,28 @@ def test_events_fixture_deterministic_and_shaped(ray_session):
     assert set(t1["event_type"].to_pylist()) == set(fx.EVT_TYPES)
     import json
     assert all("k" in json.loads(x) for x in t1["props"].to_pylist()[:50])
+
+
+def test_tpc_fixture_deterministic_and_shaped(ray_session):
+    """The join-family probe fixture: deterministic, driver schemas and
+    value domains, ~4 lineitems per order, every order key present on
+    the lineitem side's key domain."""
+    import numpy as np
+
+    o1, l1 = fx.generate_orders_lineitem(5_000)
+    o2, l2 = fx.generate_orders_lineitem(5_000)
+    assert o1.equals(o2) and l1.equals(l2)
+    o3, _ = fx.generate_orders_lineitem(5_000, seed=7)
+    assert not o1.equals(o3)
+    assert o1.column_names == ["o_orderkey", "o_custkey", "o_orderstatus",
+                               "o_totalprice", "o_orderdate",
+                               "o_orderpriority"]
+    assert l1.column_names == ["l_orderkey", "l_quantity",
+                               "l_extendedprice", "l_discount",
+                               "l_returnflag", "l_linestatus",
+                               "l_shipdate"]
+    assert 3.0 < l1.num_rows / o1.num_rows < 5.0
+    lk = np.unique(l1["l_orderkey"].to_numpy())
+    assert lk.min() >= 0 and lk.max() < 5_000
+    assert set(o1["o_orderpriority"].to_pylist()) == {
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"}
