@@ -3076,7 +3076,9 @@ def build_queries() -> dict:
         "media_digest": media_digest_q,
         "e_hash_sample": e_hash_sample,
         "e_stratified_sample": e_stratified_sample,
-        "e_window_join": e_window_join,
+        # emb_knn_batch rotated in mid-round (e_window_join demoted —
+        # r02/r03 green, its value check stays in-repo)
+        "emb_knn_batch": emb_knn_batch,
         # round-4 rotation (VERDICT r3 item 1): the only oracle-backed
         # queries with zero external green rows take the window; the
         # demoted r03-green rows (e_asof_big, e_window_join_big,
@@ -3155,8 +3157,7 @@ def build_queries() -> dict:
         "q_region_brand_revenue": q_region_brand_revenue,
         "d_lang_eval": d_lang_eval,
         "e_mode_hour": e_mode_hour,
-        # new in round 4, past the cap — rotate in round 5
-        "emb_knn_batch": emb_knn_batch,
+        "e_window_join": e_window_join,
         # r03-green rows demoted in the round-4 rotation above
         "e_asof": e_asof,
         "e_asof_big": e_asof_big,
