@@ -13,12 +13,14 @@ and reports both throughputs plus scaling efficiency = (tput_hi /
 tput_lo) / (hi / lo) — the sandbox evidence for the north_rule's N→4N
 cluster-size criterion (see scaling() for why (2,8) is canonical).
 
---doc-scaling / --emb-scaling: the same two-level protocol for the
-LLM-curation family (minhash near-dup + curation pipeline over the
-synthetic documents fixture) and the embedding family (batched
-query-matrix kNN over the synthetic embeddings fixture) — the driver
-testdata caps those tables at 5k docs / 2k vectors, too small for
-scaling evidence.
+--doc-scaling / --emb-scaling / --media-scaling: the same two-level
+protocol for the LLM-curation family (minhash near-dup + curation
+pipeline over the synthetic documents fixture), the embedding family
+(batched query-matrix kNN over the synthetic embeddings fixture), and
+the media family (one-pass kind dispatch — real netpbm decode/resize/
+features, frame sampling, digests — over the synthetic payload-scale
+media fixture) — the driver testdata caps those tables far too small
+for scaling evidence.
 
 --skew: uniform-vs-skewed-fixture degradation (north_rule skew claim).
 """
@@ -512,6 +514,104 @@ def scaling_emb(cpus=(2, 8), repeats: int = 2, n_vecs: int = 1_000_000,
     }
 
 
+def media_single_run(num_cpus: int, n_media: int,
+                     json_out: str | None) -> dict:
+    """One fresh-session run of the media-family workload: the one-pass
+    per-kind dispatch (``media_corpus_stats`` — REAL netpbm decode →
+    resize → features for images, payload-bounded frame sampling for
+    video, digests for audio) over the deterministic
+    ``ensure_media_fixture`` corpus (~31 KB mean payload, ~1.5 GB at the
+    canonical 48k rows) — the actor-pool plumbing probed at payload
+    scale rather than the 64-row test table."""
+    import pyarrow.compute as pc
+
+    from ict_log_parser_ray import fixtures as fx
+
+    ray = _quiet_ray(num_cpus)
+    _warmup(num_cpus)
+    d = fx.ensure_media_fixture(n_media)
+    for shard in sorted(os.listdir(os.path.join(d, "media"))):
+        with open(os.path.join(d, "media", shard), "rb") as f:
+            while f.read(1 << 24):  # warm the page cache, untimed
+                pass
+    from ict_log_parser_ray.functions.multimodal import media_corpus_stats
+    from ict_log_parser_ray.sources.transcripts import read_media
+
+    ds = read_media(d)
+    t0 = time.time()
+    df = media_corpus_stats(ds)   # stateless-task default (see docstring)
+    elapsed = time.time() - t0
+    ray.shutdown()
+    result = {
+        "n_media": n_media, "num_cpus": num_cpus,
+        "seconds": round(elapsed, 3),
+        "rows_per_sec": round(n_media / elapsed, 1),
+        "payload_mb": round(float(df["in_bytes"].sum()) / 1e6, 1),
+        "mb_per_sec": round(float(df["in_bytes"].sum()) / 1e6 / elapsed, 1),
+        "n_frames": int(df["n_frames"].sum()),
+    }
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(result, f)
+    return result
+
+
+def scaling_media(cpus=(2, 8), repeats: int = 2,
+                  n_media: int = 48_000) -> dict:
+    """Media-family N→4N scaling evidence: the one-pass dispatch workload
+    (see media_single_run) at two CPU levels on the same cached fixture,
+    interleaved fresh processes, best-of-``repeats``."""
+    from ict_log_parser_ray import fixtures as fx
+
+    fx.ensure_media_fixture(n_media)  # generate once, outside the timing
+    lo, hi = cpus
+    obs = {lo: [], hi: []}
+    best = {}
+    for r in range(repeats):
+        for n in (lo, hi):
+            path = f"/tmp/ict_ray_bench_mediascale_{n}_{r}.json"
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+            subprocess.run(["sync"], check=False)
+            cp = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--media-single-run", "--num-cpus", str(n),
+                 "--media-n", str(n_media), "--json-out", path],
+                check=False, env=env, stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            for chunk in (cp.stdout, cp.stderr):
+                if chunk:
+                    sys.stderr.write(chunk.decode(errors="replace"))
+            if cp.returncode != 0:
+                raise subprocess.CalledProcessError(cp.returncode, cp.args)
+            out = json.load(open(path))
+            obs[n].append(out["rows_per_sec"])
+            if n not in best or out["rows_per_sec"] > best[n]["rows_per_sec"]:
+                best[n] = out
+    t_lo, t_hi = best[lo]["rows_per_sec"], best[hi]["rows_per_sec"]
+    eff = round((t_hi / t_lo) / (hi / lo), 4)
+    return {
+        "metric": f"media-family scaling efficiency ({lo}→{hi} CPUs, "
+                  f"one-pass kind dispatch over {n_media} media rows "
+                  f"(~{best[hi]['payload_mb']:.0f} MB payload), fresh "
+                  f"sessions, best of {repeats})",
+        "value": eff,
+        "unit": "efficiency",
+        "queries": {},
+        "sf": n_media,
+        "num_cpus": hi,
+        f"tput_{lo}cpu": t_lo,
+        f"tput_{hi}cpu": t_hi,
+        f"sec_{lo}cpu": best[lo]["seconds"],
+        f"sec_{hi}cpu": best[hi]["seconds"],
+        "payload_mb": best[hi]["payload_mb"],
+        f"mb_per_sec_{lo}cpu": best[lo]["mb_per_sec"],
+        f"mb_per_sec_{hi}cpu": best[hi]["mb_per_sec"],
+        "scaling_efficiency": eff,
+        "observations": {str(n): obs[n] for n in (lo, hi)},
+    }
+
+
 def skew(cpus: int = 8, skew_sf: float = 0.5, repeats: int = 3,
          frac: float = 0.10, streaming: bool = True) -> dict:
     """Adversarial-skew evidence (north_rule skew claim): the identical
@@ -607,6 +707,13 @@ def main():
     ap.add_argument("--emb-single-run", action="store_true")
     ap.add_argument("--emb-n", type=int, default=1_000_000)
     ap.add_argument("--emb-q", type=int, default=1024)
+    ap.add_argument("--media-scaling", action="store_true",
+                    help="2→8 CPU scaling of the media-family workload "
+                         "(one-pass kind dispatch: real netpbm decode/"
+                         "resize/features + frame sampling + digests) over "
+                         "the synthetic payload-scale media fixture")
+    ap.add_argument("--media-single-run", action="store_true")
+    ap.add_argument("--media-n", type=int, default=48_000)
     ap.add_argument("--skew", action="store_true",
                     help="uniform-vs-skewed-fixture degradation at one CPU "
                          "count (north_rule skew evidence)")
@@ -623,6 +730,11 @@ def main():
                                 args.json_out)
     elif args.emb_scaling:
         result = scaling_emb(n_vecs=args.emb_n, n_queries=args.emb_q)
+    elif args.media_single_run:
+        result = media_single_run(args.num_cpus, args.media_n,
+                                  args.json_out)
+    elif args.media_scaling:
+        result = scaling_media(n_media=args.media_n)
     elif args.skew:
         result = skew(cpus=args.skew_cpus, skew_sf=args.skew_sf)
     elif args.scaling:

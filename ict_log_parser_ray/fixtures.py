@@ -642,3 +642,95 @@ def ensure_tpc_fixture(n_orders: int, seed: int = DEFAULT_SEED,
                    "version": FIXTURE_VERSION}, f)
     os.replace(tmp, marker)
     return d
+
+
+MEDIA_FIXTURE_VERSION = 3  # v2: sharded directory (v1 single file read
+#                            as ONE serial task); v3: 1024-row shards —
+#                            24 ~64 MB files quantized 8 CPUs into exactly
+#                            3 task waves (tail imbalance ~0.5 s of a 3.2 s
+#                            wall); ~32 MB shards halve the wave tail
+MEDIA_KINDS = ["image", "audio", "video"]
+# generation-shape constant: rows are generated (and seeded) in fixed
+# 1024-row chunks, one shard FILE per chunk (~32 MB of payload)
+MEDIA_CHUNK = 1024
+
+
+def generate_media_chunk(n_media: int, chunk_idx: int,
+                         seed: int = DEFAULT_SEED) -> pa.Table:
+    """Rows [chunk_idx*MEDIA_CHUNK, min((chunk_idx+1)*MEDIA_CHUNK, n)) of
+    the deterministic payload-scale media corpus (schema =
+    ``multimodal.MEDIA_SCHEMA``): kind cycles image/audio/video by row id;
+    image rows carry REAL binary PPM payloads (32-223 px sides, ~49 KB
+    mean) so the ``decode="real"`` netpbm path runs end-to-end at scale;
+    audio/video payloads are opaque random bytes sized like compressed
+    clips (2-16 KB / 8-64 KB).  Per-chunk rng keyed [seed, 31337, chunk]
+    — same (n, seed) ⇒ identical bytes regardless of how many chunks a
+    writer emits per file."""
+    from ict_log_parser_ray.functions.multimodal import (MEDIA_SCHEMA,
+                                                         NETPBM_MIMES,
+                                                         encode_netpbm)
+
+    lo = chunk_idx * MEDIA_CHUNK
+    hi = min(lo + MEDIA_CHUNK, n_media)
+    rng = np.random.default_rng([seed, 31_337, chunk_idx])
+    rows = {f.name: [] for f in MEDIA_SCHEMA}
+    for i in range(lo, hi):
+        kind = MEDIA_KINDS[i % 3]
+        rows["media_id"].append(i)
+        rows["kind"].append(kind)
+        if kind == "image":
+            w = int(rng.integers(32, 224))
+            h = int(rng.integers(32, 224))
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            rows["payload"].append(encode_netpbm(img))
+            rows["mime"].append(NETPBM_MIMES[0])
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["duration_ms"].append(None)
+        elif kind == "audio":
+            nb = int(rng.integers(2_000, 16_000))
+            rows["payload"].append(
+                rng.integers(0, 256, size=nb, dtype=np.uint8).tobytes())
+            rows["mime"].append("audio/wav")
+            rows["width"].append(None)
+            rows["height"].append(None)
+            rows["duration_ms"].append(int(rng.integers(1_000, 60_000)))
+        else:
+            nb = int(rng.integers(8_000, 64_000))
+            rows["payload"].append(
+                rng.integers(0, 256, size=nb, dtype=np.uint8).tobytes())
+            rows["mime"].append("video/mp4")
+            rows["width"].append(int(rng.integers(64, 1024)))
+            rows["height"].append(int(rng.integers(64, 1024)))
+            rows["duration_ms"].append(int(rng.integers(2_000, 30_000)))
+    return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+def ensure_media_fixture(n_media: int, seed: int = DEFAULT_SEED,
+                         root: str = DEFAULT_ROOT) -> str:
+    """Idempotently materialize a SHARDED ``media/`` directory for
+    ``n_media`` rows (~31 KB mean payload ⇒ ~1.5 GB at 48k rows): one
+    ~64 MB file per 2048-row generation chunk, because Ray's parquet
+    reader makes read tasks per FILE — the v1 single-file layout read
+    1.5 GB as ONE serial task (+SplitBlocks), a measured 1.9-s serial
+    floor that capped 2→8 scaling at 0.42.  Small row groups (256 rows)
+    keep batches payload-bounded; binary payloads are stored
+    uncompressed (random bytes don't compress — snappy would just burn
+    encode CPU).  Own version counter (the emb v4.2 collision lesson)."""
+    d = os.path.join(root, f"media_n{n_media}_seed{seed}"
+                           f"_v{FIXTURE_VERSION}.{MEDIA_FIXTURE_VERSION}")
+    if os.path.exists(os.path.join(d, "_DONE.json")):
+        return d
+    os.makedirs(os.path.join(d, "media"), exist_ok=True)
+    nchunks = -(-n_media // MEDIA_CHUNK)
+    for c in range(nchunks):
+        tbl = generate_media_chunk(n_media, c, seed)
+        pq.write_table(tbl, os.path.join(d, "media", f"part-{c:05d}.parquet"),
+                       row_group_size=256, compression="none")
+    marker = os.path.join(d, "_DONE.json")
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"n_media": n_media, "seed": seed,
+                   "version": FIXTURE_VERSION}, f)
+    os.replace(tmp, marker)
+    return d

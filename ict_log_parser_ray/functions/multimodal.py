@@ -394,3 +394,150 @@ def sample_frames(media_ds, every_ms: int = 1000, batch_size: int = 64,
 
     return media_ds.map_batches(frames, batch_format="pyarrow",
                                 batch_size=batch_size)
+
+
+MEDIA_STATS_SCHEMA = pa.schema([
+    ("kind", pa.string()),
+    ("n_rows", pa.int64()),
+    ("n_frames", pa.int64()),
+    ("in_bytes", pa.int64()),
+    ("out_bytes", pa.int64()),
+    ("feat0_sum", pa.float64()),
+])
+
+
+class MediaCorpusStatsStage:
+    """One-pass per-KIND dispatch at payload scale — the media analog of
+    the transcript flagship's record-type dispatch (M1): a single
+    actor-pool ``map_batches`` stage reads each payload exactly once and
+    routes it by kind, so a mixed 100-TB media corpus is processed in ONE
+    streaming pass with O(batch) memory instead of one filtered re-read
+    per kind:
+
+    - ``image`` → REAL netpbm decode → box-average resize (cap longer
+      side at ``max_side``) → REAL pixel-moment features — the tested
+      ``MediaResizer``/``MediaFeatureExtractor`` kernels composed
+      actor-side, resized payloads never leaving the task;
+    - ``video`` → frame sampling at ``every_ms`` (timing math real) with
+      the deterministic per-frame digest standing in for the decode —
+      each frame hashes the FULL clip payload, so per-frame cost tracks
+      payload size like a real seek+decode would;
+    - ``audio`` → per-payload digest.
+
+    Output is a tiny PARTIAL row per kind per batch (counts + byte sums
+    + a feature checksum) — the canonical partial-combine shape: the
+    driver finish sums ~3 rows per batch, payloads never reach a
+    shuffle.  __init__ builds the decode kernels ONCE per actor.
+    """
+
+    def __init__(self, max_side: int = 96, every_ms: int = 1000,
+                 feature_dim: int = 8):
+        self.every_ms = every_ms
+        self.resizer = MediaResizer(max_side=max_side, decode="real")
+        self.extractor = MediaFeatureExtractor(decode="real",
+                                               feature_dim=feature_dim)
+        self.feature_dim = feature_dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        out = {f.name: [] for f in MEDIA_STATS_SCHEMA}
+
+        def emit(kind, n_rows, n_frames, in_bytes, out_bytes, feat0):
+            out["kind"].append(kind)
+            out["n_rows"].append(int(n_rows))
+            out["n_frames"].append(int(n_frames))
+            out["in_bytes"].append(int(in_bytes))
+            out["out_bytes"].append(int(out_bytes))
+            out["feat0_sum"].append(float(feat0))
+
+        imgs = batch.filter(pc.equal(batch["kind"], "image"))
+        if imgs.num_rows:
+            in_b = pc.sum(pc.binary_length(imgs["payload"])).as_py()
+            feats = self.extractor(self.resizer(imgs))
+            f0 = feats["features"].combine_chunks().flatten().to_numpy(
+                zero_copy_only=False)[0::self.feature_dim]
+            out_b = pc.sum(feats["payload_bytes"]).as_py()
+            emit("image", imgs.num_rows, 0, in_b, out_b, f0.sum())
+
+        vids = batch.filter(pc.equal(batch["kind"], "video"))
+        if vids.num_rows:
+            in_b = pc.sum(pc.binary_length(vids["payload"])).as_py()
+            nf, f0 = 0, 0.0
+            for p, dur in zip(vids["payload"].to_pylist(),
+                              vids["duration_ms"].to_pylist()):
+                if not dur:
+                    continue
+                for t in range(0, int(dur), self.every_ms):
+                    d = hashlib.sha256(p + f"|frame|{t}".encode()).digest()
+                    nf += 1
+                    f0 += d[0] / 255.0
+            emit("video", vids.num_rows, nf, in_b, 32 * nf, f0)
+
+        auds = batch.filter(pc.equal(batch["kind"], "audio"))
+        if auds.num_rows:
+            in_b = pc.sum(pc.binary_length(auds["payload"])).as_py()
+            f0 = 0.0
+            for p in auds["payload"].to_pylist():
+                f0 += hashlib.sha256(p).digest()[0] / 255.0
+            emit("audio", auds.num_rows, 0, in_b, 32 * auds.num_rows, f0)
+
+        return pa.table(out, schema=MEDIA_STATS_SCHEMA)
+
+
+_STATS_STAGE_MEMO: dict = {}
+
+
+def _stats_task(batch: pa.Table, max_side: int, every_ms: int,
+                feature_dim: int) -> pa.Table:
+    """Worker-memoized stateless-task form of the dispatch stage: the
+    stage object is built once per WORKER PROCESS (module-global memo —
+    workers import this module fresh), so the fused task path pays zero
+    per-batch setup without reserving CPUs in an actor pool."""
+    key = (max_side, every_ms, feature_dim)
+    s = _STATS_STAGE_MEMO.get(key)
+    if s is None:
+        s = _STATS_STAGE_MEMO[key] = MediaCorpusStatsStage(
+            max_side=max_side, every_ms=every_ms, feature_dim=feature_dim)
+    return s(batch)
+
+
+def media_corpus_stats(media_ds, max_side: int = 96, every_ms: int = 1000,
+                       concurrency=None, batch_size: int = 64,
+                       feature_dim: int = 8):
+    """Payload-scale media-family stats: one dispatch pass (see
+    ``MediaCorpusStatsStage``) + a driver finish over the tiny per-batch
+    partials.  Returns a 3-row pandas DataFrame (kind, n_rows, n_frames,
+    in_bytes, out_bytes, feat0_sum) sorted by kind.
+
+    ``concurrency=None`` (default) runs STATELESS TASKS with a
+    worker-memoized stage — the netpbm decode kernels have zero init
+    cost, and the repo's measured rule applies (actor pools only where
+    __init__ is genuinely expensive): at 48k rows / 8 CPUs the
+    autoscaling pool's ramp + task/actor fusion boundary cost 6.8 s vs
+    4.4 s for tasks on identical output.  Pass a ``(min, max)`` tuple to
+    use the actor-pool path instead — the right call when a REAL decoder
+    (model load, codec context) makes per-actor init expensive; never
+    fix the pool at the full CPU count (a pool reserving every CPU
+    starves the read tasks — measured deadlock)."""
+    import functools
+
+    from ict_log_parser_ray import blocks
+
+    if concurrency is None:
+        partials = media_ds.map_batches(
+            functools.partial(_stats_task, max_side=max_side,
+                              every_ms=every_ms, feature_dim=feature_dim),
+            batch_format="pyarrow", batch_size=batch_size)
+    else:
+        partials = media_ds.map_batches(
+            MediaCorpusStatsStage,
+            fn_constructor_kwargs={"max_side": max_side,
+                                   "every_ms": every_ms,
+                                   "feature_dim": feature_dim},
+            batch_format="pyarrow", batch_size=batch_size,
+            concurrency=concurrency, num_cpus=1)
+    t = blocks.concat_shaped(partials, "n_rows",
+                             empty_schema=MEDIA_STATS_SCHEMA)
+    df = t.to_pandas().groupby("kind", as_index=False).sum()
+    return df.sort_values("kind").reset_index(drop=True)

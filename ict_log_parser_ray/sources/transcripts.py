@@ -84,6 +84,28 @@ def read_table(sf_dir: str, name: str, columns=None):
                            override_num_blocks=_table_num_blocks(path))
 
 
+def read_media(fixture_dir: str, columns=None):
+    """The sharded payload-scale media fixture (``fixtures.
+    ensure_media_fixture``): a DIRECTORY of ~64 MB files, one read task
+    per file — a single-file binary-payload table reads as ONE serial
+    task (+SplitBlocks), a measured 1.9-s floor on 1.5 GB that caps
+    scaling; per-file tasks parallelize the read.
+
+    ``override_num_blocks`` is pinned to the FILE COUNT: without it Ray's
+    ≥200-block default heuristic splits each file ~9 ways (216 tiny
+    blocks for 48k rows), which both pays the per-task floor 216× AND
+    inserts a SplitBlocks op that blocks read→map fusion — measured at
+    2 CPUs the resulting two-operator pipeline halves effective
+    parallelism (each operator holds half the CPU reservation): 20.5 s
+    vs 10.5 s fused for the identical dispatch job."""
+    import os
+
+    path = f"{fixture_dir}/media"
+    nfiles = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    return rd.read_parquet(path, columns=columns,
+                           override_num_blocks=max(1, nfiles))
+
+
 def write_date_partitioned(ds, root: str):
     """Write transcripts hive-partitioned by day: ``root/dt=YYYY_MM_DD/``.
 

@@ -2981,3 +2981,76 @@ def test_contamination_ac_path_matches_kernel_path(ray_session, tmp_path):
             want[int(ids[i])] = h
     assert got == want
     assert want[0] == 3  # self + the two embedded overlapping prefixes
+
+
+def test_media_corpus_stats_one_pass_dispatch(ray_session):
+    """Distributed one-pass kind dispatch == the single-process stage on
+    the whole table (ints exact; the float feature checksum only to
+    summation-order tolerance), including with forced zero-row
+    pass-through blocks (repartition > rows)."""
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.multimodal import (
+        MediaCorpusStatsStage, media_corpus_stats, synth_media_table)
+
+    tbl = synth_media_table(n=96, seed=7, real_images=True)
+    ref = (MediaCorpusStatsStage(max_side=48, every_ms=1000)(tbl)
+           .to_pandas().groupby("kind", as_index=False).sum()
+           .sort_values("kind").reset_index(drop=True))
+
+    # stateless-task default AND the actor-pool path (kept for genuinely
+    # expensive decoders), each with forced zero-row pass-through blocks
+    for conc in (None, (1, 2)):
+        for ds in (rd.from_arrow(tbl),
+                   rd.from_arrow(tbl).repartition(150)):  # zero-row blocks
+            df = media_corpus_stats(ds, max_side=48, every_ms=1000,
+                                    concurrency=conc, batch_size=16)
+            for col in ("n_rows", "n_frames", "in_bytes", "out_bytes"):
+                assert df[col].tolist() == ref[col].tolist()
+            assert np.allclose(df["feat0_sum"], ref["feat0_sum"])
+
+    # semantic spot checks against first principles
+    img_rows = tbl.to_pandas().query("kind == 'image'")
+    assert int(ref.loc[ref["kind"] == "image", "in_bytes"].iloc[0]) == \
+        int(img_rows["payload"].str.len().sum())
+    vid = tbl.to_pandas().query("kind == 'video'")
+    assert int(ref.loc[ref["kind"] == "video", "n_frames"].iloc[0]) == \
+        int((-(-vid["duration_ms"] // 1000)).sum())
+
+    # fully-empty input: empty stats frame, no zero-row crash
+    assert len(media_corpus_stats(rd.from_arrow(tbl.slice(0, 0)),
+                                  concurrency=(1, 2))) == 0
+
+
+def test_media_fixture_deterministic_and_readable(ray_session, tmp_path):
+    """ensure_media_fixture: chunk generation is deterministic and
+    writer-batching-independent; the written file reads back through
+    read_table into the dispatch pipeline with real decodable images."""
+    import os
+
+    from ict_log_parser_ray import fixtures as fx
+    from ict_log_parser_ray.functions.multimodal import (decode_netpbm,
+                                                         media_corpus_stats)
+    from ict_log_parser_ray.sources.transcripts import read_media
+
+    a = fx.generate_media_chunk(600, 0, seed=11)
+    b = fx.generate_media_chunk(600, 0, seed=11)
+    assert a.equals(b)
+    assert not a.equals(fx.generate_media_chunk(600, 0, seed=12))
+
+    d = fx.ensure_media_fixture(600, seed=11, root=str(tmp_path))
+    assert fx.ensure_media_fixture(600, seed=11, root=str(tmp_path)) == d
+    assert len(os.listdir(os.path.join(d, "media"))) == 1 + 600 // 2048
+
+    ds = read_media(d)
+    assert ds.count() == 600
+    df = media_corpus_stats(ds, concurrency=(1, 2), batch_size=64)
+    assert df["n_rows"].sum() == 600
+    assert sorted(df["kind"]) == ["audio", "image", "video"]
+    assert (df["in_bytes"] > 0).all()
+
+    # image payloads are REAL netpbm: decode one and check metadata
+    img = a.filter(pa.compute.equal(a["kind"], "image")).slice(0, 1)
+    arr = decode_netpbm(img["payload"][0].as_py())
+    assert arr.shape == (img["height"][0].as_py(),
+                         img["width"][0].as_py(), 3)
