@@ -204,7 +204,8 @@ def extract_media_features(media_ds, concurrency=(1, 4), batch_size: int = 64,
         concurrency=concurrency, num_cpus=1)
 
 
-def persist_synth_media(path: str, n: int = 48, seed: int = 42) -> str:
+def persist_synth_media(path: str, n: int = 48, seed: int = 42,
+                        real_images: bool = False) -> str:
     """Write the deterministic synthetic media table once (atomic rename) so
     a SQL oracle can read the identical payload bytes by absolute path."""
     import os
@@ -214,7 +215,8 @@ def persist_synth_media(path: str, n: int = 48, seed: int = 42) -> str:
     if not os.path.isfile(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = f"{path}.tmp.{os.getpid()}"
-        pq.write_table(synth_media_table(n=n, seed=seed), tmp)
+        pq.write_table(synth_media_table(n=n, seed=seed,
+                                         real_images=real_images), tmp)
         os.replace(tmp, path)
     return path
 

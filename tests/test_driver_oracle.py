@@ -73,7 +73,7 @@ ORACLE_NAMES = [
     "d_pack", "d_repetition", "d_dedup_best", "d_cross_dedup",
     "d_cross_dedup_lsh", "d_curation_pipeline", "e_gaps",
     "d_ngram_overlap", "d_unit_dedup", "d_simhash_pairs",
-    "d_budget_select", "emb_knn_batch",
+    "d_budget_select", "emb_knn_batch", "media_stats",
 ]
 
 
