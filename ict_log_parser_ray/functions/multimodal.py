@@ -430,6 +430,11 @@ class MediaCorpusStatsStage:
     + a feature checksum) — the canonical partial-combine shape: the
     driver finish sums ~3 rows per batch, payloads never reach a
     shuffle.  __init__ builds the decode kernels ONCE per actor.
+
+    NULL payload cells (fetch failures / stripped rows in a real crawl)
+    are DROPPED, not crashed on — a missing cell is a data condition; a
+    malformed non-null payload still raises loudly at the decode (the
+    SQL twin matches with ``WHERE payload IS NOT NULL``).
     """
 
     def __init__(self, max_side: int = 96, every_ms: int = 1000,
@@ -452,6 +457,11 @@ class MediaCorpusStatsStage:
             out["in_bytes"].append(int(in_bytes))
             out["out_bytes"].append(int(out_bytes))
             out["feat0_sum"].append(float(feat0))
+
+        # null payloads (common in real crawl corpora: fetch failures,
+        # stripped rows) are dropped here, not crashed on — decode bugs
+        # still raise loudly, but a missing CELL is a data condition
+        batch = batch.filter(pc.is_valid(batch["payload"]))
 
         imgs = batch.filter(pc.equal(batch["kind"], "image"))
         if imgs.num_rows:

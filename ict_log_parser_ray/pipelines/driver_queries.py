@@ -1111,6 +1111,7 @@ SELECT kind,
                           ELSE 0 END), 0) AS BIGINT) AS n_frames,
        CAST(SUM(octet_length(payload)) AS BIGINT) AS in_bytes
 FROM read_parquet('{_MEDIA_REAL_ORACLE_PATH}')
+WHERE payload IS NOT NULL  -- matches the engine's null-cell drop contract
 GROUP BY kind
 """
 

@@ -3054,3 +3054,31 @@ def test_media_fixture_deterministic_and_readable(ray_session, tmp_path):
     arr = decode_netpbm(img["payload"][0].as_py())
     assert arr.shape == (img["height"][0].as_py(),
                          img["width"][0].as_py(), 3)
+
+
+def test_media_corpus_stats_null_payloads_dropped(ray_session):
+    """NULL payload cells (fetch failures in a real crawl) are dropped —
+    a missing cell is a data condition, not a decode bug; stats equal
+    the same table with those rows removed, and an all-null batch yields
+    an empty frame rather than a crash."""
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.multimodal import (
+        MEDIA_SCHEMA, media_corpus_stats, synth_media_table)
+
+    tbl = synth_media_table(n=48, seed=3, real_images=True)
+    pay = tbl["payload"].to_pylist()
+    nulled = [p if i % 4 else None for i, p in enumerate(pay)]
+    tbl_n = tbl.set_column(tbl.schema.get_field_index("payload"),
+                           "payload", pa.array(nulled, pa.binary()))
+
+    got = media_corpus_stats(rd.from_arrow(tbl_n), batch_size=16)
+    keep = [i for i in range(48) if i % 4]
+    want = media_corpus_stats(rd.from_arrow(tbl.take(keep)), batch_size=16)
+    for col in ("n_rows", "n_frames", "in_bytes", "out_bytes"):
+        assert got[col].tolist() == want[col].tolist()
+
+    all_null = tbl.set_column(
+        tbl.schema.get_field_index("payload"), "payload",
+        pa.array([None] * 48, pa.binary()))
+    assert len(media_corpus_stats(rd.from_arrow(all_null))) == 0
