@@ -494,6 +494,18 @@ class MediaCorpusStatsStage:
                 f0 += hashlib.sha256(p).digest()[0] / 255.0
             emit("audio", auds.num_rows, 0, in_b, 32 * auds.num_rows, f0)
 
+        # UNKNOWN kinds pass through counted under their own kind value
+        # (n_rows + in_bytes only) — a stats op must never silently drop
+        # rows; at 100 TB a new modality showing up in the corpus should
+        # surface in the output, not vanish
+        rest = batch.filter(pc.invert(pc.is_in(
+            batch["kind"], value_set=pa.array(["image", "audio", "video"]))))
+        if rest.num_rows:
+            for kt in pc.unique(rest["kind"]).to_pylist():
+                sub = rest.filter(pc.equal(rest["kind"], kt))
+                in_b = pc.sum(pc.binary_length(sub["payload"])).as_py()
+                emit(kt, sub.num_rows, 0, in_b, 0, 0.0)
+
         return pa.table(out, schema=MEDIA_STATS_SCHEMA)
 
 

@@ -3082,3 +3082,29 @@ def test_media_corpus_stats_null_payloads_dropped(ray_session):
         tbl.schema.get_field_index("payload"), "payload",
         pa.array([None] * 48, pa.binary()))
     assert len(media_corpus_stats(rd.from_arrow(all_null))) == 0
+
+
+def test_media_corpus_stats_unknown_kinds_counted(ray_session):
+    """Rows with an unknown kind pass through under their own kind value
+    (rows + bytes only) — a stats op must never silently drop rows."""
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.multimodal import (
+        MEDIA_SCHEMA, media_corpus_stats, synth_media_table)
+
+    tbl = synth_media_table(n=30, seed=9, real_images=True)
+    kinds = tbl["kind"].to_pylist()
+    kinds[4] = "pdf"
+    kinds[7] = "pdf"
+    kinds[10] = "pointcloud"
+    tbl = tbl.set_column(tbl.schema.get_field_index("kind"), "kind",
+                         pa.array(kinds, pa.string()))
+    df = media_corpus_stats(rd.from_arrow(tbl), batch_size=8)
+    assert df["n_rows"].sum() == 30
+    row = df[df["kind"] == "pdf"].iloc[0]
+    assert row["n_rows"] == 2 and row["n_frames"] == 0 \
+        and row["out_bytes"] == 0
+    pays = tbl.to_pandas()
+    assert row["in_bytes"] == \
+        int(pays[pays["kind"] == "pdf"]["payload"].str.len().sum())
+    assert df[df["kind"] == "pointcloud"].iloc[0]["n_rows"] == 1
