@@ -434,13 +434,16 @@ def emb_single_run(num_cpus: int, n_vecs: int, n_queries: int,
     ray = _quiet_ray(num_cpus)
     _warmup(num_cpus)
     d = fx.ensure_emb_fixture(n_vecs)
-    with open(os.path.join(d, "embeddings.parquet"), "rb") as f:
-        while f.read(1 << 24):  # warm the page cache, untimed
-            pass
+    shards = sorted(os.listdir(os.path.join(d, "embeddings")))
+    for shard in shards:
+        with open(os.path.join(d, "embeddings", shard), "rb") as f:
+            while f.read(1 << 24):  # warm the page cache, untimed
+                pass
     from ict_log_parser_ray.functions.similarity import knn_batch
     from ict_log_parser_ray.sources.transcripts import read_table
 
-    qt = pq.read_table(os.path.join(d, "embeddings.parquet"),
+    # query matrix = the corpus' first n_queries rows (first shard)
+    qt = pq.read_table(os.path.join(d, "embeddings", shards[0]),
                        columns=["embedding"]).slice(0, n_queries)
     qm = np.asarray(qt["embedding"].combine_chunks().flatten()
                     .to_numpy(zero_copy_only=False)).reshape(n_queries, -1)
@@ -509,6 +512,106 @@ def scaling_emb(cpus=(2, 8), repeats: int = 2, n_vecs: int = 1_000_000,
         f"tput_{hi}cpu": t_hi,
         f"sec_{lo}cpu": best[lo]["seconds"],
         f"sec_{hi}cpu": best[hi]["seconds"],
+        "scaling_efficiency": eff,
+        "observations": {str(n): obs[n] for n in (lo, hi)},
+    }
+
+
+def evt_single_run(num_cpus: int, n_events: int,
+                   json_out: str | None) -> dict:
+    """One fresh-session run of the temporal/events-family workload:
+    gap-based sessionization (>30-min splits) + per-user inter-arrival
+    gap stats over the deterministic ``ensure_events_fixture`` stream —
+    the same ``stages/temporal`` partition machinery the value-checked
+    e_sessions / e_gaps queries call, at a size where compute dominates
+    (the driver testdata caps events at 100k rows)."""
+    from ict_log_parser_ray import fixtures as fx
+
+    ray = _quiet_ray(num_cpus)
+    _warmup(num_cpus)
+    d = fx.ensure_events_fixture(n_events)
+    for shard in sorted(os.listdir(os.path.join(d, "events"))):
+        with open(os.path.join(d, "events", shard), "rb") as f:
+            while f.read(1 << 24):  # warm the page cache, untimed
+                pass
+    from ict_log_parser_ray.sources.transcripts import read_table
+    from ict_log_parser_ray.stages.temporal import (
+        interarrival_partitioned, sessionize_partitioned)
+
+    cols = ["event_id", "user_id", "ts"]
+    t0 = time.time()
+    n_sessions = sessionize_partitioned(
+        read_table(d, "events", columns=cols), key="user_id", ts="ts",
+        idc="event_id", gap_us=1_800_000_000).count()
+    t1 = time.time()
+    n_gap_users = interarrival_partitioned(
+        read_table(d, "events", columns=cols), key="user_id", ts="ts",
+        idc="event_id").count()
+    t2 = time.time()
+    ray.shutdown()
+    result = {
+        "n_events": n_events, "num_cpus": num_cpus,
+        "sec_sessions": round(t1 - t0, 3), "sec_gaps": round(t2 - t1, 3),
+        "seconds": round(t2 - t0, 3),
+        "events_per_sec": round(n_events / (t2 - t0), 1),
+        "n_sessions": int(n_sessions), "n_gap_users": int(n_gap_users),
+    }
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(result, f)
+    return result
+
+
+def scaling_evt(cpus=(2, 8), repeats: int = 2,
+                n_events: int = 50_000_000) -> dict:
+    """Events-family N→4N scaling evidence: the sessionize+gaps workload
+    (see evt_single_run) at two CPU levels on the same cached fixture,
+    interleaved fresh processes, best-of-``repeats``."""
+    from ict_log_parser_ray import fixtures as fx
+
+    fx.ensure_events_fixture(n_events)  # generate once, outside the timing
+    lo, hi = cpus
+    obs = {lo: [], hi: []}
+    best = {}
+    for r in range(repeats):
+        for n in (lo, hi):
+            path = f"/tmp/ict_ray_bench_evtscale_{n}_{r}.json"
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+            subprocess.run(["sync"], check=False)
+            cp = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--evt-single-run", "--num-cpus", str(n),
+                 "--evt-n", str(n_events), "--json-out", path],
+                check=False, env=env, stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            for chunk in (cp.stdout, cp.stderr):
+                if chunk:
+                    sys.stderr.write(chunk.decode(errors="replace"))
+            if cp.returncode != 0:
+                raise subprocess.CalledProcessError(cp.returncode, cp.args)
+            out = json.load(open(path))
+            obs[n].append(out["events_per_sec"])
+            if n not in best or out["events_per_sec"] > best[n]["events_per_sec"]:
+                best[n] = out
+    t_lo, t_hi = best[lo]["events_per_sec"], best[hi]["events_per_sec"]
+    eff = round((t_hi / t_lo) / (hi / lo), 4)
+    return {
+        "metric": f"events-family scaling efficiency ({lo}→{hi} CPUs, "
+                  f"sessionize+gaps over {n_events} events, fresh "
+                  f"sessions, best of {repeats})",
+        "value": eff,
+        "unit": "efficiency",
+        "queries": {},
+        "sf": n_events,
+        "num_cpus": hi,
+        f"tput_{lo}cpu": t_lo,
+        f"tput_{hi}cpu": t_hi,
+        f"sec_{lo}cpu": best[lo]["seconds"],
+        f"sec_{hi}cpu": best[hi]["seconds"],
+        "sec_sessions": {str(n): best[n]["sec_sessions"] for n in (lo, hi)},
+        "sec_gaps": {str(n): best[n]["sec_gaps"] for n in (lo, hi)},
+        "n_sessions": best[hi]["n_sessions"],
         "scaling_efficiency": eff,
         "observations": {str(n): obs[n] for n in (lo, hi)},
     }
@@ -707,6 +810,12 @@ def main():
     ap.add_argument("--emb-single-run", action="store_true")
     ap.add_argument("--emb-n", type=int, default=1_000_000)
     ap.add_argument("--emb-q", type=int, default=1024)
+    ap.add_argument("--evt-scaling", action="store_true",
+                    help="2→8 CPU scaling of the temporal/events-family "
+                         "workload (sessionization + inter-arrival gaps) "
+                         "over the synthetic events fixture")
+    ap.add_argument("--evt-single-run", action="store_true")
+    ap.add_argument("--evt-n", type=int, default=50_000_000)
     ap.add_argument("--media-scaling", action="store_true",
                     help="2→8 CPU scaling of the media-family workload "
                          "(one-pass kind dispatch: real netpbm decode/"
@@ -730,6 +839,10 @@ def main():
                                 args.json_out)
     elif args.emb_scaling:
         result = scaling_emb(n_vecs=args.emb_n, n_queries=args.emb_q)
+    elif args.evt_single_run:
+        result = evt_single_run(args.num_cpus, args.evt_n, args.json_out)
+    elif args.evt_scaling:
+        result = scaling_evt(n_events=args.evt_n)
     elif args.media_single_run:
         result = media_single_run(args.num_cpus, args.media_n,
                                   args.json_out)

@@ -457,7 +457,7 @@ def ensure_doc_fixture(n_docs: int, seed: int = DEFAULT_SEED,
 
 EMB_DIM = 64
 EMB_CLUSTERS = 10
-EMB_FIXTURE_VERSION = 3  # 2 collided with the pre-planting _v4.2 dir name
+EMB_FIXTURE_VERSION = 4  # v3: planted near-dups; v4: sharded embeddings/ dir (serial-read trap)
 EMB_NEAR_DUP_EVERY = 17  # vec i (i%17==1) = near-copy of vec i-1
 
 
@@ -496,17 +496,23 @@ def generate_embeddings_table(n_vecs: int, seed: int = DEFAULT_SEED) -> pa.Table
 
 def ensure_emb_fixture(n_vecs: int, seed: int = DEFAULT_SEED,
                        root: str = DEFAULT_ROOT) -> str:
-    """Idempotently materialize ``embeddings.parquet`` for ``n_vecs``
-    vectors (small row groups so the parquet reader can split; marker-
-    last)."""
+    """Idempotently materialize a SHARDED ``embeddings/`` directory for
+    ``n_vecs`` vectors — ~131k-row part files (≈67 MB at 64-d float64),
+    because Ray reads a single parquet file as ONE serial task regardless
+    of row groups (the events/media serial-read trap; ``read_table``
+    resolves the directory layout).  Marker-last."""
     d = os.path.join(root, f"embs_n{n_vecs}_seed{seed}"
                            f"_v{FIXTURE_VERSION}.{EMB_FIXTURE_VERSION}")
     if os.path.exists(os.path.join(d, "_DONE.json")):
         return d
-    os.makedirs(d, exist_ok=True)
-    pq.write_table(generate_embeddings_table(n_vecs, seed),
-                   os.path.join(d, "embeddings.parquet"),
-                   row_group_size=16_384)
+    os.makedirs(os.path.join(d, "embeddings"), exist_ok=True)
+    tbl = generate_embeddings_table(n_vecs, seed)
+    shard_rows = 131_072
+    for i, off in enumerate(range(0, max(n_vecs, 1), shard_rows)):
+        pq.write_table(tbl.slice(off, shard_rows),
+                       os.path.join(d, "embeddings",
+                                    f"part-{i:05d}.parquet"),
+                       row_group_size=16_384)
     marker = os.path.join(d, "_DONE.json")
     tmp = marker + ".tmp"
     with open(tmp, "w") as f:
@@ -516,7 +522,7 @@ def ensure_emb_fixture(n_vecs: int, seed: int = DEFAULT_SEED,
     return d
 
 
-EVT_FIXTURE_VERSION = 1
+EVT_FIXTURE_VERSION = 2  # v2: sharded events/ dir (single-file serial-read trap)
 EVT_TYPES = ["view", "click", "purchase", "signup", "error"]
 
 
@@ -551,16 +557,25 @@ def generate_events_table(n_events: int, seed: int = DEFAULT_SEED) -> pa.Table:
 
 def ensure_events_fixture(n_events: int, seed: int = DEFAULT_SEED,
                           root: str = DEFAULT_ROOT) -> str:
-    """Idempotently materialize ``events.parquet`` for ``n_events`` rows
-    (own version counter — the emb v4.2 collision lesson)."""
+    """Idempotently materialize a SHARDED ``events/`` directory for
+    ``n_events`` rows — ~2M-row part files (≈48 MB), because Ray reads a
+    single parquet file as ONE serial task regardless of row groups (a
+    measured 3.8-s floor on the 1.2 GB 50M-row table that capped 2→8
+    scaling at ~0.5; ``read_table`` resolves the directory layout).
+    Slicing the globally-ts-sorted table preserves order — each shard
+    covers a contiguous time range.  Own version counter (the emb v4.2
+    collision lesson)."""
     d = os.path.join(root, f"evts_n{n_events}_seed{seed}"
                            f"_v{FIXTURE_VERSION}.{EVT_FIXTURE_VERSION}")
     if os.path.exists(os.path.join(d, "_DONE.json")):
         return d
-    os.makedirs(d, exist_ok=True)
-    pq.write_table(generate_events_table(n_events, seed),
-                   os.path.join(d, "events.parquet"),
-                   row_group_size=65_536)
+    os.makedirs(os.path.join(d, "events"), exist_ok=True)
+    tbl = generate_events_table(n_events, seed)
+    shard_rows = 2_000_000
+    for i, off in enumerate(range(0, max(n_events, 1), shard_rows)):
+        pq.write_table(tbl.slice(off, shard_rows),
+                       os.path.join(d, "events", f"part-{i:05d}.parquet"),
+                       row_group_size=65_536)
     marker = os.path.join(d, "_DONE.json")
     tmp = marker + ".tmp"
     with open(tmp, "w") as f:

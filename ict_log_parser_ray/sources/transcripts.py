@@ -78,8 +78,22 @@ def _table_num_blocks(path: str) -> int:
 
 
 def read_table(sf_dir: str, name: str, columns=None):
-    """One of the driver's TPC-H-ish tables."""
+    """One of the driver's TPC-H-ish tables — a single ``name.parquet``
+    file, or a sharded ``name/`` DIRECTORY of part files (the probe
+    fixtures' layout for >GB tables: Ray reads a single parquet file as
+    ONE serial task regardless of row groups — a measured 3.8-s floor on
+    a 1.2 GB events table that capped 2→8 scaling at ~0.5 — while a
+    directory gets one read task per file; see read_media)."""
+    import os
+
     path = f"{sf_dir}/{name}.parquet"
+    if not os.path.exists(path):
+        dpath = f"{sf_dir}/{name}"
+        if os.path.isdir(dpath):
+            nfiles = sum(1 for f in os.listdir(dpath)
+                         if f.endswith(".parquet"))
+            return rd.read_parquet(dpath, columns=columns,
+                                   override_num_blocks=max(1, nfiles))
     return rd.read_parquet(path, columns=columns,
                            override_num_blocks=_table_num_blocks(path))
 

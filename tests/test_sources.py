@@ -94,3 +94,22 @@ def test_empty_window_keeps_schema_types(partitioned):
     schema = ds.schema()
     idx = schema.names.index("ts")
     assert pa.types.is_timestamp(schema.types[idx])
+
+
+def test_read_table_sharded_directory_layout(ray_session, tmp_path):
+    """read_table resolves a sharded ``name/`` directory (the probe
+    fixtures' layout — a single >GB parquet file reads as ONE serial
+    task) with one read task per file, same rows."""
+    import os
+
+    from ict_log_parser_ray import fixtures as fx
+    from ict_log_parser_ray.sources.transcripts import read_table
+
+    d = fx.ensure_events_fixture(5_000, root=str(tmp_path))
+    assert not os.path.exists(os.path.join(d, "events.parquet"))
+    ds = read_table(d, "events", columns=["event_id", "user_id"])
+    assert ds.count() == 5_000
+
+    de = fx.ensure_emb_fixture(3_000, root=str(tmp_path))
+    dse = read_table(de, "embeddings", columns=["vec_id"])
+    assert dse.count() == 3_000
