@@ -626,8 +626,6 @@ def media_single_run(num_cpus: int, n_media: int,
     ``ensure_media_fixture`` corpus (~31 KB mean payload, ~1.5 GB at the
     canonical 48k rows) — the actor-pool plumbing probed at payload
     scale rather than the 64-row test table."""
-    import pyarrow.compute as pc
-
     from ict_log_parser_ray import fixtures as fx
 
     ray = _quiet_ray(num_cpus)

@@ -725,7 +725,7 @@ def ensure_media_fixture(n_media: int, seed: int = DEFAULT_SEED,
                          root: str = DEFAULT_ROOT) -> str:
     """Idempotently materialize a SHARDED ``media/`` directory for
     ``n_media`` rows (~31 KB mean payload ⇒ ~1.5 GB at 48k rows): one
-    ~64 MB file per 2048-row generation chunk, because Ray's parquet
+    ~32 MB file per MEDIA_CHUNK-row (1024) generation chunk, because Ray's parquet
     reader makes read tasks per FILE — the v1 single-file layout read
     1.5 GB as ONE serial task (+SplitBlocks), a measured 1.9-s serial
     floor that capped 2→8 scaling at 0.42.  Small row groups (256 rows)

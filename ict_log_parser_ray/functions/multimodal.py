@@ -498,13 +498,24 @@ class MediaCorpusStatsStage:
         # (n_rows + in_bytes only) — a stats op must never silently drop
         # rows; at 100 TB a new modality showing up in the corpus should
         # surface in the output, not vanish
-        rest = batch.filter(pc.invert(pc.is_in(
-            batch["kind"], value_set=pa.array(["image", "audio", "video"]))))
+        # NULL kind must route here too: pc.is_in yields null (falsy
+        # under filter) for null inputs, so invert alone would DROP the
+        # row — coalesce the membership mask's nulls to false first,
+        # then count null kinds under the "<null>" sentinel (pc.equal
+        # against None is an all-null mask, so nulls need is_null).
+        known = pc.fill_null(pc.is_in(
+            batch["kind"], value_set=pa.array(["image", "audio", "video"])),
+            False)
+        rest = batch.filter(pc.invert(known))
         if rest.num_rows:
             for kt in pc.unique(rest["kind"]).to_pylist():
-                sub = rest.filter(pc.equal(rest["kind"], kt))
+                if kt is None:
+                    sub = rest.filter(pc.is_null(rest["kind"]))
+                    kt = "<null>"
+                else:
+                    sub = rest.filter(pc.equal(rest["kind"], kt))
                 in_b = pc.sum(pc.binary_length(sub["payload"])).as_py()
-                emit(kt, sub.num_rows, 0, in_b, 0, 0.0)
+                emit(kt, sub.num_rows, 0, in_b or 0, 0, 0.0)
 
         return pa.table(out, schema=MEDIA_STATS_SCHEMA)
 

@@ -3040,7 +3040,7 @@ def test_media_fixture_deterministic_and_readable(ray_session, tmp_path):
 
     d = fx.ensure_media_fixture(600, seed=11, root=str(tmp_path))
     assert fx.ensure_media_fixture(600, seed=11, root=str(tmp_path)) == d
-    assert len(os.listdir(os.path.join(d, "media"))) == 1 + 600 // 2048
+    assert len(os.listdir(os.path.join(d, "media"))) == -(-600 // fx.MEDIA_CHUNK)
 
     ds = read_media(d)
     assert ds.count() == 600
@@ -3097,6 +3097,8 @@ def test_media_corpus_stats_unknown_kinds_counted(ray_session):
     kinds[4] = "pdf"
     kinds[7] = "pdf"
     kinds[10] = "pointcloud"
+    kinds[13] = None  # null kind with a NON-null payload: must count
+    kinds[16] = None  # under the "<null>" sentinel, never crash/drop
     tbl = tbl.set_column(tbl.schema.get_field_index("kind"), "kind",
                          pa.array(kinds, pa.string()))
     df = media_corpus_stats(rd.from_arrow(tbl), batch_size=8)
@@ -3108,3 +3110,7 @@ def test_media_corpus_stats_unknown_kinds_counted(ray_session):
     assert row["in_bytes"] == \
         int(pays[pays["kind"] == "pdf"]["payload"].str.len().sum())
     assert df[df["kind"] == "pointcloud"].iloc[0]["n_rows"] == 1
+    nrow = df[df["kind"] == "<null>"].iloc[0]
+    assert nrow["n_rows"] == 2 and nrow["out_bytes"] == 0
+    assert nrow["in_bytes"] == \
+        int(pays[pays["kind"].isna()]["payload"].str.len().sum())
