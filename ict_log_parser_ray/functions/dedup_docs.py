@@ -7,7 +7,7 @@
   shipped the full text once per band (16×), the single worst scale defect
   in the repo per VERDICT.md; texts are now attached once per *candidate
   pair* via the broadcast/hash-join lookup.
-- SimHash near-dup: 64-bit simhash (vectorized per batch), banded candidates
+- SimHash near-dup: 64/128-bit simhash (vectorized per batch), banded candidates
 - n-gram Jaccard verification kernel
 
 All signature computation is vectorized numpy inside actor-pool
@@ -1473,29 +1473,49 @@ def _decode_cross_pairs(pairs):
 
 
 class SimHasher:
-    """Actor: 64-bit simhash over word features, vectorized per batch.
+    """Actor: 64- or 128-bit simhash over word features, vectorized per
+    batch.
 
     ``word_hash``: "pandas" (default — C-backed pandas row hash, fastest)
     or "fnv" (FNV-1a over unicode CODEPOINTS, vectorized over char
     columns).  The fnv fold is reproduced bit-exactly by the
     d_simhash_pairs SQL oracle's recursive CTE, which is what makes the
-    simhash pair set externally value-checkable."""
+    simhash pair set externally value-checkable.
 
-    def __init__(self, seed: int = 42, word_hash: str = "pandas"):
+    ``nbits=128`` (the corpus-scale width — see
+    ``simhash_candidate_pairs``) emits a second independent 64-bit half
+    in ``simhash_hi``, derived from a second word hash: a different
+    16-byte ``hash_key`` for "pandas", a different FNV offset basis for
+    "fnv".  Both halves share the one split/str pass — widening costs
+    only the second per-bit bincount loop."""
+
+    # second-hash constants: pandas hash_key must be exactly 16 bytes;
+    # the FNV alternate basis is the standard basis XOR a fixed salt
+    _HI_HASH_KEY = "ict_simhash_hi__"
+    _HI_FNV_BASIS = 0xCBF29CE484222325 ^ 0x9E3779B97F4A7C15
+
+    def __init__(self, seed: int = 42, word_hash: str = "pandas",
+                 nbits: int = 64):
+        assert nbits in (64, 128)
         self.seed = seed
         self.word_hash = word_hash
+        self.nbits = nbits
         self._shifts = np.arange(64, dtype=np.uint64)
 
-    def _hash_words(self, words: pd.Series) -> np.ndarray:
+    def _hash_words(self, words: pd.Series, half: int = 0) -> np.ndarray:
         if self.word_hash == "fnv":
-            return self._fnv1a_words(words)
+            basis = 0xCBF29CE484222325 if half == 0 else self._HI_FNV_BASIS
+            return self._fnv1a_words(words, basis=basis)
         # C-backed (pandas row hash), not a Python per-character loop
         from pandas.util import hash_pandas_object
 
-        return hash_pandas_object(words, index=False).to_numpy()
+        key = None if half == 0 else self._HI_HASH_KEY
+        return hash_pandas_object(words, index=False,
+                                  hash_key=key).to_numpy()
 
     @staticmethod
-    def _fnv1a_words(words: pd.Series) -> np.ndarray:
+    def _fnv1a_words(words: pd.Series,
+                     basis: int = 0xCBF29CE484222325) -> np.ndarray:
         """FNV-1a folded over unicode codepoints, one vectorized pass per
         CHAR COLUMN (words are short; padding zeros mark end-of-word, and
         codepoint 0 never occurs in real text).  uint64 arithmetic wraps
@@ -1506,7 +1526,7 @@ class SimHasher:
         width = arr.dtype.itemsize // 4
         cp = np.ascontiguousarray(arr).view(np.uint32).reshape(
             arr.size, width)
-        h = np.full(arr.size, np.uint64(0xCBF29CE484222325))
+        h = np.full(arr.size, np.uint64(basis))
         prime = np.uint64(0x100000001B3)
         for j in range(width):
             col = cp[:, j].astype(np.uint64)
@@ -1516,7 +1536,23 @@ class SimHasher:
             h[alive] = (h[alive] ^ col[alive]) * prime
         return h
 
-    def _simhash_batch(self, texts: pd.Series) -> np.ndarray:
+    @staticmethod
+    def _vote_pack(row_idx: np.ndarray, lens: np.ndarray, n: int,
+                   hv: np.ndarray) -> np.ndarray:
+        """(word hashes, doc row index) → (n,) packed uint64 simhash.
+        Per-bit bincount: never materializes the (W, 64) bit matrix
+        (512 MB at 1M words) that np.add.at scatter needed."""
+        shifts = np.arange(64, dtype=np.uint64)
+        pos = np.empty((n, 64), np.int64)
+        for j in range(64):
+            bit = ((hv >> np.uint64(j)) & np.uint64(1)).astype(np.float64)
+            pos[:, j] = np.bincount(row_idx, weights=bit,
+                                    minlength=n).astype(np.int64)
+        v = 2 * pos - lens[:, None]                # (+1/-1 vote sums)
+        return ((v > 0).astype(np.uint64)
+                << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+
+    def _simhash_batch(self, texts: pd.Series, half: int = 0) -> np.ndarray:
         sw = texts.fillna("").str.lower().str.split()
         lens = sw.str.len().to_numpy(dtype=np.int64)
         n = len(sw)
@@ -1525,37 +1561,44 @@ class SimHasher:
         row_idx = np.repeat(np.arange(n), lens)
         words = pd.Series(np.concatenate([np.asarray(w, dtype=object)
                                           for w in sw if len(w)]))
-        hv = self._hash_words(words)
-        # per-bit bincount: never materializes the (W, 64) bit matrix
-        # (512 MB at 1M words) that np.add.at scatter needed
-        pos = np.empty((n, 64), np.int64)
-        for j in range(64):
-            bit = ((hv >> np.uint64(j)) & np.uint64(1)).astype(np.float64)
-            pos[:, j] = np.bincount(row_idx, weights=bit,
-                                    minlength=n).astype(np.int64)
-        v = 2 * pos - lens[:, None]                # (+1/-1 vote sums)
-        out = ((v > 0).astype(np.uint64)
-               << self._shifts[None, :]).sum(axis=1, dtype=np.uint64)
-        return out
+        hv = self._hash_words(words, half=half)
+        return self._vote_pack(row_idx, lens, n, hv)
 
     def simhash(self, text: str) -> int:
         return int(self._simhash_batch(pd.Series([text]))[0])
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        sh = self._simhash_batch(df["text"])
-        df["simhash"] = (sh & np.uint64(0x7FFF_FFFF_FFFF_FFFF)) \
+        sw = df["text"].fillna("").str.lower().str.split()
+        lens = sw.str.len().to_numpy(dtype=np.int64)
+        n = len(sw)
+        halves = 2 if self.nbits == 128 else 1
+        if lens.sum() == 0:
+            packed = [np.zeros(n, np.uint64)] * halves
+        else:
+            row_idx = np.repeat(np.arange(n), lens)
+            words = pd.Series(np.concatenate(
+                [np.asarray(w, dtype=object) for w in sw if len(w)]))
+            packed = [self._vote_pack(row_idx, lens, n,
+                                      self._hash_words(words, half=h))
+                      for h in range(halves)]
+        df["simhash"] = (packed[0] & np.uint64(0x7FFF_FFFF_FFFF_FFFF)) \
             .astype(np.int64)
+        if self.nbits == 128:
+            df["simhash_hi"] = (packed[1]
+                                & np.uint64(0x7FFF_FFFF_FFFF_FFFF)) \
+                .astype(np.int64)
         return df
 
 
-def simhash_documents(docs_ds, concurrency=None, word_hash: str = "pandas"):
+def simhash_documents(docs_ds, concurrency=None, word_hash: str = "pandas",
+                      nbits: int = 64):
     # stateless tasks: SimHasher's only "state" is a 64-element shift
     # vector — an actor pool here pays process spawns for nothing (the
     # MinHasher, whose __init__ builds real signature matrices, stays a
     # pool).  ``concurrency`` kept for API compat; tasks autoscale.
     def _sim(df: pd.DataFrame) -> pd.DataFrame:
-        return SimHasher(word_hash=word_hash)(df)
+        return SimHasher(word_hash=word_hash, nbits=nbits)(df)
 
     return docs_ds.map_batches(_sim, batch_format="pandas")
 
@@ -1563,10 +1606,19 @@ def simhash_documents(docs_ds, concurrency=None, word_hash: str = "pandas"):
 def simhash_candidate_pairs(docs_ds, max_hamming: int = 3,
                             concurrency=(1, 8), cap: int = 50,
                             collect_threshold: int = 5_000_000,
-                            word_hash: str = "pandas"):
-    """Banded simhash near-dup candidates: 4 bands × 16 bits; docs sharing a
-    band value are candidates; verified by hamming distance.  The band
-    shuffle carries (band_key, doc_id, simhash) — 24 B/row, no text.
+                            word_hash: str = "pandas", nbits: int = 64):
+    """Banded simhash near-dup candidates: 4 bands × (nbits/4) bits; docs
+    sharing a band value are candidates; verified by hamming distance.
+    The band shuffle carries (band_key, doc_id, simhash[, simhash_hi]) —
+    24-32 B/row, no text.
+
+    ``nbits``: 64 (default — SQL-oracle-reproducible, the fixture-scale
+    setting) or 128 (the CORPUS-scale width).  Random band collisions go
+    as n²·bands/2^band_bits, so 16-bit bands saturate at O(n²/65536)
+    candidates past ~2^16 docs regardless of similarity; 32-bit bands
+    move that knee to ~2^32 docs.  At ≥100k docs use nbits=128 — at 10M
+    docs the 64-bit banding would emit ~6e9 random-collision candidates
+    vs ~0.05·n for 128 (measured in BASELINE.md).
 
     Bucket pair generation uses the same hash-partitioned pair-task shape
     as minhash (VERDICT r2: the previous ``groupby(band_key).map_groups``
@@ -1577,29 +1629,48 @@ def simhash_candidate_pairs(docs_ds, max_hamming: int = 3,
 
     EXACTNESS: with ``max_hamming <= 3`` and no bucket past ``cap``, the
     output equals the exact all-pairs hamming<=max_hamming set on ANY
-    data — by pigeonhole, <=3 differing bits cannot touch all 4 16-bit
-    bands, so every qualifying pair shares at least one band bucket, and
-    the inline verify is exact.  d_simhash_pairs exploits this with
-    word_hash="fnv" (SQL-reproducible) and an effectively-unbounded cap."""
+    data — by pigeonhole, <=3 differing bits cannot touch all 4 bands
+    (16-bit or 32-bit alike), so every qualifying pair shares at least
+    one band bucket, and the inline verify is exact.  d_simhash_pairs
+    exploits this with word_hash="fnv" (SQL-reproducible) and an
+    effectively-unbounded cap.  NOTE the hamming VALUES differ between
+    widths (128 bits sample twice as many hash bits), so the qualifying
+    pair sets are width-specific; each width is exact for itself."""
     import ray
     import ray.data as rd
 
     from ..stages.bloom import _M1, _mix
 
+    assert nbits in (64, 128)
     hashed = simhash_documents(docs_ds, concurrency=concurrency,
-                               word_hash=word_hash)
+                               word_hash=word_hash, nbits=nbits)
+    band_bits = np.uint64(nbits // 4)
+    band_mask = np.uint64((1 << int(band_bits)) - 1)
+    wide = nbits == 128
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         sh = df["simhash"].to_numpy(np.uint64)
-        bands = np.arange(4, dtype=np.uint64)
-        band_vals = (sh[:, None] >> (np.uint64(16) * bands[None, :])) \
-            & np.uint64(0xFFFF)
-        keys = ((bands[None, :] << np.uint64(56)) | band_vals).view(np.int64)
-        return pd.DataFrame({
+        if wide:
+            hi = df["simhash_hi"].to_numpy(np.uint64)
+            # bands 0,1 from the low half, 2,3 from the high half
+            halves = np.stack([sh, sh, hi, hi], axis=1)   # (n, 4)
+            shifts = np.array([0, 32, 0, 32], np.uint64)
+            band_vals = (halves >> shifts[None, :]) & band_mask
+        else:
+            bands4 = np.arange(4, dtype=np.uint64)
+            band_vals = (sh[:, None] >> (band_bits * bands4[None, :])) \
+                & band_mask
+        band_id = np.arange(4, dtype=np.uint64)
+        keys = ((band_id[None, :] << np.uint64(56)) | band_vals) \
+            .view(np.int64)
+        out = {
             "band_key": keys.reshape(-1),
             "doc_id": np.repeat(df["doc_id"].to_numpy(), 4),
             "simhash": np.repeat(df["simhash"].to_numpy(), 4),
-        })
+        }
+        if wide:
+            out["simhash_hi"] = np.repeat(df["simhash_hi"].to_numpy(), 4)
+        return pd.DataFrame(out)
 
     exploded = _only_colliding_buckets(
         hashed.map_batches(explode, batch_format="pandas"), "band_key")
@@ -1630,10 +1701,19 @@ def simhash_candidate_pairs(docs_ds, max_hamming: int = 3,
         df = pa.concat_tables(subs).to_pandas()
         out = {"doc_a": [], "doc_b": [], "hamming": []}
         for bk, g in df.groupby("band_key", sort=False):
-            hs = dict(zip(g["doc_id"], g["simhash"]))
+            if wide:
+                hs = dict(zip(g["doc_id"],
+                              zip(g["simhash"], g["simhash_hi"])))
+            else:
+                hs = dict(zip(g["doc_id"], g["simhash"]))
             for a, b in _bucket_pairs(g["doc_id"].tolist(), cap,
                                       "simhash", bk):
-                d = bin(int(hs[a]) ^ int(hs[b])).count("1")
+                if wide:
+                    (la, ha), (lb, hb) = hs[a], hs[b]
+                    d = bin(int(la) ^ int(lb)).count("1") \
+                        + bin(int(ha) ^ int(hb)).count("1")
+                else:
+                    d = bin(int(hs[a]) ^ int(hs[b])).count("1")
                 if d <= max_hamming:
                     out["doc_a"].append(a)
                     out["doc_b"].append(b)
