@@ -658,13 +658,40 @@ def _minhash_attach_verify(cands, texts, small: bool, k: int,
 
 _MINHASH_INDEX_VERSION = 1
 
+# auto-sizing target: ~256 KB of (band_key, doc_id) rows per bucket
+# partition.  Probe reads are ∝ TOUCHED buckets, and a micro-batch of B
+# docs touches ≈ nbuckets·(1-e^(-16B/nbuckets)) of them — so buckets
+# must outnumber the batch's band keys for pruning to bite (a 10k-doc
+# batch's 160k keys touch every bucket at ANY practical nbuckets; the
+# probe-side band-key read filter is what bounds THAT regime).
+_BUCKET_TARGET_BYTES = 262_144
+_INDEX_ROW_BYTES = 16
+
+
+def _auto_nbuckets(n_docs: int, bands: int) -> int:
+    """Corpus-proportional bucket count (VERDICT r4 item 2): index bytes
+    / target bucket bytes, rounded to a power of two, clamped to
+    [64, 65536] — 1M docs × 16 bands → 1024 buckets of ~256 KB; past
+    256M docs the 64 Ki cap holds bucket count filesystem-sane and
+    buckets grow instead (4 MB at 1e9 docs — still one small read task
+    each)."""
+    raw = max(1, (n_docs * bands * _INDEX_ROW_BYTES)
+              // _BUCKET_TARGET_BYTES)
+    return int(min(65536, max(64, 1 << int(raw - 1).bit_length())))
+
 
 def write_minhash_index(docs_ds, index_dir: str, num_perm: int = 64,
                         bands: int = 16, k: int = 5, seed: int = 42,
-                        nbuckets: int = 64) -> None:
+                        nbuckets: int | None = None) -> None:
     """Persist the corpus side of the incremental near-dup join:
     the payload-free ``(band_key, doc_id)`` explosion hive-partitioned
     by ``bucket = hash(band_key) % nbuckets``.
+
+    ``nbuckets=None`` (default) auto-sizes from the corpus row count
+    (``_auto_nbuckets``: ~256 KB/bucket, power of two, 64..65536) — the
+    count is parquet-footer metadata for read_parquet inputs; pass an
+    explicit nbuckets when docs_ds is a transformed lineage whose
+    count() would execute a full pass.
 
     The incremental-crawl steady state computes corpus signatures ONCE;
     each new batch then explodes only ITS OWN signatures and reads only
@@ -681,6 +708,9 @@ def write_minhash_index(docs_ds, index_dir: str, num_perm: int = 64,
     import ray.data as rd  # noqa: F401  (documented dependency)
 
     from ..stages.bloom import _M1, _mix
+
+    if nbuckets is None:
+        nbuckets = _auto_nbuckets(docs_ds.count(), bands)
 
     def _explode(df: pd.DataFrame) -> pd.DataFrame:
         out = MinHasher(num_perm=num_perm, bands=bands, k=k, seed=seed)(df)
@@ -824,7 +854,8 @@ def touched_bucket_dirs(index_dir: str, band_keys: np.ndarray,
 def minhash_cross_pairs_indexed(new_ds, index_dir: str, corpus_texts_ds,
                                 threshold: float = 0.7, cap: int = 50,
                                 broadcast_threshold: int = 2_000_000,
-                                collect_threshold: int = 5_000_000):
+                                collect_threshold: int = 5_000_000,
+                                keyfilter_max: int = 5_000_000):
     """Incremental near-dup probe against a persisted band index →
     Dataset (left_doc=new, right_doc=corpus, jaccard).
 
@@ -834,7 +865,13 @@ def minhash_cross_pairs_indexed(new_ds, index_dir: str, corpus_texts_ds,
     no corpus signature recompute, no scan of unhit buckets.
     ``corpus_texts_ds`` supplies (doc_id, text) for the exact-Jaccard
     verify of the surviving candidates (text is fetched per candidate
-    pair, never shuffled with the bands)."""
+    pair, never shuffled with the bands).
+
+    Index rows read from the touched buckets are further SEMI-JOINED
+    against the batch's distinct band keys at scan time (exactness-
+    preserving — corpus×corpus pairs are cross-masked anyway), so the
+    downstream union/collide work is bounded by collisions rather than
+    touched-bucket bytes; ``keyfilter_max`` gates the key broadcast."""
     import glob
     import json
     import os
@@ -872,26 +909,30 @@ def minhash_cross_pairs_indexed(new_ds, index_dir: str, corpus_texts_ds,
                 .materialize())
 
     # touched buckets via per-block distinct-bucket tasks: the driver
-    # sees only bucket ids (≤ nbuckets ints per block), never the
-    # O(batch × bands) band-key stream itself
+    # sees only bucket ids (≤ nbuckets ints per block) plus the batch's
+    # DISTINCT band keys (≤ batch × bands int64s — a 10k-doc batch is
+    # 160k keys / 1.3 MB; past the gate below the keys stay distributed)
     nbuckets = p["nbuckets"]
 
     @ray.remote
-    def _touched(t) -> np.ndarray:
+    def _touched(t):
         if not isinstance(t, pa.Table) or \
                 "band_key" not in t.schema.names or t.num_rows == 0:
-            return np.empty(0, np.int64)
+            return np.empty(0, np.int64), np.empty(0, np.int64)
         bk = t["band_key"]
         if isinstance(bk, pa.ChunkedArray):
             bk = bk.combine_chunks()
-        return np.unique(
-            _mix(bk.to_numpy(zero_copy_only=False).astype(np.uint64), _M1)
-            % np.uint64(nbuckets)).astype(np.int64)
+        keys = np.unique(bk.to_numpy(zero_copy_only=False)
+                         .astype(np.int64))
+        return (np.unique(_mix(keys.astype(np.uint64), _M1)
+                          % np.uint64(nbuckets)).astype(np.int64), keys)
 
     from ..blocks import arrow_refs
     parts = ray.get([_touched.remote(r) for r in arrow_refs(new_rows)])
-    buckets = (np.unique(np.concatenate(parts)) if parts
+    buckets = (np.unique(np.concatenate([b for b, _ in parts])) if parts
                else np.empty(0, np.int64))
+    probe_keys = (np.unique(np.concatenate([k for _, k in parts]))
+                  if parts else np.empty(0, np.int64))
     dirs = [d for d in
             (os.path.join(index_dir, f"bucket={b}") for b in buckets)
             if os.path.isdir(d)]
@@ -902,6 +943,32 @@ def minhash_cross_pairs_indexed(new_ds, index_dir: str, corpus_texts_ds,
         if files else rd.from_arrow(pa.schema(
             [("band_key", pa.int64()), ("doc_id", pa.int64())])
             .empty_table())
+
+    # Probe-key SEMI-JOIN at the read: an index row whose band_key no
+    # probe key shares can only form corpus×corpus pairs, which the
+    # cross_sign_only mask drops anyway — so filtering them here is
+    # exactness-preserving and bounds the downstream union/collide work
+    # by COLLISIONS, not by touched-bucket rows (at a 1M-doc corpus the
+    # 64-bucket probe otherwise unions all 16M index rows).  Memoized
+    # khash probe per worker (pc.is_in rebuilds its table per call).
+    # Gated: a probe batch past ``keyfilter_max`` distinct keys (~40 MB
+    # broadcast at the 5M default) skips the filter and relies on
+    # _only_colliding_buckets alone (tests force that path with 0).
+    if 0 < probe_keys.size <= keyfilter_max and files:
+        pk_ref = ray.put(pa.array(probe_keys, pa.int64()))
+
+        def _probe_hit(t: pa.Table) -> pa.Table:
+            from ..stages.join import isin_mask_memo
+
+            if t.num_rows == 0 or "band_key" not in t.schema.names:
+                return t
+            bk = t["band_key"]
+            if isinstance(bk, pa.ChunkedArray):
+                bk = bk.combine_chunks()
+            return t.filter(isin_mask_memo(bk, pk_ref))
+
+        idx_rows = idx_rows.map_batches(_probe_hit, batch_format="pyarrow",
+                                        zero_copy_batch=True)
 
     exploded = _only_colliding_buckets(new_rows.union(idx_rows),
                                        "band_key")

@@ -321,6 +321,49 @@ def test_minhash_index_probe_matches_direct(ray_session, tmp_path):
     assert 0 < len(dirs) <= 16 < total
 
 
+def test_minhash_index_auto_nbuckets_and_keyfilter(ray_session, tmp_path):
+    """VERDICT r4 item 2: (a) nbuckets=None auto-sizes corpus-
+    proportionally (~256 KB/bucket, power of two, 64..65536); (b) the
+    probe-side band-key semi-join filter is exactness-preserving — the
+    filtered (default) and forced-unfiltered (keyfilter_max=0) probes
+    both equal the direct bipartite join."""
+    import os
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.dedup_docs import (
+        _auto_nbuckets, minhash_cross_pairs, minhash_cross_pairs_indexed,
+        write_minhash_index)
+
+    # sizing math: 1M docs x 16 bands x 16 B = 256 MB -> 1024 buckets
+    assert _auto_nbuckets(1_000_000, 16) == 1024
+    assert _auto_nbuckets(100, 16) == 64            # floor
+    assert _auto_nbuckets(10_000_000_000, 16) == 65536   # cap
+    assert _auto_nbuckets(2_000_000, 16) == 2048    # proportional
+
+    docs = _near_dup_docs()
+    left_ids = {0, 2, 4}
+    lm = pa.array([i in left_ids for i in docs["doc_id"].to_pylist()])
+    new = rd.from_arrow(docs.filter(lm))
+    corpus = rd.from_arrow(docs.filter(pc.invert(lm)))
+
+    idx = str(tmp_path / "mh_auto")
+    write_minhash_index(corpus, idx)                # nbuckets=None: auto
+    import json
+    with open(os.path.join(idx, "_params.json")) as f:
+        assert json.load(f)["nbuckets"] == 64       # tiny corpus -> floor
+
+    want = minhash_cross_pairs(new, corpus, threshold=0.3).to_pandas()
+    key = lambda df: sorted((int(r.left_doc), int(r.right_doc),
+                             round(r.jaccard, 9)) for r in df.itertuples())
+    filt = minhash_cross_pairs_indexed(new, idx, corpus,
+                                       threshold=0.3).to_pandas()
+    nofilt = minhash_cross_pairs_indexed(new, idx, corpus, threshold=0.3,
+                                         keyfilter_max=0).to_pandas()
+    assert key(filt) == key(nofilt) == key(want) and len(want) > 0
+
+
 def test_minhash_index_incremental_cycle(ray_session, tmp_path):
     """Full incremental loop: build(corpus) → probe(batch1) →
     append(batch1) → probe(batch2) must equal the direct bipartite join
