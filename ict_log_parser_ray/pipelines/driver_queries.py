@@ -2447,20 +2447,29 @@ def d_analysis(sf_dir):
 _MINHASH_PAIRS_CACHE: dict = {}
 
 
-def _minhash_pairs_df(sf_dir):
+def _minhash_pairs_df(sf_dir, k: int = 5):
     """Verified near-dup pairs at threshold 0.6 — computed ONCE per
-    sf_dir and shared by d_minhash_pairs / d_dup_clusters / d_dedup_keep
-    (each previously re-ran the whole LSH chain; the pair table is
-    match-bounded and tiny, the same memo pattern as _PIPE_CACHE)."""
-    if sf_dir not in _MINHASH_PAIRS_CACHE:
+    (sf_dir, k) and shared by d_minhash_pairs / d_dup_clusters /
+    d_dedup_keep (each previously re-ran the whole LSH chain; the pair
+    table is match-bounded and tiny, the same memo pattern as
+    _PIPE_CACHE).
+
+    ``k`` is the shingle length (VERDICT r4 item 3): the sf0.01 oracle
+    pins k=5 (its all-pairs SQL twin shingles at 5 chars), but k=5's
+    LSH false-positive rate is the documented quadratic-candidate
+    regime past ~100k docs — corpus callers should pass k=8 (87× fewer
+    candidates at 1M docs, identical verified output on the planted-dup
+    fixtures; see BASELINE.md '1M probes')."""
+    key = (sf_dir, k)
+    if key not in _MINHASH_PAIRS_CACHE:
         from ..functions.dedup_docs import minhash_duplicate_pairs
 
         ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-        if len(_MINHASH_PAIRS_CACHE) >= 4:   # bound across sf_dirs
+        if len(_MINHASH_PAIRS_CACHE) >= 4:   # bound across (sf_dir, k)s
             _MINHASH_PAIRS_CACHE.pop(next(iter(_MINHASH_PAIRS_CACHE)))
-        _MINHASH_PAIRS_CACHE[sf_dir] = \
-            minhash_duplicate_pairs(ds, threshold=0.6).to_pandas()
-    return _MINHASH_PAIRS_CACHE[sf_dir].copy()
+        _MINHASH_PAIRS_CACHE[key] = \
+            minhash_duplicate_pairs(ds, threshold=0.6, k=k).to_pandas()
+    return _MINHASH_PAIRS_CACHE[key].copy()
 
 
 def _pairs_ds(df):
@@ -2477,7 +2486,7 @@ def _pairs_ds(df):
                                  ("jaccard", pa.float64())]).empty_table())
 
 
-def d_minhash_pairs(sf_dir):
+def d_minhash_pairs(sf_dir, k: int = 5):
     """MinHash+LSH near-dup pairs over documents — value-checked.
 
     The final stage filters candidates by EXACT shingle Jaccard >= 0.6, so
@@ -2488,7 +2497,7 @@ def d_minhash_pairs(sf_dir):
     seeded hash family are deterministic, so the oracle match is stable.
     Jaccard is rounded to 4 decimals on both sides (the repo's float-oracle
     convention)."""
-    df = _minhash_pairs_df(sf_dir)
+    df = _minhash_pairs_df(sf_dir, k=k)
     if len(df):
         df["jaccard"] = df["jaccard"].round(4)
         df = _i64(df, ["doc_a", "doc_b"])
@@ -2496,7 +2505,7 @@ def d_minhash_pairs(sf_dir):
     return df
 
 
-def d_dup_clusters(sf_dir):
+def d_dup_clusters(sf_dir, k: int = 5):
     """Duplicate CLUSTERS: connected components over the MinHash near-dup
     pairs (training-data dedup keeps one canonical doc per component, not
     per pair).  Distributed min-label propagation + driver pointer
@@ -2505,13 +2514,13 @@ def d_dup_clusters(sf_dir):
     the component labeling is deterministic (min doc_id)."""
     from ..functions.components import connected_components
 
-    pairs = _pairs_ds(_minhash_pairs_df(sf_dir))
+    pairs = _pairs_ds(_minhash_pairs_df(sf_dir, k=k))
     out = connected_components(pairs, "doc_a", "doc_b")
     out = out.rename(columns={"node": "doc_id", "component": "cluster_id"})
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
-def d_dedup_keep(sf_dir):
+def d_dedup_keep(sf_dir, k: int = 5):
     """The end-to-end near-dup DEDUP deliverable: the keep-list.  Pairs →
     connected components → drop every non-canonical cluster member (keep
     the min doc_id per component) → stream the corpus through
@@ -2522,7 +2531,7 @@ def d_dedup_keep(sf_dir):
     from ..functions.components import connected_components
     from ..functions.dedup_docs import dedup_drop_filter
 
-    pairs = _pairs_ds(_minhash_pairs_df(sf_dir))
+    pairs = _pairs_ds(_minhash_pairs_df(sf_dir, k=k))
     comp = connected_components(pairs, "doc_a", "doc_b")
     ids = read_table(sf_dir, "documents", columns=["doc_id"])
     out = dedup_drop_filter(ids, comp).to_pandas()
@@ -2530,7 +2539,7 @@ def d_dedup_keep(sf_dir):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
-def d_dedup_best(sf_dir):
+def d_dedup_best(sf_dir, k: int = 5):
     """Dedup keep-policy #2: keep the LONGEST doc per near-dup cluster
     (tie → smallest doc_id) — the quality-aware keep rule curation
     pipelines actually use, vs d_dedup_keep's min-id canonicalisation.
@@ -2546,7 +2555,7 @@ def d_dedup_best(sf_dir):
     from ..functions.components import connected_components
     from ..functions.dedup_docs import dedup_drop_filter
 
-    pairs = _pairs_ds(_minhash_pairs_df(sf_dir))
+    pairs = _pairs_ds(_minhash_pairs_df(sf_dir, k=k))
     comp = connected_components(pairs, "doc_a", "doc_b")
     if not len(comp):
         ids = read_table(sf_dir, "documents", columns=["doc_id"])

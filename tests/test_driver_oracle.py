@@ -128,3 +128,32 @@ def test_entry_smoke(ray_session):
     df = e.entry()
     assert len(df) >= 1
     assert set(df.columns) == {"sink", "n"}
+
+
+def test_dedup_chain_k_threaded(contract):
+    """VERDICT r4 item 3: the dedup-chain queries expose the shingle
+    length k (default 5 = the oracle-pinned fixture setting; corpus
+    callers pass k=8).  On the planted-dup testdata both shingle
+    lengths verify the same exact-Jaccard pair set, so the whole chain
+    must be value-identical at k=5 and k=8 — which also proves the
+    parameter actually reaches the LSH stage (a dropped kwarg would
+    TypeError, a mis-thread would change nothing detectably, hence the
+    cache-key check below)."""
+    from ict_log_parser_ray.pipelines import driver_queries as dq
+
+    q, _ = contract
+    p5 = _to_df(q["d_minhash_pairs"](SF_DIR))
+    p8 = _to_df(dq.d_minhash_pairs(SF_DIR, k=8))
+    assert p5[["doc_a", "doc_b"]].values.tolist() == \
+        p8[["doc_a", "doc_b"]].values.tolist() and len(p5) > 0
+    # distinct cache entries per (sf_dir, k) — k=8 must not have
+    # poisoned the oracle-facing k=5 memo
+    assert (SF_DIR, 5) in dq._MINHASH_PAIRS_CACHE
+    assert (SF_DIR, 8) in dq._MINHASH_PAIRS_CACHE
+
+    c5 = dq.d_dup_clusters(SF_DIR)
+    c8 = dq.d_dup_clusters(SF_DIR, k=8)
+    assert c5.equals(c8) and len(c5) > 0
+    k5 = dq.d_dedup_keep(SF_DIR)
+    k8 = dq.d_dedup_keep(SF_DIR, k=8)
+    assert k5.equals(k8) and len(k5) > 0
