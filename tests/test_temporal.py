@@ -319,6 +319,58 @@ def test_interarrival_matches_pandas(ray_session):
     assert 999 not in set(out["user_id"])
 
 
+def test_interarrival_null_ts_dropped(ray_session):
+    """VERDICT r4 item 8: null timestamps (rendered int64-min by
+    _col_np) must be DROPPED before gap computation — SQL LAG yields
+    NULL there and the oracle's WHERE drops it, so a surviving
+    int64-min row would sort first and fabricate a huge max gap.
+    Adversarial layout: nulls sprinkled through real users, one
+    user with nothing BUT nulls (must vanish like a singleton), one
+    user reduced to a single real event by nulls (no gap → no row)."""
+    import ray.data as rd
+
+    from ict_log_parser_ray.stages.temporal import interarrival_partitioned
+
+    rng = np.random.default_rng(7)
+    n = 800
+    ts = rng.integers(1_000, 9_000_000, n).astype("int64")
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 25, n).astype(np.int64),
+        "ts": pd.to_datetime(ts, unit="us"),
+    })
+    # ~15% nulls across everyone
+    null_at = rng.choice(n, size=n // 7, replace=False)
+    df.loc[null_at, "ts"] = pd.NaT
+    # user 777: only null timestamps
+    extra = pd.DataFrame({"event_id": [9001, 9002, 9003],
+                          "user_id": [777] * 3,
+                          "ts": [pd.NaT] * 3})
+    # user 888: two events, one nulled → single real event → no gap row
+    extra2 = pd.DataFrame({"event_id": [9101, 9102],
+                           "user_id": [888] * 2,
+                           "ts": [pd.Timestamp("2024-01-01"), pd.NaT]})
+    df = pd.concat([df, extra, extra2], ignore_index=True)
+
+    out = interarrival_partitioned(rd.from_pandas(df), key="user_id",
+                                   ts="ts", idc="event_id",
+                                   nparts=5).to_pandas()
+    assert 777 not in set(out["user_id"])
+    assert 888 not in set(out["user_id"])
+
+    # LAG reference over the null-dropped rows only (ns → us)
+    live = df.dropna(subset=["ts"]).copy()
+    ref_rows = []
+    for uid, g in live.sort_values(["ts", "event_id"]).groupby("user_id"):
+        gaps = np.diff(g["ts"].astype("int64").to_numpy() // 1000)
+        if len(gaps):
+            ref_rows.append((uid, len(gaps), int(gaps.sum()),
+                             int(gaps.max())))
+    got = sorted(map(tuple, out[["user_id", "n_gaps", "sum_gap_us",
+                                 "max_gap_us"]].itertuples(index=False)))
+    assert got == sorted(ref_rows) and len(got) > 0
+
+
 def test_sessionize_boundary_exact_gap(ray_session):
     import ray.data as rd
 
