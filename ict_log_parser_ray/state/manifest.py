@@ -144,7 +144,8 @@ def _attempts_fingerprint(ranked) -> str:
 
 
 def run_resumable(transcripts_files: list[str], out_root: str, tool_meta,
-                  fail_after_shards: int | None = None):
+                  fail_after_shards: int | None = None,
+                  fail_after_route_shards: int | None = None):
     """Sharded, manifest-checkpointed parse→enrich→rank→route run.
 
     ``transcripts_files``: one shard per input parquet file.  Shards must be
@@ -158,6 +159,10 @@ def run_resumable(transcripts_files: list[str], out_root: str, tool_meta,
 
     ``fail_after_shards``: test hook — raise after N parse shards to simulate
     a crash; a subsequent call resumes from the manifest.
+    ``fail_after_route_shards``: same, but during the ROUTE (sink-write)
+    phase — the crash window the bench-scale resume test exercises: the
+    attempts table is already committed, some sink shards are on disk,
+    and the resume must re-route only the missing shards.
     """
     import pyarrow.parquet as pq
     import ray.data as rd
@@ -178,7 +183,8 @@ def run_resumable(transcripts_files: list[str], out_root: str, tool_meta,
     # old one-Dataset-per-shard loop serialized the cluster), staged to a
     # scratch dir and committed per shard atomically, so a crash mid-group
     # loses only that group's work and granularity stays per-shard.
-    group_size = max(1, int(fail_after_shards or 8))
+    group_size = max(1, int(fail_after_shards or fail_after_route_shards
+                            or 8))
     pending = [(shard_id_for(p), p) for p in transcripts_files
                if not man.done("parse", shard_id_for(p),
                                fingerprint=file_fingerprint(p))]
@@ -255,6 +261,7 @@ def run_resumable(transcripts_files: list[str], out_root: str, tool_meta,
     #      group-parallel like phase 1) ----
     pending = [shard_id_for(p) for p in transcripts_files
                if not man.done("route", shard_id_for(p), fingerprint=att_fp)]
+    routed_n = 0
     for g in range(0, len(pending), group_size):
         group = pending[g:g + group_size]
         t0 = time.time()
@@ -299,6 +306,12 @@ def run_resumable(transcripts_files: list[str], out_root: str, tool_meta,
                        rows_out=sum(sink_rows.values()),
                        wall_time_s=wall,
                        lineage={"records": f"shard={sid}", "attempts": att_fp})
+            routed_n += 1
+            if fail_after_route_shards is not None \
+                    and routed_n >= fail_after_route_shards:
+                shutil.rmtree(staging, ignore_errors=True)
+                raise RuntimeError(
+                    f"simulated crash after {routed_n} route shards")
         shutil.rmtree(staging, ignore_errors=True)
 
     return {"manifest": man, "records": records_root, "sinks": sinks_root,

@@ -201,3 +201,67 @@ def test_route_fingerprint_tracks_attempt_content(ray_session, fixture_sf0001,
     for (ph, sid), e in Manifest(out).entries().items():
         if ph == "route":
             assert e["fingerprint"] == fp2
+
+
+@pytest.mark.skipif(not os.environ.get("ICT_RUN_SLOW"),
+                    reason="bench-scale resume (minutes, ~GBs in /dev/shm) "
+                           "— set ICT_RUN_SLOW=1")
+def test_resume_at_bench_scale(ray_session):
+    """VERDICT r4 item 7: the kill/resume invariant at BENCH scale — one
+    sf2.0 run crashed mid-ROUTE (sink-write) phase, resumed, must yield
+    sink outputs row-identical to an uninterrupted run, without
+    reprocessing any completed parse shard or pre-crash route shard.
+    Output goes to /dev/shm (this node's disk runs ~30 MB/s shared; the
+    documented scaling-sink convention) and is removed afterwards."""
+    import glob
+
+    import duckdb
+
+    from ict_log_parser_ray import fixtures as fx
+    from ict_log_parser_ray.state.manifest import Manifest, run_resumable
+
+    d = fx.ensure_fixture(2.0)
+    shards = sorted(glob.glob(os.path.join(d, "transcripts", "*.parquet")))
+    assert len(shards) >= 6, "sf2.0 fixture must be multi-shard"
+    meta = __import__("pyarrow.parquet", fromlist=["pq"]).read_table(
+        os.path.join(d, "tool_meta.parquet"))
+
+    def _sink_digest(root):
+        con = duckdb.connect()
+        cols = [r[0] for r in con.sql(
+            f"DESCRIBE SELECT * FROM parquet_scan('{root}/**/*.parquet', "
+            "hive_partitioning=1)").fetchall()]
+        hcols = ", ".join(c for c in cols)
+        rows = con.sql(
+            f"SELECT sink, count(*) AS n, sum(hash({hcols})) AS h "
+            f"FROM parquet_scan('{root}/**/*.parquet', hive_partitioning=1) "
+            "GROUP BY sink ORDER BY sink").fetchall()
+        con.close()
+        return rows
+
+    out_a = "/dev/shm/ict_resume_bench_a"
+    out_b = "/dev/shm/ict_resume_bench_b"
+    for o in (out_a, out_b):
+        shutil.rmtree(o, ignore_errors=True)
+    try:
+        res_a = run_resumable(shards, out_a, meta)
+
+        with pytest.raises(RuntimeError, match="route shards"):
+            run_resumable(shards, out_b, meta, fail_after_route_shards=2)
+        man = Manifest(out_b).entries()
+        parse_done = {k: e["recorded_at"] for k, e in man.items()
+                      if k[0] == "parse"}
+        route_done = {k: e["recorded_at"] for k, e in man.items()
+                      if k[0] == "route"}
+        assert len(parse_done) == len(shards)   # phase 1 fully committed
+        assert len(route_done) == 2             # crashed after 2
+
+        res_b = run_resumable(shards, out_b, meta)
+        man2 = Manifest(out_b).entries()
+        for k, t in {**parse_done, **route_done}.items():
+            assert man2[k]["recorded_at"] == t, f"{k} was reprocessed"
+
+        assert _sink_digest(res_a["sinks"]) == _sink_digest(res_b["sinks"])
+    finally:
+        for o in (out_a, out_b):
+            shutil.rmtree(o, ignore_errors=True)
