@@ -720,14 +720,84 @@ def write_minhash_index(docs_ds, index_dir: str, num_perm: int = 64,
         return out
 
     shutil.rmtree(index_dir, ignore_errors=True)
-    (docs_ds.map_batches(_explode, batch_format="pandas")
-     .write_parquet(index_dir, partition_cols=["bucket"]))
+    _write_bucketed(docs_ds.map_batches(_explode, batch_format="pandas"),
+                    index_dir, nbuckets)
     with open(os.path.join(index_dir, "_params.json"), "w") as f:
         json.dump({"version": _MINHASH_INDEX_VERSION, "num_perm": num_perm,
                    "bands": bands, "k": k, "seed": seed,
                    "nbuckets": nbuckets}, f)
     with open(os.path.join(index_dir, "_SUCCESS"), "w") as f:
         f.write("ok")
+
+
+def _write_bucketed(exploded_ds, index_dir: str, nbuckets: int) -> None:
+    """One parquet file per (bucket, invocation): bucket-RANGE write
+    tasks over the materialized payload-free explosion.
+
+    Why not ``write_parquet(partition_cols=["bucket"])``: Ray writes one
+    file per (write task × touched bucket) — 36,864 15-KB files at 1M
+    docs / 1024 auto buckets, and the file-open floor made the 10k-batch
+    probe 4× SLOWER than the old 64-bucket layout (measured round 5).
+    Here ≤4×CPU tasks each own a contiguous bucket range, gather their
+    rows from the pinned blocks (16 B/row — the shuffle is payload-free
+    by construction), and write exactly one file per non-empty bucket
+    with the sink compression convention.  Worker-side makedirs (the
+    write_sink_file lesson — the driver's filesystem is not the
+    cluster's)."""
+    import uuid
+
+    import ray
+
+    from ..blocks import arrow_refs
+
+    refs = arrow_refs(exploded_ds)
+    ncpu = _ncpus()
+    ntasks = max(1, min(4 * ncpu, nbuckets))
+    bounds = np.linspace(0, nbuckets, ntasks + 1).astype(np.int64)
+    token = uuid.uuid4().hex
+
+    @ray.remote
+    def _wr(lo: int, hi: int) -> int:
+        import os
+
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        subs = []
+        for t in ray.get(refs):
+            if not isinstance(t, pa.Table) or \
+                    "bucket" not in t.schema.names or t.num_rows == 0:
+                continue
+            m = pc.and_(pc.greater_equal(t["bucket"], lo),
+                        pc.less(t["bucket"], hi))
+            s = t.filter(m)
+            if s.num_rows:
+                subs.append(s)
+        if not subs:
+            return 0
+        t = pa.concat_tables(subs).combine_chunks()
+        b = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(b, kind="stable")
+        bs = b[order]
+        cuts = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
+        t2 = t.take(pa.array(order, pa.int64())).drop_columns(["bucket"])
+        written = 0
+        for i, c in enumerate(cuts):
+            end = cuts[i + 1] if i + 1 < len(cuts) else len(bs)
+            bucket = int(bs[c])
+            dd = os.path.join(index_dir, f"bucket={bucket}")
+            os.makedirs(dd, exist_ok=True)
+            pq.write_table(
+                t2.slice(c, end - c),
+                os.path.join(dd, f"part-{token}-{bucket}.parquet"),
+                compression="lz4", use_dictionary=False,
+                write_statistics=False)
+            written += 1
+        return written
+
+    import ray as _ray
+    _ray.get([_wr.remote(int(bounds[i]), int(bounds[i + 1]))
+              for i in range(ntasks) if bounds[i] < bounds[i + 1]])
 
 
 def minhash_index_complete(index_dir: str) -> bool:
@@ -769,8 +839,10 @@ def append_minhash_index(docs_ds, index_dir: str) -> None:
                          % np.uint64(p["nbuckets"])).astype(np.int32)
         return out
 
-    (docs_ds.map_batches(_explode, batch_format="pandas")
-     .write_parquet(index_dir, partition_cols=["bucket"]))
+    # one file per (touched bucket, append) — uniquely-named additions
+    # into the existing bucket dirs, same retry semantics as before
+    _write_bucketed(docs_ds.map_batches(_explode, batch_format="pandas"),
+                    index_dir, p["nbuckets"])
 
 
 def compact_minhash_index(index_dir: str) -> dict:
