@@ -1755,9 +1755,10 @@ def simhash_candidate_pairs(docs_ds, max_hamming: int = 3,
     setting) or 128 (the CORPUS-scale width).  Random band collisions go
     as n²·bands/2^band_bits, so 16-bit bands saturate at O(n²/65536)
     candidates past ~2^16 docs regardless of similarity; 32-bit bands
-    move that knee to ~2^32 docs.  At ≥100k docs use nbits=128 — at 10M
-    docs the 64-bit banding would emit ~6e9 random-collision candidates
-    vs ~0.05·n for 128 (measured in BASELINE.md).
+    move that knee to ~2^32 docs.  At ≥100k docs use nbits=128 —
+    measured at 10M docs (BASELINE.md): 8.24e9 candidates for 64-bit
+    banding vs 1.9M for 128-bit, with the 128-bit pair output exactly
+    linear in n and the full pipeline at 82 s.
 
     Bucket pair generation uses the same hash-partitioned pair-task shape
     as minhash (VERDICT r2: the previous ``groupby(band_key).map_groups``
