@@ -738,12 +738,16 @@ def _write_bucketed(exploded_ds, index_dir: str, nbuckets: int) -> None:
     file per (write task × touched bucket) — 36,864 15-KB files at 1M
     docs / 1024 auto buckets, and the file-open floor made the 10k-batch
     probe 4× SLOWER than the old 64-bucket layout (measured round 5).
-    Here ≤4×CPU tasks each own a contiguous bucket range, gather their
-    rows from the pinned blocks (16 B/row — the shuffle is payload-free
-    by construction), and write exactly one file per non-empty bucket
-    with the sink compression convention.  Worker-side makedirs (the
-    write_sink_file lesson — the driver's filesystem is not the
-    cluster's)."""
+    Proper two-stage shuffle so multi-node traffic is O(stream), not
+    O(ntasks × stream): stage 1 splits every block into ntasks
+    range-shard OBJECTS (``num_returns=ntasks`` — each shard is its own
+    object-store entry); stage 2's range task pulls ONLY its shard
+    column, sorts by bucket, and writes exactly one file per non-empty
+    bucket with the sink compression convention.  A naive range gather
+    over the pinned blocks would ship the whole explosion to every
+    task — fine on one node's shared memory, 128× the stream over a
+    real cluster's network.  Worker-side makedirs (the write_sink_file
+    lesson — the driver's filesystem is not the cluster's)."""
     import uuid
 
     import ray
@@ -755,27 +759,42 @@ def _write_bucketed(exploded_ds, index_dir: str, nbuckets: int) -> None:
     ntasks = max(1, min(4 * ncpu, nbuckets))
     bounds = np.linspace(0, nbuckets, ntasks + 1).astype(np.int64)
     token = uuid.uuid4().hex
+    _empty = pa.schema([("band_key", pa.int64()), ("doc_id", pa.int64()),
+                        ("bucket", pa.int32())]).empty_table()
 
     @ray.remote
-    def _wr(lo: int, hi: int) -> int:
+    def _split(t):
+        """One block → ntasks bucket-range shard tables (tuple return =
+        one object per shard; zero-row/pass-through blocks yield typed
+        empties so downstream concat keeps a schema)."""
+        out = []
+        ok = isinstance(t, pa.Table) and "bucket" in t.schema.names \
+            and t.num_rows > 0
+        if ok:
+            b = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+            tag = np.searchsorted(bounds[1:], b, side="right")
+        for p in range(ntasks):
+            if not ok:
+                out.append(_empty)
+                continue
+            s = t.filter(pa.array(tag == p))
+            out.append(s if s.num_rows else _empty)
+        return tuple(out) if ntasks > 1 else out[0]
+
+    shards = [_split.options(num_returns=ntasks).remote(r) for r in refs] \
+        if ntasks > 1 else [[_split.remote(r)] for r in refs]
+
+    @ray.remote
+    def _wr(p: int, *shard_refs) -> int:
         import os
 
-        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        subs = []
-        for t in ray.get(refs):
-            if not isinstance(t, pa.Table) or \
-                    "bucket" not in t.schema.names or t.num_rows == 0:
-                continue
-            m = pc.and_(pc.greater_equal(t["bucket"], lo),
-                        pc.less(t["bucket"], hi))
-            s = t.filter(m)
-            if s.num_rows:
-                subs.append(s)
-        if not subs:
+        tbls = [t for t in shard_refs
+                if isinstance(t, pa.Table) and t.num_rows]
+        if not tbls:
             return 0
-        t = pa.concat_tables(subs).combine_chunks()
+        t = pa.concat_tables(tbls).combine_chunks()
         b = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(b, kind="stable")
         bs = b[order]
@@ -795,9 +814,10 @@ def _write_bucketed(exploded_ds, index_dir: str, nbuckets: int) -> None:
             written += 1
         return written
 
-    import ray as _ray
-    _ray.get([_wr.remote(int(bounds[i]), int(bounds[i + 1]))
-              for i in range(ntasks) if bounds[i] < bounds[i + 1]])
+    # top-level ObjectRef args are auto-resolved by Ray (the repo's
+    # documented rule) — *shard_refs receives the shard TABLES
+    ray.get([_wr.remote(p, *[s[p] for s in shards])
+             for p in range(ntasks)])
 
 
 def minhash_index_complete(index_dir: str) -> bool:
