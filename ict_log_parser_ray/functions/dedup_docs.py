@@ -766,19 +766,23 @@ def _write_bucketed(exploded_ds, index_dir: str, nbuckets: int) -> None:
     def _split(t):
         """One block → ntasks bucket-range shard tables (tuple return =
         one object per shard; zero-row/pass-through blocks yield typed
-        empties so downstream concat keeps a schema)."""
-        out = []
+        empties so the tuple arity holds).  One argsort + take, then
+        ntasks zero-copy slices — NOT ntasks full-length boolean
+        filters (O(ntasks·rows) per block, and ntasks grows with the
+        cluster)."""
         ok = isinstance(t, pa.Table) and "bucket" in t.schema.names \
             and t.num_rows > 0
-        if ok:
-            b = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
-            tag = np.searchsorted(bounds[1:], b, side="right")
-        for p in range(ntasks):
-            if not ok:
-                out.append(_empty)
-                continue
-            s = t.filter(pa.array(tag == p))
-            out.append(s if s.num_rows else _empty)
+        if not ok:
+            out = [_empty] * ntasks
+            return tuple(out) if ntasks > 1 else out[0]
+        b = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tag = np.searchsorted(bounds[1:], b, side="right")
+        order = np.argsort(tag, kind="stable")
+        ts = t.take(pa.array(order, pa.int64()))
+        cut = np.searchsorted(tag[order], np.arange(ntasks + 1))
+        out = [ts.slice(cut[p], cut[p + 1] - cut[p])
+               if cut[p + 1] > cut[p] else _empty
+               for p in range(ntasks)]
         return tuple(out) if ntasks > 1 else out[0]
 
     shards = [_split.options(num_returns=ntasks).remote(r) for r in refs] \
@@ -1001,30 +1005,45 @@ def minhash_cross_pairs_indexed(new_ds, index_dir: str, corpus_texts_ds,
                 .materialize())
 
     # touched buckets via per-block distinct-bucket tasks: the driver
-    # sees only bucket ids (≤ nbuckets ints per block) plus the batch's
-    # DISTINCT band keys (≤ batch × bands int64s — a 10k-doc batch is
-    # 160k keys / 1.3 MB; past the gate below the keys stay distributed)
+    # sees only bucket ids (≤ nbuckets ints per block) plus per-block
+    # DISTINCT-key COUNTS; the key arrays themselves ride in separate
+    # return objects that are pulled to the driver ONLY when the summed
+    # count clears the keyfilter_max gate — an over-gate batch (e.g.
+    # 30M docs × 16 bands) never ships its keys anywhere
     nbuckets = p["nbuckets"]
 
-    @ray.remote
+    @ray.remote(num_returns=2)
     def _touched(t):
         if not isinstance(t, pa.Table) or \
                 "band_key" not in t.schema.names or t.num_rows == 0:
-            return np.empty(0, np.int64), np.empty(0, np.int64)
+            return (np.empty(0, np.int64), 0), np.empty(0, np.int64)
         bk = t["band_key"]
         if isinstance(bk, pa.ChunkedArray):
             bk = bk.combine_chunks()
         keys = np.unique(bk.to_numpy(zero_copy_only=False)
                          .astype(np.int64))
-        return (np.unique(_mix(keys.astype(np.uint64), _M1)
-                          % np.uint64(nbuckets)).astype(np.int64), keys)
+        buckets = np.unique(_mix(keys.astype(np.uint64), _M1)
+                            % np.uint64(nbuckets)).astype(np.int64)
+        return (buckets, keys.size), keys
 
     from ..blocks import arrow_refs
-    parts = ray.get([_touched.remote(r) for r in arrow_refs(new_rows)])
-    buckets = (np.unique(np.concatenate([b for b, _ in parts])) if parts
+    meta_refs, key_refs = [], []
+    for r in arrow_refs(new_rows):
+        m, k = _touched.remote(r)
+        meta_refs.append(m)
+        key_refs.append(k)
+    metas = ray.get(meta_refs)
+    buckets = (np.unique(np.concatenate([b for b, _ in metas])) if metas
                else np.empty(0, np.int64))
-    probe_keys = (np.unique(np.concatenate([k for _, k in parts]))
-                  if parts else np.empty(0, np.int64))
+    # summed per-block distinct counts bound the gather volume (≥ the
+    # global distinct count) — gate BEFORE pulling any key array
+    nkeys_bound = sum(n for _, n in metas)
+    if 0 < nkeys_bound <= keyfilter_max:
+        probe_keys = np.unique(np.concatenate(ray.get(key_refs))) \
+            if key_refs else np.empty(0, np.int64)
+    else:
+        probe_keys = np.empty(0, np.int64)
+    del key_refs
     dirs = [d for d in
             (os.path.join(index_dir, f"bucket={b}") for b in buckets)
             if os.path.isdir(d)]
@@ -1659,7 +1678,6 @@ class SimHasher:
         self.seed = seed
         self.word_hash = word_hash
         self.nbits = nbits
-        self._shifts = np.arange(64, dtype=np.uint64)
 
     def _hash_words(self, words: pd.Series, half: int = 0) -> np.ndarray:
         if self.word_hash == "fnv":
@@ -1711,15 +1729,25 @@ class SimHasher:
         return ((v > 0).astype(np.uint64)
                 << shifts[None, :]).sum(axis=1, dtype=np.uint64)
 
-    def _simhash_batch(self, texts: pd.Series, half: int = 0) -> np.ndarray:
+    @staticmethod
+    def _tokenize(texts: pd.Series):
+        """Shared split pass: (row_idx, lens, n, words) — None words when
+        the batch has no tokens at all.  The single place normalization
+        lives, so simhash()/the batch path can never drift apart."""
         sw = texts.fillna("").str.lower().str.split()
         lens = sw.str.len().to_numpy(dtype=np.int64)
         n = len(sw)
         if lens.sum() == 0:
-            return np.zeros(n, np.uint64)
+            return None, lens, n, None
         row_idx = np.repeat(np.arange(n), lens)
         words = pd.Series(np.concatenate([np.asarray(w, dtype=object)
                                           for w in sw if len(w)]))
+        return row_idx, lens, n, words
+
+    def _simhash_batch(self, texts: pd.Series, half: int = 0) -> np.ndarray:
+        row_idx, lens, n, words = self._tokenize(texts)
+        if words is None:
+            return np.zeros(n, np.uint64)
         hv = self._hash_words(words, half=half)
         return self._vote_pack(row_idx, lens, n, hv)
 
@@ -1728,16 +1756,11 @@ class SimHasher:
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        sw = df["text"].fillna("").str.lower().str.split()
-        lens = sw.str.len().to_numpy(dtype=np.int64)
-        n = len(sw)
         halves = 2 if self.nbits == 128 else 1
-        if lens.sum() == 0:
+        row_idx, lens, n, words = self._tokenize(df["text"])
+        if words is None:
             packed = [np.zeros(n, np.uint64)] * halves
         else:
-            row_idx = np.repeat(np.arange(n), lens)
-            words = pd.Series(np.concatenate(
-                [np.asarray(w, dtype=object) for w in sw if len(w)]))
             packed = [self._vote_pack(row_idx, lens, n,
                                       self._hash_words(words, half=h))
                       for h in range(halves)]
