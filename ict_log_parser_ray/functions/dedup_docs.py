@@ -1087,11 +1087,43 @@ def minhash_cross_pairs_indexed(new_ds, index_dir: str, corpus_texts_ds,
         exploded, "band_key", cap, "minhash-indexed",
         cross_sign_only=True), collect_threshold=collect_threshold)
 
+    # Candidate-id projection (steady-state crawl optimization): the
+    # pair table is match-bounded, so the verify needs texts for ONLY
+    # the candidate ids — previously the FULL sign-encoded corpus∪batch
+    # text union was materialized and broadcast per probe (at a 1M-doc
+    # corpus that was most of the per-cycle floor, even for a probe
+    # with zero candidates).  Lossless: verify reads no other rows.
+    import pyarrow.compute as pc
+
+    from ..blocks import shaped_tables
+    ctbls = shaped_tables(cands, "doc_a")
+    ids = np.unique(np.concatenate(
+        [np.concatenate([t["doc_a"].to_numpy(zero_copy_only=False)
+                         .astype(np.int64),
+                         t["doc_b"].to_numpy(zero_copy_only=False)
+                         .astype(np.int64)]) for t in ctbls])) \
+        if ctbls else np.empty(0, np.int64)
+    if ids.size == 0:
+        import ray.data as _rd
+        return _rd.from_arrow(_CROSS_PAIR_SCHEMA.empty_table())
+
     texts = _sign_encode_union(new_ds, corpus_texts_ds)
-    small = (new_ds.count() + corpus_texts_ds.count()
-             <= broadcast_threshold)
+    small = ids.size <= broadcast_threshold
     if small:
-        texts = texts.materialize()
+        idref = ray.put(pa.array(ids, pa.int64()))
+
+        def _cand_texts(t: pa.Table) -> pa.Table:
+            from ..stages.join import isin_mask_memo
+
+            if t.num_rows == 0 or "doc_id" not in t.schema.names:
+                return t
+            dk = t["doc_id"]
+            if isinstance(dk, pa.ChunkedArray):
+                dk = dk.combine_chunks()
+            return t.filter(isin_mask_memo(pc.cast(dk, pa.int64()), idref))
+
+        texts = texts.map_batches(_cand_texts, batch_format="pyarrow",
+                                  zero_copy_batch=True).materialize()
     pairs = _minhash_attach_verify(cands, texts, small, p["k"], threshold,
                                    broadcast_threshold)
     return _decode_cross_pairs(pairs)
