@@ -1131,10 +1131,20 @@ def minhash_cross_pairs_indexed(new_ds, index_dir: str, corpus_texts_ds,
 
 def incremental_dedup_batch(new_ds, index_dir: str, corpus_texts_ds,
                             threshold: float = 0.7, cap: int = 50,
-                            broadcast_threshold: int = 2_000_000):
+                            broadcast_threshold: int = 2_000_000,
+                            auto_compact_files: int = 8):
     """One full incremental-crawl dedup cycle: probe the new batch
     against the persisted band index, DROP new docs that near-duplicate
     the corpus, APPEND the survivors to the index, and return them.
+
+    ``auto_compact_files``: after the append, if any sampled bucket dir
+    holds at least this many files, run ``compact_minhash_index`` —
+    the steady-state loop measured ~+1 s/cycle of probe creep per
+    append (one file per touched bucket per append) against a 0.6 s
+    compaction at a 1M corpus.  Safe here because this API is the
+    single-writer steady state (no concurrent probes — the documented
+    compaction constraint); pass 0 to disable and schedule compaction
+    yourself.
 
     Returns ``(kept_ds, dropped_ids)`` — kept_ds is the curated batch
     (same schema as ``new_ds``), dropped_ids a sorted int64 numpy array
@@ -1168,6 +1178,15 @@ def incremental_dedup_batch(new_ds, index_dir: str, corpus_texts_ds,
     kept = new_ds.map_batches(_keep, batch_format="pyarrow",
                               zero_copy_batch=True).materialize()
     append_minhash_index(kept, index_dir)
+    if auto_compact_files:
+        import glob as _glob
+        import itertools
+        import os as _os
+
+        nfiles = [len(_os.listdir(d)) for d in itertools.islice(
+            _glob.iglob(_os.path.join(index_dir, "bucket=*")), 8)]
+        if nfiles and max(nfiles) >= auto_compact_files:
+            compact_minhash_index(index_dir)
     return kept, dropped
 
 

@@ -412,6 +412,55 @@ def test_minhash_index_incremental_cycle(ray_session, tmp_path):
     assert rights & {1, 3} and rights & {0, 4}
 
 
+def test_incremental_auto_compact(ray_session, tmp_path):
+    """auto_compact_files keeps per-bucket file counts bounded across
+    consecutive incremental_dedup_batch cycles without changing results
+    (the steady-state loop measured ~+1 s/cycle of probe creep per
+    append; single-writer steady state, so compaction here is safe)."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    from ict_log_parser_ray.functions.dedup_docs import (
+        incremental_dedup_batch, write_minhash_index)
+
+    docs = _near_dup_docs()
+    ids = docs["doc_id"].to_pylist()
+    corpus = rd.from_arrow(docs.filter(pa.array([i in {1, 3} for i in ids])))
+    idx_a = str(tmp_path / "auto_on")
+    idx_b = str(tmp_path / "auto_off")
+    write_minhash_index(corpus, idx_a, nbuckets=8)
+    write_minhash_index(corpus, idx_b, nbuckets=8)
+
+    def max_files(idx):
+        return max(len(os.listdir(d))
+                   for d in glob.glob(os.path.join(idx, "bucket=*")))
+
+    kept_counts = []
+    for cyc in range(4):
+        m = pa.array([i in {(2 * cyc) % 6, (2 * cyc + 4) % 6}
+                      for i in ids])
+        bt = docs.filter(m)
+        bt = bt.set_column(
+            bt.schema.get_field_index("doc_id"), "doc_id",
+            pa.array([100 + 10 * cyc + j for j in range(bt.num_rows)],
+                     pa.int64()))
+        batch = rd.from_arrow(bt)
+        ka, _ = incremental_dedup_batch(batch, idx_a, corpus,
+                                        threshold=0.3,
+                                        auto_compact_files=2)
+        kb, _ = incremental_dedup_batch(batch, idx_b, corpus,
+                                        threshold=0.3,
+                                        auto_compact_files=0)
+        assert sorted(r["doc_id"] for r in ka.take_all()) == \
+            sorted(r["doc_id"] for r in kb.take_all())
+        kept_counts.append(ka.count())
+    # compaction keeps the file count flat; the unmanaged index sprawls
+    assert max_files(idx_a) <= 2 < max_files(idx_b)
+    assert any(k > 0 for k in kept_counts)
+
+
 def test_compact_minhash_index(ray_session, tmp_path):
     """Crash-retried append (same batch twice) → compact → probe results
     identical to a FRESH index build over corpus ∪ batch; duplicate rows
