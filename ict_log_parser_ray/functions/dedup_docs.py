@@ -947,6 +947,23 @@ def touched_bucket_dirs(index_dir: str, band_keys: np.ndarray,
     return [d for d in dirs if os.path.isdir(d)]
 
 
+def _isin_filter_batch(t: pa.Table, col: str, set_ref) -> pa.Table:
+    """Keep rows whose int64 ``col`` is in the broadcast set — the
+    memoized-khash membership stage shared by the index probe's
+    band-key semi-join and its candidate-id text filter (zero-row
+    pass-through blocks return unchanged)."""
+    import pyarrow.compute as pc
+
+    from ..stages.join import isin_mask_memo
+
+    if t.num_rows == 0 or col not in t.schema.names:
+        return t
+    c = t[col]
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    return t.filter(isin_mask_memo(pc.cast(c, pa.int64()), set_ref))
+
+
 def minhash_cross_pairs_indexed(new_ds, index_dir: str, corpus_texts_ds,
                                 threshold: float = 0.7, cap: int = 50,
                                 broadcast_threshold: int = 2_000_000,
@@ -1067,19 +1084,9 @@ def minhash_cross_pairs_indexed(new_ds, index_dir: str, corpus_texts_ds,
     # _only_colliding_buckets alone (tests force that path with 0).
     if 0 < probe_keys.size <= keyfilter_max and files:
         pk_ref = ray.put(pa.array(probe_keys, pa.int64()))
-
-        def _probe_hit(t: pa.Table) -> pa.Table:
-            from ..stages.join import isin_mask_memo
-
-            if t.num_rows == 0 or "band_key" not in t.schema.names:
-                return t
-            bk = t["band_key"]
-            if isinstance(bk, pa.ChunkedArray):
-                bk = bk.combine_chunks()
-            return t.filter(isin_mask_memo(bk, pk_ref))
-
-        idx_rows = idx_rows.map_batches(_probe_hit, batch_format="pyarrow",
-                                        zero_copy_batch=True)
+        idx_rows = idx_rows.map_batches(
+            lambda t: _isin_filter_batch(t, "band_key", pk_ref),
+            batch_format="pyarrow", zero_copy_batch=True)
 
     exploded = _only_colliding_buckets(new_rows.union(idx_rows),
                                        "band_key")
@@ -1093,37 +1100,34 @@ def minhash_cross_pairs_indexed(new_ds, index_dir: str, corpus_texts_ds,
     # text union was materialized and broadcast per probe (at a 1M-doc
     # corpus that was most of the per-cycle floor, even for a probe
     # with zero candidates).  Lossless: verify reads no other rows.
-    import pyarrow.compute as pc
+    # Materialize FIRST (the lazy-branch double-execution trap — the
+    # >collect_threshold path returns a lazy groupby) and collect ids
+    # via per-block distinct tasks, never the full pair blocks.
+    cands = cands.materialize()
 
-    from ..blocks import shaped_tables
-    ctbls = shaped_tables(cands, "doc_a")
-    ids = np.unique(np.concatenate(
-        [np.concatenate([t["doc_a"].to_numpy(zero_copy_only=False)
-                         .astype(np.int64),
-                         t["doc_b"].to_numpy(zero_copy_only=False)
-                         .astype(np.int64)]) for t in ctbls])) \
-        if ctbls else np.empty(0, np.int64)
+    @ray.remote
+    def _pair_ids(t) -> np.ndarray:
+        if not isinstance(t, pa.Table) or \
+                "doc_a" not in t.schema.names or t.num_rows == 0:
+            return np.empty(0, np.int64)
+        return np.unique(np.concatenate(
+            [t["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64),
+             t["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)]))
+
+    from ..blocks import arrow_refs as _arefs
+    id_parts = ray.get([_pair_ids.remote(r) for r in _arefs(cands)])
+    ids = np.unique(np.concatenate(id_parts)) if id_parts \
+        else np.empty(0, np.int64)
     if ids.size == 0:
-        import ray.data as _rd
-        return _rd.from_arrow(_CROSS_PAIR_SCHEMA.empty_table())
+        return rd.from_arrow(_CROSS_PAIR_SCHEMA.empty_table())
 
     texts = _sign_encode_union(new_ds, corpus_texts_ds)
     small = ids.size <= broadcast_threshold
     if small:
         idref = ray.put(pa.array(ids, pa.int64()))
-
-        def _cand_texts(t: pa.Table) -> pa.Table:
-            from ..stages.join import isin_mask_memo
-
-            if t.num_rows == 0 or "doc_id" not in t.schema.names:
-                return t
-            dk = t["doc_id"]
-            if isinstance(dk, pa.ChunkedArray):
-                dk = dk.combine_chunks()
-            return t.filter(isin_mask_memo(pc.cast(dk, pa.int64()), idref))
-
-        texts = texts.map_batches(_cand_texts, batch_format="pyarrow",
-                                  zero_copy_batch=True).materialize()
+        texts = texts.map_batches(
+            lambda t: _isin_filter_batch(t, "doc_id", idref),
+            batch_format="pyarrow", zero_copy_batch=True).materialize()
     pairs = _minhash_attach_verify(cands, texts, small, p["k"], threshold,
                                    broadcast_threshold)
     return _decode_cross_pairs(pairs)
@@ -1183,8 +1187,12 @@ def incremental_dedup_batch(new_ds, index_dir: str, corpus_texts_ds,
         import itertools
         import os as _os
 
-        nfiles = [len(_os.listdir(d)) for d in itertools.islice(
-            _glob.iglob(_os.path.join(index_dir, "bucket=*")), 8)]
+        # count only *.parquet — a stale .compact-*.tmp from a crashed
+        # compaction must not inflate the trigger forever (compaction
+        # itself only manages parquet files)
+        nfiles = [len(_glob.glob(_os.path.join(d, "*.parquet")))
+                  for d in itertools.islice(
+                      _glob.iglob(_os.path.join(index_dir, "bucket=*")), 8)]
         if nfiles and max(nfiles) >= auto_compact_files:
             compact_minhash_index(index_dir)
     return kept, dropped
