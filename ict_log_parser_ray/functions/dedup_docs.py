@@ -864,8 +864,12 @@ def append_minhash_index(docs_ds, index_dir: str) -> None:
         return out
 
     # one file per (touched bucket, append) — uniquely-named additions
-    # into the existing bucket dirs, same retry semantics as before
-    _write_bucketed(docs_ds.map_batches(_explode, batch_format="pandas"),
+    # into the existing bucket dirs, same retry semantics as before.
+    # Appends are batch-sized: split single-block inputs so the
+    # signature explode parallelizes (see blocks.ensure_min_blocks)
+    from ..blocks import ensure_min_blocks
+    _write_bucketed(ensure_min_blocks(docs_ds)
+                    .map_batches(_explode, batch_format="pandas"),
                     index_dir, p["nbuckets"])
 
 
@@ -1011,8 +1015,14 @@ def minhash_cross_pairs_indexed(new_ds, index_dir: str, corpus_texts_ds,
         return pa.table({"doc_id": pc.subtract(neg1, ids),
                          "text": t["text"]})
 
-    new_enc = new_ds.select_columns(["doc_id", "text"]).map_batches(
-        _enc, batch_format="pyarrow", zero_copy_batch=True)
+    from ..blocks import ensure_min_blocks
+
+    # batch-sized input: split so the signature explode parallelizes (a
+    # single-block from_arrow batch ran it serially — 2.8 s of the old
+    # 6.6 s probe wall at 10k docs)
+    new_enc = ensure_min_blocks(
+        new_ds.select_columns(["doc_id", "text"]).map_batches(
+            _enc, batch_format="pyarrow", zero_copy_batch=True))
 
     def _explode(df: pd.DataFrame) -> pd.DataFrame:
         return MinHasher(num_perm=p["num_perm"], bands=p["bands"],
