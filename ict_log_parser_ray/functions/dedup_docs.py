@@ -693,6 +693,14 @@ def write_minhash_index(docs_ds, index_dir: str, num_perm: int = 64,
     explicit nbuckets when docs_ds is a transformed lineage whose
     count() would execute a full pass.
 
+    ``k`` is the shingle length and is a SEMANTIC parameter persisted
+    in ``_params.json`` (it defines which docs count as near-dups), so
+    it is NOT auto-sized — but at a ≥100k-doc corpus build with k=8:
+    k=5's baseline-Jaccard false positives put probe candidate counts
+    in the quadratic regime (measured: a 10k probe against the 1M k=5
+    index yields 364k candidates; k=8 is the corpus-scale setting,
+    87× fewer candidates at 1M docs, see the BASELINE LSH study).
+
     The incremental-crawl steady state computes corpus signatures ONCE;
     each new batch then explodes only ITS OWN signatures and reads only
     the bucket partitions its band keys touch (mirrors
