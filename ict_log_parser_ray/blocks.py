@@ -105,13 +105,27 @@ def ensure_min_blocks(ds, rows_per_block: int = 512):
     Up to 2×CPU blocks, ≥ ``rows_per_block`` rows each.  Intended for
     BATCH-sized inputs (it pins the rows in the object store) — never
     call it on a full-corpus lineage."""
+    import ray
     from ray.data.dataset import MaterializedDataset
 
     if not isinstance(ds, MaterializedDataset):
         ds = ds.materialize()
     nrows = ds.count()
     nblk = max(1, min(2 * ncpus(), -(-nrows // rows_per_block)))
-    if ds.num_blocks() < nblk:
+    need = ds.num_blocks() < nblk
+    if not need and nblk > 1:
+        # block COUNT alone misses skew: ten blocks where one holds
+        # ~all rows still serializes the downstream map on the fat
+        # block — check the max block size too (tiny remote counts,
+        # never pulls the tables to the driver)
+        @ray.remote
+        def _n(t) -> int:
+            return t.num_rows if hasattr(t, "num_rows") else len(t)
+
+        mx = max(ray.get([_n.remote(r) for r in ds.to_arrow_refs()]),
+                 default=0)
+        need = mx > 2 * -(-nrows // nblk)
+    if need:
         ds = ds.repartition(nblk).materialize()
     return ds
 
